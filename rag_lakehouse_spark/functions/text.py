@@ -1,0 +1,87 @@
+"""Text expression library: normalization, tokenization, shingling,
+fingerprinting — the building blocks for dedup / quality-scoring /
+language-ID over a 100 TB document corpus.
+
+Everything here is a Catalyst expression (JVM-side, codegen'd); no
+Python UDFs. Each helper has a DuckDB-SQL twin (``duckdb_*``) computing
+the identical value so operators built from these stay oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Small multilingual stopword marker sets for the heuristic language ID.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "fr": ("le", "la", "et", "les", "est"),
+    "es": ("el", "los", "que", "es", "y"),
+    "zh": ("的", "是", "了", "在", "我"),
+}
+
+STOPWORDS_EN = ("the", "a", "an", "of", "to", "and", "in", "is", "it", "for", "on", "with")
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def normalized(text: Column | str) -> Column:
+    """Lowercase, collapse every non-alphanumeric run to one space, trim.
+    Canonical form for fingerprinting and near-dup shingling."""
+    return F.trim(F.regexp_replace(F.lower(_c(text)), "[^a-z0-9]+", " "))
+
+
+def duckdb_normalized(text: str) -> str:
+    return f"trim(regexp_replace(lower({text}), '[^a-z0-9]+', ' ', 'g'))"
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokens of the trimmed text (no empty tokens)."""
+    return F.split(F.trim(_c(text)), r"\s+")
+
+
+def duckdb_tokens(text: str) -> str:
+    return f"regexp_split_to_array(trim({text}), '\\s+')"
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text.
+    Same hex in every engine — the exact-dedup key."""
+    return F.md5(normalized(text))
+
+
+def duckdb_fingerprint(text: str) -> str:
+    return f"md5({duckdb_normalized(text)})"
+
+
+def char_shingles(text: Column | str, k: int = 8) -> Column:
+    """Distinct character k-grams of the normalized text (1-based
+    substring positions — identical semantics in Spark and DuckDB).
+    The unit set for MinHash / Jaccard near-dup detection."""
+    norm = normalized(text)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(norm) - (k - 1), F.lit(0))),
+        lambda i: F.substring(norm, i, F.lit(k)),
+    )
+    return F.array_distinct(grams)
+
+
+def duckdb_char_shingles(text: str, k: int = 8) -> str:
+    norm = duckdb_normalized(text)
+    return (
+        f"list_distinct(list_transform("
+        f"generate_series(1, greatest(length({norm}) - {k - 1}, 0)), "
+        f"i -> substring({norm}, i, {k})))"
+    )
+
+
+def stopword_count(toks: Column, words: tuple[str, ...] = STOPWORDS_EN) -> Column:
+    return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+
+def duckdb_stopword_count(toks: str, words: tuple[str, ...] = STOPWORDS_EN) -> str:
+    in_list = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_filter({toks}, t -> t IN ({in_list})))"

@@ -1,0 +1,60 @@
+"""Vector expression library: dot / norm / cosine / L2 as pure Catalyst
+expressions over ``array<float>`` columns.
+
+This is the engine's replacement for the reference's external vector
+store (ChromaDB k-NN at reference src/api.py:38-42): distances are
+column expressions, so similarity search is just ``ORDER BY score LIMIT
+k`` and Catalyst compiles the whole thing into whole-stage-codegen —
+no Python in the hot path, no service round-trip.
+
+Determinism: folds are strict left-to-right over the array with a
+DOUBLE accumulator, so a given row produces bit-identical scores on
+every engine/run — required for the DuckDB oracle comparison and for
+reproducible top-k cuts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    """Left-fold double-precision dot product of two array columns."""
+    a, b = F.col(a) if isinstance(a, str) else a, F.col(b) if isinstance(b, str) else b
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def l2_norm(a: Column | str) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column | str, b: Column | str) -> Column:
+    """Cosine similarity (not distance): dot / (|a| * |b|)."""
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def l2_distance(a: Column | str, b: Column | str) -> Column:
+    """Euclidean distance (the reference's Chroma default metric)."""
+    a, b = F.col(a) if isinstance(a, str) else a, F.col(b) if isinstance(b, str) else b
+    diffs = F.zip_with(
+        a, b, lambda x, y: (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))
+    )
+    return F.sqrt(F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x))
+
+
+# DuckDB oracle fragments computing the *same* folds (generate_series is
+# inclusive like Spark's sequence; list indexing is 1-based in both).
+def duckdb_dot(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(generate_series(1, len({a})), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    )
+
+
+def duckdb_cosine(a: str, b: str) -> str:
+    return (
+        f"({duckdb_dot(a, b)} / "
+        f"(sqrt({duckdb_dot(a, a)}) * sqrt({duckdb_dot(b, b)})))"
+    )

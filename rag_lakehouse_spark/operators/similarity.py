@@ -1,0 +1,170 @@
+"""Similarity-search operators: exact brute-force k-NN (baseline) and
+the scale paths — LSH-bucketed and IVF (coarse-quantizer) approximate
+search over ``array<float>`` embedding columns.
+
+Replaces the reference's Chroma ``collection.query(query_embeddings,
+n_results=k)`` (reference src/api.py:38-42) with DataFrame plans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from rag_lakehouse_spark.functions.vector import cosine, dot, l2_distance
+
+
+def knn_exact(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "q_emb",
+    metric: str = "cosine",
+) -> DataFrame:
+    """Exact top-k similarity join: every query row against the full
+    corpus, ranked per query.
+
+    Scale: queries broadcast (they're the small side by construction);
+    scoring is codegen'd expression work streamed over corpus
+    partitions; the per-query rank window shuffles only on query_id and
+    WindowGroupLimit keeps k rows per partition pre-shuffle. Crossover:
+    when |queries|×|corpus| work exceeds budget, switch to
+    ``knn_lsh``/``knn_ivf``.
+    """
+    score = (
+        cosine(F.col(corpus_vec), F.col(query_vec))
+        if metric == "cosine"
+        else -l2_distance(F.col(corpus_vec), F.col(query_vec))
+    )
+    scored = corpus.crossJoin(F.broadcast(queries)).select(
+        F.col(query_id),
+        F.col(corpus_id).alias("neighbor_id"),
+        score.alias("score"),
+    )
+    w = W.partitionBy(query_id).orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def _random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random unit hyperplanes (pure python PRNG —
+    computed once on the driver, shipped as literals)."""
+    import math
+    import random
+
+    rng = random.Random(seed)
+    planes = []
+    for _ in range(n_planes):
+        v = [rng.gauss(0.0, 1.0) for _ in range(dim)]
+        n = math.sqrt(sum(x * x for x in v)) or 1.0
+        planes.append([x / n for x in v])
+    return planes
+
+
+def _srp_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Signed-random-projection bucket id: one bit per hyperplane."""
+    bucket = F.lit(0).cast("bigint")
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        bit = F.when(dot(vec, plane) >= 0, F.lit(1).cast("bigint")).otherwise(0)
+        bucket = bucket + F.shiftleft(bit, i)
+    return bucket
+
+
+def knn_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    dim: int = 64,
+    n_planes: int = 8,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "q_emb",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate k-NN via signed-random-projection LSH: bucket both
+    sides by hyperplane sign pattern, equi-join on the bucket, rank
+    within candidates.
+
+    Scale: turns the cross product into an equi-join on a 2^n_planes-ary
+    key — corpus scored per query shrinks ~2^n_planes×. Recall is
+    tunable (fewer planes → bigger buckets → higher recall/cost).
+    """
+    planes = _random_hyperplanes(dim, n_planes, seed)
+    c = corpus.withColumn("__bucket", _srp_bucket(F.col(corpus_vec), planes))
+    q = queries.withColumn("__bucket", _srp_bucket(F.col(query_vec), planes))
+    scored = c.join(F.broadcast(q), "__bucket").select(
+        F.col(query_id),
+        F.col(corpus_id).alias("neighbor_id"),
+        cosine(F.col(corpus_vec), F.col(query_vec)).alias("score"),
+    )
+    w = W.partitionBy(query_id).orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def knn_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "q_emb",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-flat approximate k-NN: assign corpus vectors to their nearest
+    of ``n_cells`` coarse centroids (sampled deterministically from the
+    corpus itself — k-means-- style single pass); queries probe their
+    ``n_probe`` nearest cells only.
+
+    Scale: the centroid table is tiny and broadcast twice; the corpus is
+    scanned once for assignment (cacheable/materializable as a bucketed
+    table so repeated queries skip it) and the search join touches
+    n_probe/n_cells of the data.
+    """
+    # Deterministic centroid sample: first vector of every (id % n_cells)
+    # stratum — cheap, reproducible, good enough for a coarse quantizer.
+    w_strat = W.partitionBy(F.col(corpus_id) % n_cells).orderBy(corpus_id)
+    centroids = (
+        corpus.withColumn("__rn", F.row_number().over(w_strat))
+        .filter(F.col("__rn") == 1)
+        .select(
+            (F.col(corpus_id) % n_cells).alias("cell_id"),
+            F.col(corpus_vec).alias("centroid"),
+        )
+    )
+    cent_b = F.broadcast(centroids)
+
+    # Assign corpus rows to nearest centroid (argmin over broadcast cells).
+    assign_w = W.partitionBy(corpus_id).orderBy(F.desc("__sim"), F.asc("cell_id"))
+    assigned = (
+        corpus.crossJoin(cent_b)
+        .withColumn("__sim", cosine(F.col(corpus_vec), F.col("centroid")))
+        .withColumn("__r", F.row_number().over(assign_w))
+        .filter(F.col("__r") == 1)
+        .select(corpus_id, corpus_vec, "cell_id")
+    )
+
+    # Queries probe their n_probe nearest cells.
+    probe_w = W.partitionBy(query_id).orderBy(F.desc("__sim"), F.asc("cell_id"))
+    probes = (
+        queries.crossJoin(cent_b)
+        .withColumn("__sim", cosine(F.col(query_vec), F.col("centroid")))
+        .withColumn("__r", F.row_number().over(probe_w))
+        .filter(F.col("__r") <= n_probe)
+        .select(query_id, query_vec, "cell_id")
+    )
+
+    scored = assigned.join(F.broadcast(probes), "cell_id").select(
+        F.col(query_id),
+        F.col(corpus_id).alias("neighbor_id"),
+        cosine(F.col(corpus_vec), F.col(query_vec)).alias("score"),
+    )
+    w = W.partitionBy(query_id).orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

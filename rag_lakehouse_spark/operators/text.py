@@ -1,0 +1,98 @@
+"""Text-analysis operators as reusable DataFrame transforms — the
+library form of the plans in plans.text_queries (those stay inline so
+their oracle SQL sits next to the Spark plan; these are the composable
+API surface).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from rag_lakehouse_spark.functions import text as TX
+
+
+def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append n_tokens / stopword_ratio / avg_token_len."""
+    tok = TX.tokens(text_col)
+    n_tok = F.size(tok)
+    return df.withColumns(
+        {
+            "n_tokens": n_tok,
+            "stopword_ratio": TX.stopword_count(tok).cast("double") / n_tok,
+            "avg_token_len": F.aggregate(tok, F.lit(0), lambda a, t: a + F.length(t)).cast(
+                "double"
+            )
+            / n_tok,
+        }
+    )
+
+
+def with_quality_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    min_chars: int = 100,
+    max_chars: int = 20000,
+    max_punct_ratio: float = 0.1,
+    max_digit_ratio: float = 0.3,
+) -> DataFrame:
+    """Append C4/Gopher-style quality ratios + a pass/fail gate."""
+    n = F.length(text_col).cast("double")
+    punct = F.length(F.regexp_replace(text_col, "[^.,!?;:]", "")).cast("double") / n
+    digit = F.length(F.regexp_replace(text_col, "[^0-9]", "")).cast("double") / n
+    return df.withColumns(
+        {
+            "punct_ratio": punct,
+            "digit_ratio": digit,
+            "passes_quality": F.length(text_col).between(min_chars, max_chars)
+            & (punct < max_punct_ratio)
+            & (digit < max_digit_ratio),
+        }
+    )
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append the md5-of-normalized-text exact-dedup key."""
+    return df.withColumn("fingerprint", TX.fingerprint(text_col))
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one row per distinct normalized content (smallest id wins).
+
+    Scale: joins the tiny (fingerprint → canonical id) map back instead
+    of shuffling full rows through a window over text."""
+    keyed = with_fingerprint(df, text_col)
+    canon = keyed.groupBy("fingerprint").agg(F.min(id_col).alias("__keep_id"))
+    return (
+        keyed.join(canon, "fingerprint")
+        .filter(F.col(id_col) == F.col("__keep_id"))
+        .drop("__keep_id", "fingerprint")
+    )
+
+
+def predict_lang(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append marker-stopword language prediction (pred_lang)."""
+    tok = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+
+    def _marker_filter(markers: tuple[str, ...]):
+        # factory keeps the lambda at arity 1 (a default arg would make
+        # Spark bind the element index to the second parameter)
+        return lambda t: t.isin(*markers)
+
+    scores = {
+        lang: F.size(F.filter(tok, _marker_filter(markers)))
+        for lang, markers in TX.LANG_MARKERS.items()
+        if lang != "zh"
+    }
+    pred = (
+        F.when(
+            (scores["en"] >= scores["de"])
+            & (scores["en"] >= scores["fr"])
+            & (scores["en"] >= scores["es"]),
+            "en",
+        )
+        .when((scores["de"] >= scores["fr"]) & (scores["de"] >= scores["es"]), "de")
+        .when(scores["fr"] >= scores["es"], "fr")
+        .otherwise("es")
+    )
+    return df.withColumn("pred_lang", pred)

@@ -1,0 +1,201 @@
+"""Event-stream operators, batch-checkable subset (SURVEY.md §2.10).
+
+The reference pipeline is batch-only (manually triggered DAG,
+reference dags/books_scraping_dag.py:31); the engine adds the
+event-time surface a stream table needs: tumbling windows,
+sessionization, event dedup, JSON prop extraction. Each query here has
+exact batch semantics (DuckDB-oracle-able); the Structured Streaming
+wrappers over the same logic live in ``rag_lakehouse_spark.streaming``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from rag_lakehouse_spark.plans.registry import register
+from rag_lakehouse_spark.sources.tables import load_table
+
+
+@register(
+    "events_tumbling_hourly",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("events", "window-agg"),
+)
+def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregation (batch form of the streaming
+    ``window(ts, '1 hour')`` group — same buckets, expressed as
+    date_trunc so the oracle aligns).
+
+    Scale: two-phase hash agg; shuffles only (hour, type) partials.
+    """
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total_value"),
+        )
+    )
+
+
+@register(
+    "events_sessionize",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, event_id, ts,
+             date_diff('second',
+                       LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                       ts) AS gap_s
+      FROM events
+    ),
+    marked AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN gap_s IS NULL OR gap_s > 1800 THEN 1 ELSE 0 END AS is_new
+      FROM gaps
+    ),
+    sessions AS (
+      SELECT user_id, event_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+      FROM marked
+    )
+    SELECT user_id, session_no,
+           COUNT(*) AS n_events,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           date_diff('second', MIN(ts), MAX(ts)) AS duration_s
+    FROM sessions
+    GROUP BY user_id, session_no
+    """,
+    tags=("events", "session", "window"),
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (30-min inactivity gap): lag → gap flag → running
+    sum as session id → per-session rollup.
+
+    This is the batch equivalent of streaming ``session_window(ts,
+    '30 minutes')``. Scale: a single shuffle on user_id serves both
+    window passes and the final agg (same partitioning reused).
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    marked = e.withColumn(
+        "is_new", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    )
+    sessions = marked.withColumn(
+        "session_no",
+        F.sum("is_new").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    return sessions.groupBy("user_id", "session_no").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))).alias("duration_s"),
+    )
+
+
+@register(
+    "events_json_props",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
+             / COUNT(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS avg_k,
+           MAX(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("events", "json"),
+)
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: JSON string column → typed field →
+    aggregate. ``get_json_object`` stays JVM-side (no UDF); integer sum
+    is exact so the avg divides identically in both engines."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").try_cast("bigint")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum("k").cast("double") / F.count("k")).alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+@register(
+    "events_dedup_first",
+    oracle="""
+    SELECT user_id, event_type, event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS first_ts
+    FROM (
+      SELECT user_id, event_type, event_id, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rn
+      FROM events) t
+    WHERE rn = 1
+    """,
+    tags=("events", "dedup"),
+)
+def events_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed dedup keeping the earliest record — deterministic
+    ``dropDuplicates(["user_id","event_type"])`` (dropDuplicates itself
+    keeps an arbitrary row; a window makes the choice reproducible).
+    Batch form of streaming ``dropDuplicatesWithinWatermark``."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
+        )
+    )
+
+
+@register(
+    "events_user_activity",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT event_type) AS n_types,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchases,
+           CAST(SUM(CAST(value AS DECIMAL(12,2)))
+                FILTER (WHERE event_type = 'purchase') AS DOUBLE) AS purchase_value,
+           date_diff('second', MIN(ts), MAX(ts)) AS active_span_s
+    FROM events
+    GROUP BY user_id
+    """,
+    tags=("events", "agg"),
+)
+def events_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user activity profile with conditional (FILTER) aggregates."""
+    e = load_table(spark, sf_dir, "events")
+    is_purchase = F.col("event_type") == "purchase"
+    return e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.count(F.when(is_purchase, 1)).alias("n_purchases"),
+        F.sum(F.when(is_purchase, F.col("value").cast("decimal(12,2)")))
+        .cast("double")
+        .alias("purchase_value"),
+        (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))).alias("active_span_s"),
+    )

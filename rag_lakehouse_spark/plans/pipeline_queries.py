@@ -1,0 +1,140 @@
+"""RAG-pipeline parity queries: chunk expansion and retrieval-context
+assembly — the reference's embed + serve path re-expressed as
+DataFrame plans (reference jobs/embedder.py:61-87 and src/api.py:32-46),
+plus rows-only registrations for the probabilistic dedup operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from rag_lakehouse_spark.functions import vector as VEC
+from rag_lakehouse_spark.operators.chunking import chunk_fixed
+from rag_lakehouse_spark.operators.dedup import minhash_lsh_pairs, simhash_docs
+from rag_lakehouse_spark.plans.registry import register
+from rag_lakehouse_spark.sources.tables import load_table
+
+
+@register(
+    "chunk_fixed_docs",
+    oracle="""
+    SELECT doc_id,
+           unnest(generate_series(0, (greatest(length(text),1)-1)//200)) + 1
+             AS chunk_number,
+           'doc_' || doc_id || '_chunk_' ||
+             unnest(generate_series(0, (greatest(length(text),1)-1)//200))
+             AS chunk_id,
+           unnest(list_transform(
+               generate_series(0, (greatest(length(text),1)-1)//200),
+               i -> substring(text, i*200+1, 200)))
+             AS chunk_text
+    FROM documents
+    """,
+    tags=("chunk", "explode"),
+)
+def chunk_fixed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-size (200-char) chunk expansion: 1 doc → N
+    chunk rows with ``chunk_number`` (1-based) and the reference's
+    ``{id}_chunk_{i}`` id scheme (reference jobs/embedder.py:83).
+
+    Scale: pure flatMap (explode) — no shuffle; chunking 100 TB is a
+    map-only job. The semantic chunker variant is operators.chunking.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return chunk_fixed(d, text_col="text", id_col="doc_id", size=200, id_prefix="doc")
+
+
+@register(
+    "rag_retrieve_context",
+    oracle=f"""
+    WITH scored AS (
+      SELECT b.vec_id,
+             {VEC.duckdb_cosine('a.embedding', 'b.embedding')} AS score
+      FROM embeddings a, embeddings b
+      WHERE a.vec_id = 0 AND b.vec_id <> 0
+    ),
+    ranked AS (
+      SELECT vec_id, score,
+             ROW_NUMBER() OVER (ORDER BY score DESC, vec_id) AS rank
+      FROM scored
+    )
+    SELECT 0 AS query_id,
+           COUNT(*) AS n_docs,
+           string_agg(d.text, '
+
+---
+
+' ORDER BY r.rank) AS context,
+           arg_min(d.source, r.rank) AS top_source
+    FROM ranked r
+    JOIN documents d ON d.doc_id = r.vec_id
+    WHERE r.rank <= 3
+    """,
+    tags=("rag", "retrieval", "flagship"),
+)
+def rag_retrieve_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end retrieval read path: embed-side k-NN (k=3) → join back
+    to the document table → context assembly with the reference's
+    separator → top-1 source attribution. Mirrors reference
+    src/api.py:38-46 ('\\n\\n---\\n\\n'.join + metadatas[0]) minus the
+    external LLM call (kept out of the query path by design).
+
+    Scale: query vector broadcasts; the doc join is id-equi (shuffle on
+    3 ids after the rank filter — effectively free); context assembly
+    is a 3-row aggregate.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    d = load_table(spark, sf_dir, "documents")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    ranked = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", VEC.cosine("embedding", "q_emb").alias("score"))
+        .withColumn("rank", F.row_number().over(W.orderBy(F.desc("score"), F.asc("vec_id"))))
+        .filter(F.col("rank") <= 3)
+    )
+    joined = ranked.join(d, ranked.vec_id == d.doc_id)
+    return joined.agg(
+        F.lit(0).alias("query_id"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rank", "text"))), lambda x: x["text"]
+            ),
+            "\n\n---\n\n",
+        ).alias("context"),
+        F.min_by("source", "rank").alias("top_source"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Probabilistic dedup — rows-only checks (not SQL-expressible: seeded
+# xxhash64 signatures have no DuckDB equivalent). Property-tested in
+# tests/test_dedup.py instead (SURVEY.md §5.2 golden/property strategy).
+# ---------------------------------------------------------------------------
+
+
+@register("dedup_minhash_lsh", oracle=None, tags=("dedup", "neardup", "minhash"))
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidate pairs (shingle → 64 minhashes →
+    16 bands × 4 rows → band-bucket equi-join), verified by exact
+    Jaccard ≥ 0.5 on the candidates only.
+
+    Scale: the LSH trick — candidate generation is an equi-join on
+    (band_idx, band_hash), so the quadratic cost shrinks to colliding
+    buckets; exact Jaccard runs only on candidates.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        d, text_col="text", id_col="doc_id", num_hashes=64, bands=16, threshold=0.5
+    )
+
+
+@register("dedup_simhash", oracle=None, tags=("dedup", "neardup", "simhash"))
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document (token-hash sign aggregation) —
+    near-dup key for hamming-distance blocking."""
+    d = load_table(spark, sf_dir, "documents")
+    return simhash_docs(d, text_col="text", id_col="doc_id")

@@ -1,0 +1,312 @@
+"""Text analysis + deduplication over the documents corpus — the
+LLM-training-data-pipeline surface (north-star extension of the
+reference's chunk/embed path, reference jobs/embedder.py:61-87).
+
+All exact variants are expression-only and oracle-checked; the
+probabilistic variants (MinHash-LSH, SimHash) live in
+``rag_lakehouse_spark.operators.dedup`` and are registered as
+rows-only queries in pipeline_queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rag_lakehouse_spark.functions import text as TX
+from rag_lakehouse_spark.plans.registry import register
+from rag_lakehouse_spark.sources.tables import load_table
+
+_STOP_LIST = ", ".join(f"'{w}'" for w in TX.STOPWORDS_EN)
+
+
+@register(
+    "text_token_stats",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, n_chars,
+             {TX.duckdb_tokens('text')} AS tok
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           len(tok) AS n_tokens,
+           n_chars,
+           CAST(len(list_filter(tok, t -> t IN ({_STOP_LIST}))) AS DOUBLE)
+             / len(tok) AS stopword_ratio,
+           CAST(list_sum(list_transform(tok, t -> length(t))) AS DOUBLE)
+             / len(tok) AS avg_token_len
+    FROM toks
+    """,
+    tags=("text", "tokenize"),
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + stopword ratio + mean token length per document.
+
+    Scale: embarrassingly parallel map over the corpus — no shuffle at
+    all; the array ops are codegen'd, no Python.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = TX.tokens("text")
+    n_tok = F.size(tok)
+    return d.select(
+        "doc_id",
+        "lang",
+        n_tok.alias("n_tokens"),
+        "n_chars",
+        (TX.stopword_count(tok).cast("double") / n_tok).alias("stopword_ratio"),
+        (
+            F.aggregate(tok, F.lit(0), lambda acc, t: acc + F.length(t)).cast("double") / n_tok
+        ).alias("avg_token_len"),
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle="""
+    WITH feats AS (
+      SELECT doc_id,
+             length(text) AS n,
+             length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS n_punct,
+             length(regexp_replace(text, '[^A-Z]', '', 'g')) AS n_upper,
+             length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_punct AS DOUBLE) / n AS punct_ratio,
+           CAST(n_upper AS DOUBLE) / n AS upper_ratio,
+           CAST(n_digit AS DOUBLE) / n AS digit_ratio,
+           (n BETWEEN 100 AND 20000)
+             AND (CAST(n_punct AS DOUBLE) / n < 0.1)
+             AND (CAST(n_digit AS DOUBLE) / n < 0.3) AS passes_quality
+    FROM feats
+    """,
+    tags=("text", "quality"),
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document-quality gate (C4/Gopher-style ratio rules):
+    punctuation / uppercase / digit density + length band."""
+    d = load_table(spark, sf_dir, "documents")
+    n = F.length("text").cast("double")
+    n_punct = F.length(F.regexp_replace("text", "[^.,!?;:]", ""))
+    n_upper = F.length(F.regexp_replace("text", "[^A-Z]", ""))
+    n_digit = F.length(F.regexp_replace("text", "[^0-9]", ""))
+    punct_ratio = n_punct.cast("double") / n
+    digit_ratio = n_digit.cast("double") / n
+    return d.select(
+        "doc_id",
+        punct_ratio.alias("punct_ratio"),
+        (n_upper.cast("double") / n).alias("upper_ratio"),
+        digit_ratio.alias("digit_ratio"),
+        (
+            F.length("text").between(100, 20000) & (punct_ratio < 0.1) & (digit_ratio < 0.3)
+        ).alias("passes_quality"),
+    )
+
+
+def _lang_score_spark(toks, markers):
+    return F.size(F.filter(toks, lambda t: t.isin(*markers)))
+
+
+@register(
+    "text_lang_id",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang, regexp_split_to_array(trim(lower(text)), '\\s+') AS tok
+      FROM documents
+    ),
+    scores AS (
+      SELECT doc_id, lang,
+             len(list_filter(tok, t -> t IN ('the','and','of','to','is'))) AS s_en,
+             len(list_filter(tok, t -> t IN ('der','die','und','das','ist'))) AS s_de,
+             len(list_filter(tok, t -> t IN ('le','la','et','les','est'))) AS s_fr,
+             len(list_filter(tok, t -> t IN ('el','los','que','es','y'))) AS s_es
+      FROM toks
+    )
+    SELECT doc_id, lang AS labeled_lang,
+           CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+                WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+                WHEN s_fr >= s_es THEN 'fr'
+                ELSE 'es' END AS pred_lang,
+           s_en, s_de, s_fr, s_es
+    FROM scores
+    """,
+    tags=("text", "langid"),
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-stopword language ID (n-gram-heuristic family): score each
+    candidate language by marker-token hits, argmax with a fixed
+    priority order for ties. Pure map — no shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    scores = d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        _lang_score_spark(tok, TX.LANG_MARKERS["en"]).alias("s_en"),
+        _lang_score_spark(tok, TX.LANG_MARKERS["de"]).alias("s_de"),
+        _lang_score_spark(tok, TX.LANG_MARKERS["fr"]).alias("s_fr"),
+        _lang_score_spark(tok, TX.LANG_MARKERS["es"]).alias("s_es"),
+    )
+    return scores.select(
+        "doc_id",
+        "labeled_lang",
+        F.when(
+            (F.col("s_en") >= F.col("s_de"))
+            & (F.col("s_en") >= F.col("s_fr"))
+            & (F.col("s_en") >= F.col("s_es")),
+            "en",
+        )
+        .when((F.col("s_de") >= F.col("s_fr")) & (F.col("s_de") >= F.col("s_es")), "de")
+        .when(F.col("s_fr") >= F.col("s_es"), "fr")
+        .otherwise("es")
+        .alias("pred_lang"),
+        "s_en",
+        "s_de",
+        "s_fr",
+        "s_es",
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           {TX.duckdb_fingerprint('text')} AS fingerprint,
+           length({TX.duckdb_normalized('text')}) AS norm_len
+    FROM documents
+    """,
+    tags=("text", "fingerprint"),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content fingerprint (md5 of normalized text) —
+    the exact-dedup key; identical hex across engines."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TX.fingerprint("text").alias("fingerprint"),
+        F.length(TX.normalized("text")).alias("norm_len"),
+    )
+
+
+@register(
+    "dedup_exact_docs",
+    oracle=f"""
+    SELECT {TX.duckdb_fingerprint('text')} AS fingerprint,
+           MIN(doc_id) AS canonical_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+    tags=("dedup", "exact"),
+)
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact deduplication: hash-groupBy on the content fingerprint,
+    keep the smallest doc_id as canonical.
+
+    Scale: this is THE way to exact-dedup 100 TB — shuffle 32-byte
+    hashes + ids only (never text), two-phase agg. `dropDuplicates`
+    over the raw text column would shuffle the full corpus.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(TX.fingerprint("text").alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, unnest({TX.duckdb_char_shingles('text', 8)}) AS shingle
+      FROM documents
+    ),
+    sized AS (
+      SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+    ),
+    rare AS (  -- stop-shingle removal: drop shingles present in >100 docs
+      SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 100
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM sh a
+      JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      JOIN rare r ON a.shingle = r.shingle
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+    FROM pairs
+    JOIN sized sa ON sa.doc_id = doc_a
+    JOIN sized sb ON sb.doc_id = doc_b
+    WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+    """,
+    tags=("dedup", "neardup", "join"),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs by exact character-8-gram Jaccard ≥ 0.5,
+    via inverted-index candidate generation (explode shingles →
+    self-equi-join on shingle → count common → Jaccard).
+
+    Scale: this is the scalable exact-Jaccard pattern — the join is an
+    equi-join on the shingle value (shuffle, no cross product), and
+    stop-shingles (df > 100) are dropped to cap the quadratic blowup on
+    hot shingles, exactly like stopword removal in web-dedup pipelines.
+    The probabilistic cousin (MinHash-LSH) is in operators.dedup.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", F.explode(TX.char_shingles("text", 8)).alias("shingle")
+    )
+    sized = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    rare = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") <= 100)
+    sh_rare = sh.join(rare.select("shingle"), "shingle")
+    a = sh_rare.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sized.alias("sa")
+    sb = sized.alias("sb")
+    jac = F.col("n_common").cast("double") / (
+        F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_common")
+    )
+    return (
+        pairs.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.5)
+    )
+
+
+@register(
+    "docs_by_lang_source",
+    oracle="""
+    SELECT lang, source,
+           COUNT(*) AS n_docs,
+           SUM(n_chars) AS total_chars,
+           MIN(n_chars) AS min_chars,
+           MAX(n_chars) AS max_chars
+    FROM documents
+    GROUP BY lang, source
+    """,
+    tags=("text", "agg"),
+)
+def docs_by_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition rollup (integer aggregates — exact)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )

@@ -1,0 +1,159 @@
+"""Similarity search / vector operators over the embeddings table —
+the engine's replacement for the reference's ChromaDB k-NN retrieval
+(reference src/api.py:38-42: ``collection.query(query_embeddings,
+n_results=3)``), generalized to exact brute-force top-k, table×table
+similarity join, and threshold self-join (embedding near-dup).
+
+All scores are strict left-fold double expressions (functions.vector),
+so Spark and the DuckDB oracle compute bit-identical values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from rag_lakehouse_spark.functions import vector as VEC
+from rag_lakehouse_spark.plans.registry import register
+from rag_lakehouse_spark.sources.tables import load_table
+
+_COS_AB = VEC.duckdb_cosine("a.embedding", "b.embedding")
+
+
+@register(
+    "knn_topk_exact",
+    oracle=f"""
+    SELECT b.vec_id,
+           b.label,
+           {_COS_AB} AS score
+    FROM embeddings a, embeddings b
+    WHERE a.vec_id = 0 AND b.vec_id <> 0
+    ORDER BY score DESC, b.vec_id
+    LIMIT 10
+    """,
+    tags=("vector", "knn", "topk"),
+)
+def knn_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact k-NN: top-10 cosine neighbors of vector 0 (the reference's
+    ``n_results`` retrieval, k=10, minus the service round-trip).
+
+    Scale: the single query row broadcasts; score is a codegen'd
+    expression; ORDER BY+LIMIT is TakeOrderedAndProject (per-partition
+    top-k, no global sort). 100 TB path: same plan, or the IVF/LSH
+    variants in operators.similarity when latency matters.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    return (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            VEC.cosine("embedding", "q_emb").alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+@register(
+    "knn_similarity_join",
+    oracle=f"""
+    SELECT * FROM (
+      SELECT a.vec_id AS query_id,
+             b.vec_id AS neighbor_id,
+             {_COS_AB} AS score,
+             ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                ORDER BY {_COS_AB} DESC, b.vec_id) AS rank
+      FROM embeddings a, embeddings b
+      WHERE a.vec_id < 20 AND a.vec_id <> b.vec_id) t
+    WHERE rank <= 3
+    """,
+    tags=("vector", "similarity-join", "topk"),
+)
+def knn_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table×table similarity join: top-3 neighbors for each of 20 query
+    vectors (the reference's per-question retrieval, batched).
+
+    Scale: broadcast the (small) query side, stream the corpus side,
+    rank per query with a window — one shuffle on query_id sized by
+    |queries|×|corpus-partition top-k| after WindowGroupLimit prunes.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            VEC.cosine("embedding", "q_emb").alias("score"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 3)
+
+
+@register(
+    "embedding_near_pairs",
+    oracle=f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           {_COS_AB} AS score
+    FROM embeddings a, embeddings b
+    WHERE a.vec_id < b.vec_id AND a.label = b.label
+      AND {_COS_AB} >= 0.9
+    """,
+    tags=("vector", "neardup", "join"),
+)
+def embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (threshold self-join),
+    blocked by label to avoid the full cross product — the same
+    blocking idea LSH generalizes (operators.similarity has the
+    unblocked LSH variant for when no natural key exists)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.alias("a")
+    b = e.alias("b")
+    score = VEC.cosine(F.col("a.embedding"), F.col("b.embedding"))
+    return (
+        a.join(
+            b,
+            (F.col("a.vec_id") < F.col("b.vec_id")) & (F.col("a.label") == F.col("b.label")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            score.alias("score"),
+        )
+        .filter(F.col("score") >= 0.9)
+    )
+
+
+@register(
+    "embedding_label_stats",
+    oracle=f"""
+    SELECT label,
+           COUNT(*) AS n_vecs,
+           CAST(SUM(CAST(sqrt({VEC.duckdb_dot('embedding', 'embedding')})
+                         AS DECIMAL(18,9))) AS DOUBLE) AS total_norm,
+           CAST(SUM(CAST(sqrt({VEC.duckdb_dot('embedding', 'embedding')})
+                         AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS avg_norm
+    FROM embeddings
+    GROUP BY label
+    """,
+    tags=("vector", "agg"),
+)
+def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label vector stats. Each row's norm is a deterministic double
+    (identical fold both engines); norms go through DECIMAL before SUM
+    so the aggregate is order-independent."""
+    e = load_table(spark, sf_dir, "embeddings")
+    norm_dec = VEC.l2_norm("embedding").cast("decimal(18,9)")
+    return e.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum(norm_dec).cast("double").alias("total_norm"),
+        (F.sum(norm_dec).cast("double") / F.count(F.lit(1))).alias("avg_norm"),
+    )

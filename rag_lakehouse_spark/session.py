@@ -1,0 +1,62 @@
+"""SparkSession factory with scale-aware defaults.
+
+Local testing runs ``local[$SPARK_GRAFT_CPUS]`` (single JVM); the same
+config block is what we would ship to a 1000-executor cluster — only
+``master`` and the memory knobs change. Key choices:
+
+- AQE on (runtime coalescing, skew-join splitting, join-strategy
+  switching) — at 100 TB the static plan is always wrong somewhere.
+- ``spark.sql.ansi.enabled=false``: the silver contract of the
+  reference pipeline (jobs/silver_transformation.py:77-82) relies on
+  to-null cast semantics; Spark 4 defaults ANSI on, which would raise
+  instead. Library code still prefers ``try_cast`` for clarity.
+- Session timezone pinned UTC so timestamp semantics match the DuckDB
+  oracle and are cluster-location independent.
+- Shuffle partitions sized to cores locally; on a real cluster AQE
+  coalesces from a deliberately high initial number.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "rag_lakehouse_spark", **extra_conf: str) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = (
+        SparkSession.builder.master(os.environ.get("SPARK_MASTER", f"local[{cpus}]"))
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", os.environ.get("SPARK_SHUFFLE_PARTITIONS", "32"))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    )
+    for k, v in extra_conf.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def tune_session(spark: SparkSession) -> SparkSession:
+    """Apply the runtime-settable engine confs to an externally created
+    session (the driver harness builds its own SparkSession; static confs
+    like driver memory cannot change here, but SQL semantics can)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    except Exception:
+        pass  # conf may be static in some deployments; semantics confs above are what matter
+    return spark
