@@ -60,13 +60,29 @@ def duckdb_fingerprint(text: str) -> str:
 def char_shingles(text: Column | str, k: int = 8) -> Column:
     """Distinct character k-grams of the normalized text (1-based
     substring positions — identical semantics in Spark and DuckDB).
-    The unit set for MinHash / Jaccard near-dup detection."""
-    norm = normalized(text)
+    The unit set for MinHash / Jaccard near-dup detection.
+
+    PERF: only apply this to an already-materialized plain column (see
+    ``with_shingles``) — applied to a raw text column, the
+    normalization expression is inlined into the per-element lambda
+    and the regex re-runs once per shingle position (O(len²) regex)."""
+    norm = _c(text)
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(F.length(norm) - (k - 1), F.lit(0))),
         lambda i: F.substring(norm, i, F.lit(k)),
     )
     return F.array_distinct(grams)
+
+
+def with_shingles(df, text_col: str = "text", k: int = 8, out: str = "shingles"):
+    """Two-stage shingling: materialize the normalized string in its own
+    projection, then build the k-gram array over the materialized
+    attribute. The Project boundary stops Catalyst from inlining the
+    normalization regex into the (per-element) substring lambda —
+    turning O(len²) regex evaluations per document into O(1)."""
+    return df.withColumn("__norm", normalized(text_col)).withColumn(
+        out, char_shingles(F.col("__norm"), k)
+    ).drop("__norm")
 
 
 def duckdb_char_shingles(text: str, k: int = 8) -> str:

@@ -24,7 +24,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from rag_lakehouse_spark.functions.text import char_shingles
+from rag_lakehouse_spark.functions.text import with_shingles
+from rag_lakehouse_spark.functions.util import fan_out as _fan_out
 
 
 def minhash_signature(
@@ -40,24 +41,35 @@ def minhash_signature(
     Row-local (no shuffle): shingling and all `num_hashes` folds happen
     inside one projection; the shingle array is materialized once.
     """
-    sh = char_shingles(F.col(text_col), shingle_k)
+    # One base xxhash64 per shingle, then num_hashes affine transforms
+    # (a_i * h + b_i with 64-bit wraparound) — the "one permutation"
+    # minwise family. All plain arithmetic → whole-stage codegen, vs.
+    # num_hashes interpreted higher-order folds over the shingle array
+    # (~10× slower). Aggregation is groupBy(min×64): partial map-side
+    # combine means the shuffle carries docs×64 longs, not shingles.
+    rng_a = [(2 * i + 1) * 0x9E3779B97F4A7C15 & (2**64 - 1) for i in range(num_hashes)]
+    rng_b = [(i * 0xC2B2AE3D27D4EB4F + 0x165667B19E3779F9) & (2**64 - 1) for i in range(num_hashes)]
 
-    def _seeded(seed: int):
-        # single-arg lambda via factory: a default-arg lambda would have
-        # arity 2 and Spark would bind the element index to it
-        return lambda s: F.xxhash64(s, F.lit(seed))
+    def _to_i64(v: int) -> int:
+        return v - 2**64 if v >= 2**63 else v
 
-    sig = F.array(
+    exploded = (
+        with_shingles(_fan_out(df), text_col, shingle_k, out="__shingles")
+        .select(F.col(id_col), F.explode("__shingles").alias("__sh"))
+        .withColumn("__h", F.xxhash64("__sh"))
+    )
+    mins = exploded.groupBy(id_col).agg(
         *[
-            F.array_min(F.transform(F.col("__shingles"), _seeded(i)))
+            F.min(
+                F.col("__h") * F.lit(_to_i64(rng_a[i])) + F.lit(_to_i64(rng_b[i]))
+            ).alias(f"__m{i}")
             for i in range(num_hashes)
         ]
     )
-    return (
-        df.withColumn("__shingles", sh)
-        .withColumn("signature", sig)
-        .drop("__shingles")
+    sig_df = mins.select(
+        F.col(id_col), F.array(*[F.col(f"__m{i}") for i in range(num_hashes)]).alias("signature")
     )
+    return df.join(sig_df, id_col)
 
 
 def lsh_candidate_pairs(
@@ -113,9 +125,7 @@ def minhash_lsh_pairs(
     """
     sigs = minhash_signature(df, text_col, id_col, num_hashes, shingle_k)
     cands = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
-    sh = df.select(
-        F.col(id_col), char_shingles(F.col(text_col), shingle_k).alias("shingles")
-    )
+    sh = with_shingles(_fan_out(df), text_col, shingle_k).select(F.col(id_col), "shingles")
     a = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
     joined = cands.join(a, "id_a").join(b, "id_b")
@@ -143,6 +153,7 @@ def simhash_docs(
     Near-dups differ in few bits → block/join on rotated prefixes or
     compare via ``bit_count(sh_a ^ sh_b)`` (hamming) on candidates.
     """
+    df = _fan_out(df)
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
 

@@ -257,9 +257,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     hot shingles, exactly like stopword removal in web-dedup pipelines.
     The probabilistic cousin (MinHash-LSH) is in operators.dedup.
     """
+    from rag_lakehouse_spark.functions.util import fan_out
+
     d = load_table(spark, sf_dir, "documents")
-    sh = d.select(
-        "doc_id", F.explode(TX.char_shingles("text", 8)).alias("shingle")
+    sh = TX.with_shingles(fan_out(d), "text", 8).select(
+        "doc_id", F.explode("shingles").alias("shingle")
     )
     sized = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     rare = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") <= 100)
