@@ -1,3 +1,10 @@
-from rag_lakehouse_spark.operators import chunking, dedup, similarity, text
+from rag_lakehouse_spark.operators import (
+    chunking,
+    dedup,
+    embedding,
+    multimodal,
+    similarity,
+    text,
+)
 
-__all__ = ["chunking", "dedup", "similarity", "text"]
+__all__ = ["chunking", "dedup", "embedding", "multimodal", "similarity", "text"]

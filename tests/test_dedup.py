@@ -1,0 +1,76 @@
+"""Property tests for the probabilistic dedup operators (SURVEY.md §5.2
+golden/property strategy: exact duplicates must be found, jaccard of a
+doc with itself is 1, signatures are deterministic)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rag_lakehouse_spark.operators.dedup import (
+    minhash_lsh_pairs,
+    minhash_signature,
+    simhash_docs,
+    simhash_near_pairs,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"
+    near = base.replace("tonight", "today")  # one-token edit → near-dup
+    other = "completely different content about spark dataframes and shuffle partitioning at scale"
+    rows = [
+        (1, base),
+        (2, base),          # exact duplicate of 1
+        (3, near),          # near duplicate of 1
+        (4, other),
+        (5, other + " with an extra tail of tokens appended here"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_signature_deterministic_and_sized(docs):
+    a = minhash_signature(docs, num_hashes=32).select("doc_id", "signature").collect()
+    b = minhash_signature(docs, num_hashes=32).select("doc_id", "signature").collect()
+    assert {r.doc_id: r.signature for r in a} == {r.doc_id: r.signature for r in b}
+    assert all(len(r.signature) == 32 for r in a)
+    sig = {r.doc_id: r.signature for r in a}
+    assert sig[1] == sig[2]  # identical text → identical signature
+    assert sig[1] != sig[4]
+
+
+def test_minhash_lsh_finds_exact_and_near_pairs(docs):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_lsh_pairs(docs, threshold=0.3).collect()
+    }
+    assert pairs[(1, 2)] == pytest.approx(1.0)  # exact dup → jaccard 1
+    assert (1, 3) in pairs and pairs[(1, 3)] > 0.5  # near dup found
+    assert (1, 4) not in pairs  # unrelated not paired
+
+
+def test_simhash_identity_and_distance(docs):
+    sh = {r.doc_id: r.simhash for r in simhash_docs(docs).collect()}
+    assert sh[1] == sh[2]
+    ham_near = bin((sh[1] ^ sh[3]) & (2**64 - 1)).count("1")
+    ham_far = bin((sh[1] ^ sh[4]) & (2**64 - 1)).count("1")
+    assert ham_near < ham_far
+
+
+def test_simhash_near_pairs(docs):
+    pairs = {(r.id_a, r.id_b) for r in simhash_near_pairs(docs, max_hamming=8).collect()}
+    assert (1, 2) in pairs
+    assert (1, 4) not in pairs
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    from rag_lakehouse_spark.operators.text import exact_dedup
+
+    df = spark.createDataFrame(
+        [(10, "Same   Text!"), (3, "same text"), (7, "unique content")],
+        "doc_id long, text string",
+    )
+    kept = sorted(r.doc_id for r in exact_dedup(df).collect())
+    # normalization folds case/punct/whitespace → 10 and 3 collide, 3 wins
+    assert kept == [3, 7]

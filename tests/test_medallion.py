@@ -1,0 +1,101 @@
+"""Pipeline-parity test (SURVEY.md §5.2): replay the reference's
+bronze→silver semantics on a synthetic raw_books fixture (FIXTURES.md
+§1-3) and assert the exact declared silver schema and derivations."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from rag_lakehouse_spark.sources.medallion import (
+    SILVER_SCHEMA,
+    bronze_transform,
+    read_raw_json,
+    run_pipeline,
+    silver_transform,
+)
+
+RAW_BOOKS = [
+    {
+        "title_xpath": "A Light in the Attic",
+        "price_xpath": "£51.77",
+        "availability_xpaths": "In stock (22 available)",
+        "description_xpaths": "A classic collection.",
+        "category_xpath": "Poetry",
+        "review_count_xpath": "12",
+        "book_url": "https://example.test/a-light-in-the-attic/index.html",
+        "id": "b1",
+        "scraped_at": "2026-08-13 10:15:42",
+    },
+    {
+        # ragged record: no description / category / review_count keys
+        "title_xpath": "Mystery Book",
+        "price_xpath": "£10.00",
+        "availability_xpaths": "Out of stock",
+        "book_url": "https://example.test/mystery/index.html",
+        "id": "b2",
+        "scraped_at": "2026-08-14 08:00:00",
+    },
+]
+
+
+@pytest.fixture(scope="module")
+def raw_df(spark, tmp_path_factory):
+    raw_dir = tmp_path_factory.mktemp("raw")
+    for i, rec in enumerate(RAW_BOOKS):
+        (raw_dir / f"{i}.json").write_text(json.dumps(rec))
+    return read_raw_json(spark, str(raw_dir))
+
+
+def test_bronze_rename_contract(raw_df):
+    bronze = bronze_transform(raw_df)
+    assert "title" in bronze.columns and "title_xpath" not in bronze.columns
+    assert "price" in bronze.columns and "availability" in bronze.columns
+    # passthrough columns intact
+    assert {"book_url", "id", "scraped_at"} <= set(bronze.columns)
+
+
+def test_bronze_tolerates_missing_columns(spark):
+    partial = spark.createDataFrame([("t", "x1")], "title_xpath string, id string")
+    out = bronze_transform(partial)
+    assert out.columns == ["title", "id"]
+
+
+def test_silver_schema_and_derivations(raw_df):
+    silver = silver_transform(bronze_transform(raw_df), run_id="run-1")
+    # exact declared schema, declared order
+    assert silver.columns == list(SILVER_SCHEMA)
+    types = dict(silver.dtypes)
+    assert types["price"] == "double" and types["quantity"] == "int"
+    rows = {r.id: r for r in silver.collect()}
+
+    b1 = rows["b1"]
+    assert b1.run_id == "run-1"
+    assert b1.run_date == "2026-08-13"
+    assert b1.price == pytest.approx(51.77)
+    assert b1.price_text == "£51.77"
+    assert b1.currency_symbol == "£"
+    assert b1.quantity == 22
+    assert b1.stock_status == "In stock "
+    assert b1.review_count == 12
+
+    b2 = rows["b2"]
+    assert b2.quantity == 0            # no parens → null → repaired to 0
+    assert b2.stock_status == "Out of stock"
+    assert b2.description is None and b2.category is None
+    assert b2.review_count is None
+
+
+def test_full_pipeline_partitioned_write(spark, raw_df, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("lake"))
+    raw_path = raw_df  # already a DataFrame; write a JSON zone for the pipeline
+    raw_dir = tmp_path_factory.mktemp("rawzone")
+    for i, rec in enumerate(RAW_BOOKS):
+        (raw_dir / f"{i}.json").write_text(json.dumps(rec))
+    silver = run_pipeline(spark, str(raw_dir), base, run_id="run-9")
+    assert silver.count() == 2
+    # partition pruning works on the written layout
+    pruned = silver.filter(F.col("run_date") == "2026-08-13")
+    assert pruned.count() == 1

@@ -1,0 +1,102 @@
+"""Embedding, multimodal, and text-operator unit coverage."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from rag_lakehouse_spark.operators.embedding import pseudo_embed_texts, pseudo_embed_udf
+from rag_lakehouse_spark.operators.multimodal import (
+    MEDIA_SCHEMA,
+    frame_sample_plan,
+    image_features,
+    media_embed,
+)
+from rag_lakehouse_spark.operators.text import predict_lang, with_quality_flags, with_token_stats
+
+
+def _tiny_png(w: int, h: int) -> bytes:
+    ihdr = struct.pack(">II", w, h) + b"\x08\x02\x00\x00\x00"
+    chunk = b"IHDR" + ihdr
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", len(ihdr))
+        + chunk
+        + struct.pack(">I", zlib.crc32(chunk) & 0xFFFFFFFF)
+    )
+
+
+def test_pseudo_embed_deterministic_unit():
+    a = pseudo_embed_texts(["hello", "world", ""])
+    b = pseudo_embed_texts(["hello", "world", ""])
+    assert np.allclose(a, b)
+    assert np.allclose(np.linalg.norm(a, axis=1), 1.0, atol=1e-5)
+    assert not np.allclose(a[0], a[1])
+
+
+def test_pseudo_embed_udf_matches_local(spark):
+    df = spark.createDataFrame([(1, "hello"), (2, "world")], "id long, text string")
+    rows = df.select("id", pseudo_embed_udf()(F.col("text")).alias("e")).collect()
+    local = pseudo_embed_texts(["hello", "world"])
+    by_id = {r.id: np.array(r.e) for r in rows}
+    assert np.allclose(by_id[1], local[0], atol=1e-6)
+    assert np.allclose(by_id[2], local[1], atol=1e-6)
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [
+        (1, "image", bytearray(_tiny_png(64, 48)), "image/png", ("srcA", 100)),
+        (2, "image", bytearray(b"\xff\xd8\xff notajpeg"), "image/jpeg", ("srcB", 10)),
+        (3, "video", bytearray(b"\x00" * 4096), "video/mp4", ("srcC", 4096)),
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def test_image_features_stub_decode(media):
+    feats = {r.media_id: r for r in image_features(media).collect()}
+    assert (feats[1].width, feats[1].height) == (64, 48)   # PNG header parsed
+    assert feats[2].width is None                           # non-PNG → stub NotImplemented → nulls
+    assert all(f.sha1 for f in feats.values())
+
+
+def test_media_embed_shape(media):
+    rows = media_embed(media, dim=16).collect()
+    assert all(len(r.embedding) == 16 for r in rows)
+    norms = [float(np.linalg.norm(r.embedding)) for r in rows]
+    assert all(abs(n - 1.0) < 1e-4 for n in norms)
+
+
+def test_frame_sample_plan(media):
+    frames = frame_sample_plan(media.filter(F.col("kind") == "video"), every_n=2, max_frames=3)
+    idx = sorted(r.frame_index for r in frames.collect())
+    assert idx and idx[0] == 0 and all(i % 2 == 0 for i in idx)
+
+
+def test_token_stats_and_quality(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "x " * 200)], "doc_id long, text string"
+    )
+    stats = {r.doc_id: r for r in with_token_stats(df).collect()}
+    assert stats[1].n_tokens == 6
+    assert stats[1].stopword_ratio == pytest.approx(3 / 6)  # the, on, the
+    flags = {r.doc_id: r for r in with_quality_flags(df).collect()}
+    assert flags[1].passes_quality is False  # too short (< 100 chars)
+    assert flags[2].passes_quality is True
+
+
+def test_predict_lang_markers(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the house of the king is full of gold and it is old"),
+            (2, "der hund und die katze das ist gut und der tag ist lang"),
+            (3, "le chat et la maison les arbres est grand et le ciel"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.pred_lang for r in predict_lang(df).collect()}
+    assert out == {1: "en", 2: "de", 3: "fr"}
