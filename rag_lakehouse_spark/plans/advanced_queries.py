@@ -1,0 +1,266 @@
+"""Advanced operator coverage: as-of join, unpivot, grouping sets,
+exact percentiles, range-frame windows, correlated subqueries, array
+functions, and the vectorized/approximate operators (rows-only).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from rag_lakehouse_spark.operators.asof import asof_join_backward
+from rag_lakehouse_spark.plans.registry import register
+from rag_lakehouse_spark.sources.tables import load_table, register_views
+
+
+@register(
+    "events_asof_purchase",
+    oracle="""
+    WITH clicks AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    purch AS (
+      SELECT event_id AS p_event_id, user_id, ts, value FROM events
+      WHERE event_type = 'purchase'
+    )
+    SELECT clicks.event_id,
+           clicks.user_id,
+           strftime(clicks.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+           purch.p_event_id AS prev_purchase_id,
+           purch.value AS prev_purchase_value
+    FROM clicks ASOF LEFT JOIN purch
+      ON clicks.user_id = purch.user_id AND purch.ts <= clicks.ts
+    """,
+    tags=("asof", "join", "events"),
+)
+def events_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each click is annotated with the user's most
+    recent prior purchase (operator Spark lacks natively —
+    operators.asof union+window implementation; oracled against
+    DuckDB's native ASOF JOIN)."""
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purch = (
+        e.filter(F.col("event_type") == "purchase")
+        .select(F.col("event_id").alias("p_event_id"), "user_id", "ts", "value")
+    )
+    joined = asof_join_backward(
+        clicks, purch, by="user_id", payload_cols=("p_event_id", "value")
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        F.col("right_p_event_id").alias("prev_purchase_id"),
+        F.col("right_value").alias("prev_purchase_value"),
+    )
+
+
+@register(
+    "unpivot_part_metrics",
+    oracle="""
+    SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS metric_value
+    FROM part WHERE p_partkey < 500
+    UNION ALL
+    SELECT p_partkey, 'retailprice' AS metric, p_retailprice AS metric_value
+    FROM part WHERE p_partkey < 500
+    """,
+    tags=("unpivot",),
+)
+def unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide → long) via the built-in melt/unpivot operator —
+    a Generate, no shuffle."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") < 500)
+    return p.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("size"),
+        F.col("p_retailprice").alias("retailprice"),
+    ).unpivot("p_partkey", ["size", "retailprice"], "metric", "metric_value")
+
+
+@register(
+    "grouping_sets_revenue",
+    oracle="""
+    SELECT o_orderstatus, year(o_orderdate) AS order_year,
+           GROUPING(o_orderstatus, year(o_orderdate)) AS grp_id,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (year(o_orderdate)), ())
+    """,
+    tags=("agg", "grouping-sets"),
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with grouping_id — the general form of
+    rollup/cube (SQL API; one Expand, one shuffle)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderstatus, year(o_orderdate) AS order_year,
+               grouping_id(o_orderstatus, year(o_orderdate)) AS grp_id,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (year(o_orderdate)), ())
+        """
+    )
+
+
+@register(
+    "exact_percentiles_by_type",
+    oracle="""
+    SELECT event_type,
+           quantile_cont(value, 0.25) AS p25,
+           quantile_cont(value, 0.5) AS p50,
+           quantile_cont(value, 0.75) AS p75,
+           MIN(value) AS v_min,
+           MAX(value) AS v_max
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("agg", "percentile"),
+)
+def exact_percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles (Spark ``percentile`` ==
+    DuckDB ``quantile_cont``). The approximate cousin
+    (percentile_approx/KLL) is in approx_distinct_stats (rows-only:
+    sketch internals differ across engines by design)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.percentile("value", 0.25).alias("p25"),
+        F.percentile("value", 0.5).alias("p50"),
+        F.percentile("value", 0.75).alias("p75"),
+        F.min("value").alias("v_min"),
+        F.max("value").alias("v_max"),
+    )
+
+
+@register(
+    "window_range_frame_spend",
+    oracle="""
+    SELECT o_custkey, o_orderkey, day_no,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+                PARTITION BY o_custkey ORDER BY day_no
+                RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS spend_30d
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS day_no
+      FROM orders WHERE o_custkey < 200
+    ) t
+    """,
+    tags=("window", "range-frame"),
+)
+def window_range_frame_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame (value-based window): trailing-30-day spend per
+    customer. Time is projected to an integer day number so the frame
+    is a numeric range — the portable form of interval range frames."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200)
+    day_no = F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date"))
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("day_no")
+        .rangeBetween(-30, W.currentRow)
+    )
+    return o.withColumn("day_no", day_no).select(
+        "o_custkey",
+        "o_orderkey",
+        "day_no",
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+        .over(w)
+        .cast("double")
+        .alias("spend_30d"),
+    )
+
+
+@register(
+    "subquery_above_avg_orders",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+    FROM orders o
+    WHERE o.o_totalprice > (
+        SELECT 2 * CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                 / COUNT(*)
+        FROM orders o2 WHERE o2.o_custkey = o.o_custkey
+    )
+    """,
+    tags=("subquery",),
+)
+def subquery_above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery: orders worth more than 2× the
+    customer's own average. Catalyst decorrelates this into an
+    aggregate + join — same plan the hand-written join would give."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+        FROM orders o
+        WHERE o.o_totalprice > (
+            SELECT 2 * CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                     / COUNT(*)
+            FROM orders o2 WHERE o2.o_custkey = o.o_custkey
+        )
+        """
+    )
+
+
+@register(
+    "array_funcs_tokens",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_sort(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS tok
+      FROM documents WHERE doc_id < 100
+    )
+    SELECT doc_id,
+           len(tok) AS n_distinct_tokens,
+           array_to_string(tok[1:3], ',') AS first3,
+           list_contains(tok, 'the') AS has_the,
+           tok[1] AS first_token,
+           tok[len(tok)] AS last_token
+    FROM toks
+    """,
+    tags=("array",),
+)
+def array_funcs_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function surface: distinct, sort, slice, join, contains,
+    element_at (1-based and last)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    tok = F.array_sort(F.array_distinct(F.split(F.trim("text"), r"\s+")))
+    return d.select(
+        "doc_id",
+        F.size(tok).alias("n_distinct_tokens"),
+        F.array_join(F.slice(tok, 1, 3), ",").alias("first3"),
+        F.array_contains(tok, "the").alias("has_the"),
+        F.element_at(tok, 1).alias("first_token"),
+        F.element_at(tok, -1).alias("last_token"),
+    )
+
+
+@register("approx_distinct_stats", oracle=None, tags=("agg", "approx"))
+def approx_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ approximate distinct + KLL approximate percentile over the
+    fact table — the sketches a 100 TB profile pass actually uses
+    (rows-only: sketch values are engine-specific by design; bounds are
+    asserted in tests/test_advanced.py against exact counts)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_median_price"),
+    )
+
+
+@register("knn_vectorized_topk", oracle=None, tags=("vector", "knn", "pandas"))
+def knn_vectorized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized (NumPy BLAS) brute-force top-3 for 20 query vectors —
+    the throughput path of knn_similarity_join. Rows-only here (BLAS
+    sum order ≠ the oracle's strict left fold in the last float bits);
+    tests assert id-level agreement with the exact expression path."""
+    from rag_lakehouse_spark.operators.similarity import knn_exact_vectorized
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    return knn_exact_vectorized(e.filter(F.col("vec_id") >= 20), q, k=3)
