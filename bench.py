@@ -34,6 +34,8 @@ HEADLINE = (
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "knn_similarity_join",
+    "knn_vectorized_topk",
+    "events_asof_purchase",
     "chunk_fixed_docs",
     "rag_retrieve_context",
 )

@@ -1,0 +1,66 @@
+"""Physical-plan regression tests: the optimizations we rely on at
+scale must be visible in the plan, not assumed — filter/column
+pushdown into the parquet scan, broadcast joins for dims, top-k via
+TakeOrderedAndProject (no global sort), two-phase aggregation.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from rag_lakehouse_spark.plans import registry
+
+registry._load_all()
+
+
+def plan_of(name, spark, sf_dir) -> str:
+    df = registry.QUERIES[name].fn(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    plan = plan_of("filter_predicates", spark, sf_dir)
+    assert "PushedFilters: [" in plan
+    assert "In(o_orderstatus" in plan or "IsNotNull(o_orderdate)" in plan
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    plan = plan_of("topk_orders", spark, sf_dir)
+    # scan reads exactly the three projected columns
+    assert "ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint,o_totalprice:double>" in plan
+
+
+def test_topk_is_take_ordered_not_global_sort(spark, sf_dir):
+    plan = plan_of("topk_orders", spark, sf_dir)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q3_broadcasts_dims_and_takes_topk(spark, sf_dir):
+    plan = plan_of("q3_shipping_priority", spark, sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q1_two_phase_aggregation(spark, sf_dir):
+    plan = plan_of("q1_pricing_summary", spark, sf_dir)
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan or "LessThanOrEqual(l_shipdate" in plan
+
+
+def test_rollup_single_expand(spark, sf_dir):
+    plan = plan_of("group_rollup_nation", spark, sf_dir)
+    assert plan.count("Expand") == 1  # one expand for all grouping sets
+    assert "BroadcastHashJoin" in plan
+
+
+def test_knn_broadcasts_query_side(spark, sf_dir):
+    plan = plan_of("knn_topk_exact", spark, sf_dir)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_semi_anti_joins_planned_as_such(spark, sf_dir):
+    semi = plan_of("join_semi_active_suppliers", spark, sf_dir)
+    anti = plan_of("join_anti_idle_customers", spark, sf_dir)
+    assert "LeftSemi" in semi
+    assert "LeftAnti" in anti
