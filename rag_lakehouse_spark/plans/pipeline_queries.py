@@ -132,6 +132,19 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("dedup_cluster_canonicals", oracle=None, tags=("dedup", "cluster", "iterative"))
+def dedup_cluster_canonicals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus dedup decision: MinHash-LSH near-dup pairs →
+    connected components (iterative min-label propagation) → one
+    canonical doc per duplicate cluster, singletons self-canonical.
+    The keep/drop list a training-data pipeline actually consumes."""
+    from rag_lakehouse_spark.operators.clusters import dedup_cluster_canonicals
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(d, text_col="text", id_col="doc_id", threshold=0.5)
+    return dedup_cluster_canonicals(d, pairs)
+
+
 @register("dedup_simhash", oracle=None, tags=("dedup", "neardup", "simhash"))
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per document (token-hash sign aggregation) —

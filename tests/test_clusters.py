@@ -1,0 +1,35 @@
+"""Connected-components / dedup-cluster tests with planted graphs."""
+
+from __future__ import annotations
+
+import pytest
+
+from rag_lakehouse_spark.operators.clusters import (
+    connected_components,
+    dedup_cluster_canonicals,
+)
+
+
+def test_components_chain_and_clique(spark):
+    # chain 1-2-3-4 (diameter 3), clique 10-11-12, isolated edge 20-21
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "id_a long, id_b long",
+    )
+    comp = {r.node: r.component for r in connected_components(pairs).collect()}
+    assert comp[1] == comp[2] == comp[3] == comp[4] == 1
+    assert comp[10] == comp[11] == comp[12] == 10
+    assert comp[20] == comp[21] == 20
+
+
+def test_canonical_assignment_with_singletons(spark):
+    docs = spark.createDataFrame([(i,) for i in range(1, 8)], "doc_id long")
+    pairs = spark.createDataFrame([(2, 5), (5, 6)], "id_a long, id_b long")
+    out = {r.doc_id: r for r in dedup_cluster_canonicals(docs, pairs).collect()}
+    assert out[2].cluster_id == out[5].cluster_id == out[6].cluster_id == 2
+    assert out[2].is_canonical and not out[5].is_canonical and not out[6].is_canonical
+    for singleton in (1, 3, 4, 7):
+        assert out[singleton].cluster_id == singleton and out[singleton].is_canonical
+    # exactly one canonical per cluster
+    canon = [r for r in out.values() if r.is_canonical]
+    assert len({r.cluster_id for r in canon}) == len(canon) == 5
