@@ -63,6 +63,7 @@ def _load_all() -> None:
     import rag_lakehouse_spark.plans.advanced_queries  # noqa: F401
     import rag_lakehouse_spark.plans.rag_queries  # noqa: F401
     import rag_lakehouse_spark.plans.scalar_queries  # noqa: F401
+    import rag_lakehouse_spark.plans.window_queries  # noqa: F401
 
 
 def queries() -> dict[str, QueryFn]:

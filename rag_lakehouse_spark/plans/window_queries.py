@@ -1,0 +1,171 @@
+"""Window-analytics extensions: distribution functions, IGNORE NULLS
+navigation, batch sliding windows, schema-drift union.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from rag_lakehouse_spark.plans.registry import register
+from rag_lakehouse_spark.sources.tables import load_table
+
+
+@register(
+    "window_distribution_funcs",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST() OVER w AS cume,
+           NTILE(10) OVER w AS decile
+    FROM orders
+    WHERE o_custkey < 50
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+    """,
+    tags=("window", "distribution"),
+)
+def window_distribution_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist / ntile distribution functions.
+    Both engines compute pct_rank = (rank-1)/(n-1) as double division
+    of exact ints → bit-identical."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 50)
+    w = W.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.ntile(10).over(w).alias("decile"),
+    )
+
+
+@register(
+    "window_ignore_nulls_nav",
+    oracle="""
+    WITH t AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN event_type = 'purchase' THEN value END AS purchase_value
+      FROM events WHERE user_id < 40
+    )
+    SELECT event_id, user_id,
+           LAST_VALUE(purchase_value IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_value,
+           FIRST_VALUE(purchase_value IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_purchase_value
+    FROM t
+    """,
+    tags=("window", "ignore-nulls"),
+)
+def window_ignore_nulls_nav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IGNORE NULLS navigation: carry the last/first non-null purchase
+    value forward per user — the gap-fill idiom."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    pv = F.when(F.col("event_type") == "purchase", F.col("value"))
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.last(pv, ignorenulls=True).over(w).alias("last_purchase_value"),
+        F.first(pv, ignorenulls=True).over(w).alias("first_purchase_value"),
+    )
+
+
+@register(
+    "events_sliding_windows",
+    oracle="""
+    WITH starts AS (
+      SELECT event_id, event_type, value, ts,
+             unnest(generate_series(
+               date_trunc('hour', ts) - (CASE WHEN minute(ts) < 30 THEN INTERVAL 30 MINUTE
+                                              ELSE INTERVAL 0 MINUTE END),
+               ts, INTERVAL 30 MINUTE)) AS window_start
+      FROM events
+    )
+    SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           COUNT(*) AS n_events
+    FROM starts
+    WHERE ts < window_start + INTERVAL 60 MINUTE
+    GROUP BY 1, 2
+    """,
+    tags=("events", "sliding-window"),
+)
+def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sliding windows (1h length, 30min slide) via the built-in
+    ``window()`` generator — each event lands in length/slide = 2
+    windows (explode, no self-join). The streaming twin is
+    streaming.sliding_window_counts."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "60 minutes", "30 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+@register(
+    "union_by_name_drift",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, o_orderstatus, NULL AS o_orderpriority
+    FROM orders WHERE year(o_orderdate) = 1995
+    UNION ALL
+    SELECT o_orderkey, o_totalprice, NULL AS o_orderstatus, o_orderpriority
+    FROM orders WHERE year(o_orderdate) = 1996
+    """,
+    tags=("setop", "schema-drift"),
+)
+def union_by_name_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift-tolerant union (unionByName with missing columns
+    null-filled) — the engine form of the reference's ragged-dict
+    schema-inference union (jobs/bronze_transformation.py:56)."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.year("o_orderdate") == 1995).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    b = o.filter(F.year("o_orderdate") == 1996).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    return a.unionByName(b, allowMissingColumns=True)
+
+
+@register("embed_and_search", oracle=None, tags=("rag", "embed", "pipeline"))
+def embed_and_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full embed-side pipeline: chunk documents (fixed 200) →
+    pseudo-embed each chunk (Arrow pandas UDF, executor-side — the
+    scalable form of the reference's driver-collect embed loop,
+    jobs/embedder.py:54-87) → brute-force top-3 chunks for 5 query
+    texts (the first 5 document prefixes). Rows-only: embeddings are
+    hash-seeded, no SQL equivalent."""
+    from rag_lakehouse_spark.operators.chunking import chunk_fixed
+    from rag_lakehouse_spark.operators.embedding import pseudo_embed_udf
+    from rag_lakehouse_spark.operators.similarity import knn_exact
+
+    d = load_table(spark, sf_dir, "documents")
+    chunks = chunk_fixed(d, text_col="text", id_col="doc_id", size=200)
+    embed = pseudo_embed_udf()
+    corpus = chunks.withColumn("embedding", embed(F.col("chunk_text"))).withColumn(
+        "chunk_key",
+        F.xxhash64("chunk_id"),
+    )
+    queries = (
+        d.filter(F.col("doc_id") < 5)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            embed(F.substring("text", 1, 120)).alias("q_emb"),
+        )
+    )
+    hits = knn_exact(
+        corpus, queries, k=3, corpus_id="chunk_key", corpus_vec="embedding"
+    )
+    return hits.select("query_id", "neighbor_id", "rank")
