@@ -291,6 +291,75 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_bpe_token_count",
+    oracle="""
+    SELECT doc_id,
+           len(regexp_extract_all(lower(text), '([a-z]+|[0-9]+|[^a-z0-9[:space:]])', 1))
+             AS n_bpe_tokens,
+           len(regexp_extract_all(lower(text), '([a-z]+)', 1)) AS n_word_tokens,
+           len(regexp_extract_all(lower(text), '([0-9]+)', 1)) AS n_number_tokens
+    FROM documents
+    """,
+    tags=("text", "tokenize", "bpe"),
+)
+def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex tokenization (letters-run | digits-run |
+    single-symbol — the GPT-2 pre-tokenizer shape without lookaheads,
+    which RE2 (DuckDB) doesn't support). The token-count estimator a
+    data pipeline uses for budget accounting."""
+    d = load_table(spark, sf_dir, "documents")
+    low = F.lower(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all(low, F.lit(r"([a-z]+|[0-9]+|[^a-z0-9\s])"), 1)
+        ).alias("n_bpe_tokens"),
+        F.size(F.regexp_extract_all(low, F.lit("([a-z]+)"), 1)).alias("n_word_tokens"),
+        F.size(F.regexp_extract_all(low, F.lit("([0-9]+)"), 1)).alias("n_number_tokens"),
+    )
+
+
+@register(
+    "text_rolling_hash",
+    oracle=f"""
+    WITH norm AS (
+      SELECT doc_id, {TX.duckdb_normalized('text')} AS n FROM documents
+    )
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(generate_series(1, length(n)),
+                              i -> CAST(ascii(substring(n, i, 1)) AS BIGINT))),
+             (acc, c) -> (acc * 131 + c) % 2147483647
+           ) AS rolling_hash,
+           length(n) AS norm_len
+    FROM norm
+    """,
+    tags=("text", "fingerprint", "rolling-hash"),
+)
+def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial rolling-hash fingerprint: strict left fold of
+    ``acc*131 + codepoint (mod 2^31-1)`` over the normalized text —
+    order-sensitive (anagram-safe) unlike a bag-of-chars hash, exact
+    across engines (pure int64 arithmetic, same fold order)."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = TX.normalized("text")
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length(F.col("__n"))),
+        lambda i: F.ascii(F.substring(F.col("__n"), i, F.lit(1))).cast("bigint"),
+    )
+    fold = F.aggregate(
+        chars,
+        F.lit(0).cast("bigint"),
+        lambda acc, c: (acc * 131 + c) % 2147483647,
+    )
+    return (
+        d.withColumn("__n", norm)
+        .select("doc_id", fold.alias("rolling_hash"), F.length("__n").alias("norm_len"))
+    )
+
+
+@register(
     "docs_by_lang_source",
     oracle="""
     SELECT lang, source,
