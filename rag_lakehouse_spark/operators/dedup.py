@@ -41,12 +41,28 @@ def minhash_signature(
     Row-local (no shuffle): shingling and all `num_hashes` folds happen
     inside one projection; the shingle array is materialized once.
     """
-    # One base xxhash64 per shingle, then num_hashes affine transforms
-    # (a_i * h + b_i with 64-bit wraparound) — the "one permutation"
-    # minwise family. All plain arithmetic → whole-stage codegen, vs.
-    # num_hashes interpreted higher-order folds over the shingle array
-    # (~10× slower). Aggregation is groupBy(min×64): partial map-side
-    # combine means the shuffle carries docs×64 longs, not shingles.
+    return df.join(
+        minhash_signatures_only(df, text_col, id_col, num_hashes, shingle_k), id_col
+    )
+
+
+def minhash_signatures_only(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    shingle_k: int = 8,
+) -> DataFrame:
+    """(id, signature) — the shape LSH banding consumes; no join back
+    to the source rows (skips a full-table shuffle).
+
+    One base xxhash64 per shingle, then num_hashes affine transforms
+    (a_i * h + b_i with 64-bit wraparound) — the "one permutation"
+    minwise family. All plain arithmetic → whole-stage codegen, vs.
+    num_hashes interpreted higher-order folds over the shingle array
+    (~10× slower). Aggregation is groupBy(min×64): partial map-side
+    combine means the shuffle carries docs×64 longs, not shingles.
+    """
     rng_a = [(2 * i + 1) * 0x9E3779B97F4A7C15 & (2**64 - 1) for i in range(num_hashes)]
     rng_b = [(i * 0xC2B2AE3D27D4EB4F + 0x165667B19E3779F9) & (2**64 - 1) for i in range(num_hashes)]
 
@@ -54,7 +70,7 @@ def minhash_signature(
         return v - 2**64 if v >= 2**63 else v
 
     exploded = (
-        with_shingles(_fan_out(df), text_col, shingle_k, out="__shingles")
+        with_shingles(_fan_out(df.select(id_col, text_col)), text_col, shingle_k, out="__shingles")
         .select(F.col(id_col), F.explode("__shingles").alias("__sh"))
         .withColumn("__h", F.xxhash64("__sh"))
     )
@@ -66,10 +82,9 @@ def minhash_signature(
             for i in range(num_hashes)
         ]
     )
-    sig_df = mins.select(
+    return mins.select(
         F.col(id_col), F.array(*[F.col(f"__m{i}") for i in range(num_hashes)]).alias("signature")
     )
-    return df.join(sig_df, id_col)
 
 
 def lsh_candidate_pairs(
@@ -123,7 +138,7 @@ def minhash_lsh_pairs(
     With 16 bands × 4 rows the LSH S-curve crosses ~50% recall at
     J≈(1/16)^(1/4)≈0.5 — matched to the default threshold.
     """
-    sigs = minhash_signature(df, text_col, id_col, num_hashes, shingle_k)
+    sigs = minhash_signatures_only(df, text_col, id_col, num_hashes, shingle_k)
     cands = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
     sh = with_shingles(_fan_out(df), text_col, shingle_k).select(F.col(id_col), "shingles")
     a = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))

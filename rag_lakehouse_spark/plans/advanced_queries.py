@@ -251,6 +251,40 @@ def approx_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("ann_recall_report", oracle=None, tags=("vector", "ann", "quality"))
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the approximate search paths (SRP-LSH, IVF) against
+    exact brute force, for 20 queries — the quality/speed dial report
+    that justifies an ANN deployment. Deterministic (seeded planes,
+    id-stratified centroids). Rows-only: one row per method."""
+    from rag_lakehouse_spark.operators.similarity import knn_exact, knn_ivf, knn_lsh
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    corpus = e.filter(F.col("vec_id") >= 20)
+    exact = knn_exact(corpus, q, k=10).select("query_id", "neighbor_id")
+    reports = []
+    for method, approx in (
+        ("srp_lsh", knn_lsh(corpus, q, k=10, dim=64, n_planes=4)),
+        ("ivf", knn_ivf(corpus, q, k=10, n_cells=16, n_probe=4)),
+    ):
+        hits = exact.join(
+            approx.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]
+        )
+        reports.append(
+            hits.agg(
+                F.lit(method).alias("method"),
+                (F.count(F.lit(1)).cast("double") / F.lit(200.0)).alias("recall_at_10"),
+            )
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionAll(r)
+    return out
+
+
 @register("knn_vectorized_topk", oracle=None, tags=("vector", "knn", "pandas"))
 def knn_vectorized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vectorized (NumPy BLAS) brute-force top-3 for 20 query vectors —

@@ -1,0 +1,66 @@
+"""Python UDTF registration/LATERAL use and incremental micro-batch
+streaming (maxFilesPerTrigger)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rag_lakehouse_spark.operators.udtf import SplitSentences, register_udtfs
+from rag_lakehouse_spark.sources.tables import load_table
+
+
+def test_udtf_lateral_sql(spark):
+    register_udtfs(spark)
+    spark.createDataFrame(
+        [(1, "One. Two two! Three three three?"), (2, "Single sentence.")],
+        "doc_id long, text string",
+    ).createOrReplaceTempView("udtf_docs")
+    rows = spark.sql(
+        """
+        SELECT d.doc_id, s.sentence_no, s.sentence, s.n_words
+        FROM udtf_docs d, LATERAL split_sentences(d.text) s
+        """
+    ).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert len(by_doc[1]) == 3 and len(by_doc[2]) == 1
+    third = next(r for r in by_doc[1] if r.sentence_no == 3)
+    assert third.n_words == 3 and third.sentence.startswith("Three")
+
+
+def test_udtf_dataframe_api(spark):
+    out = SplitSentences(F.lit("A b. C d e.")).collect()
+    assert [(r.sentence_no, r.n_words) for r in out] == [(1, 2), (2, 3)]
+
+
+def test_incremental_microbatches(spark, sf_dir, tmp_path_factory):
+    """maxFilesPerTrigger=1 over a 3-file directory → ≥3 micro-batches,
+    with state carried across batches (global dedup on event_id)."""
+    from rag_lakehouse_spark.streaming import read_events_stream
+
+    src = str(tmp_path_factory.mktemp("events_inc"))
+    load_table(spark, sf_dir, "events").repartition(3).write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    counted = stream.groupBy().agg(F.count(F.lit(1)).alias("n"))
+    q = (
+        counted.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("inc_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    progress = q.recentProgress
+    assert len([p for p in progress if p["numInputRows"] > 0]) >= 3  # one batch per file
+    total = spark.sql("SELECT * FROM inc_out").collect()[0].n
+    assert total == load_table(spark, sf_dir, "events").count()
