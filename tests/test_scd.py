@@ -1,0 +1,77 @@
+"""SCD2 merge and compaction tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rag_lakehouse_spark.operators.scd import compact, scd2_apply
+
+
+@pytest.fixture()
+def current(spark):
+    return spark.createDataFrame(
+        [
+            (1, "BUILDING", 100.0, "2025-01-01 00:00:00", None, True),
+            (2, "MACHINERY", 200.0, "2025-01-01 00:00:00", None, True),
+            # key 3 already has history: one closed + one open version
+            (3, "AUTO", 5.0, "2024-01-01 00:00:00", "2025-01-01 00:00:00", False),
+            (3, "AUTO", 7.0, "2025-01-01 00:00:00", None, True),
+        ],
+        "k long, segment string, bal double, effective_from string, "
+        "effective_to string, is_current boolean",
+    )
+
+
+def test_scd2_change_new_and_unchanged(spark, current):
+    updates = spark.createDataFrame(
+        [
+            (1, "BUILDING", 150.0),   # changed bal → new version
+            (2, "MACHINERY", 200.0),  # unchanged → untouched
+            (4, "FURNITURE", 50.0),   # brand new key
+        ],
+        "k long, segment string, bal double",
+    )
+    out = scd2_apply(current, updates, "k", ("segment", "bal"), batch_ts="2026-01-01 00:00:00")
+    rows = sorted(out.collect(), key=lambda r: (r.k, r.effective_from))
+
+    by_key: dict = {}
+    for r in rows:
+        by_key.setdefault(r.k, []).append(r)
+
+    assert len(by_key[1]) == 2  # closed old + open new
+    closed, opened = by_key[1]
+    assert not closed.is_current and closed.effective_to == "2026-01-01 00:00:00"
+    assert opened.is_current and opened.bal == 150.0
+
+    assert len(by_key[2]) == 1 and by_key[2][0].is_current  # untouched
+    assert len(by_key[3]) == 2  # history preserved verbatim
+    assert len(by_key[4]) == 1 and by_key[4][0].is_current
+    # invariant: exactly one open version per key
+    open_counts = (
+        out.filter(F.col("is_current")).groupBy("k").count().filter(F.col("count") > 1)
+    )
+    assert open_counts.count() == 0
+
+
+def test_scd2_idempotent_on_no_changes(spark, current):
+    updates = spark.createDataFrame(
+        [(1, "BUILDING", 100.0), (2, "MACHINERY", 200.0)], "k long, segment string, bal double"
+    )
+    out = scd2_apply(current, updates, "k", ("segment", "bal"))
+    assert out.count() == current.count()
+    assert out.filter(F.col("is_current")).count() == 3
+
+
+def test_compact_reduces_files(spark, sf_dir, tmp_path_factory):
+    from rag_lakehouse_spark.sources.tables import load_table
+
+    path = str(tmp_path_factory.mktemp("compaction")) + "/events"
+    load_table(spark, sf_dir, "events").repartition(24).write.parquet(path)
+    import glob
+
+    assert len(glob.glob(f"{path}/*.parquet")) == 24
+    before = spark.read.parquet(path).count()
+    compact(spark, path, target_files=4)
+    assert len(glob.glob(f"{path}/*.parquet")) == 4
+    assert spark.read.parquet(path).count() == before
