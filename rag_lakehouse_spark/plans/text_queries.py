@@ -257,36 +257,44 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     hot shingles, exactly like stopword removal in web-dedup pipelines.
     The probabilistic cousin (MinHash-LSH) is in operators.dedup.
     """
+    from pyspark.sql import Window as W
+
     from rag_lakehouse_spark.functions.util import fan_out
 
     d = load_table(spark, sf_dir, "documents")
-    sh = TX.with_shingles(fan_out(d), "text", 8).select(
-        "doc_id", F.explode("shingles").alias("shingle")
+    # carry |shingle-set| with each exploded row (free — computed from
+    # the array before exploding) so no size-lookup joins are needed;
+    # the DF cap comes from a window over the same shingle-partitioned
+    # shuffle the self-join uses, and both join inputs are the IDENTICAL
+    # subplan → Spark reuses one exchange for both sides.
+    arr = TX.with_shingles(fan_out(d), "text", 8)
+    sh = arr.select(
+        "doc_id", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("shingle")
     )
-    sized = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    rare = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") <= 100)
-    sh_rare = sh.join(rare.select("shingle"), "shingle")
-    a = sh_rare.alias("a")
-    b = sh.alias("b")
+    shf = sh.withColumn(
+        "df", F.count(F.lit(1)).over(W.partitionBy("shingle"))
+    ).filter(F.col("df") <= 100)
+    a = shf.alias("a")
+    b = shf.alias("b")
     pairs = (
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_sh").alias("n_sh_a"),
+            F.col("b.n_sh").alias("n_sh_b"),
+        )
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    sa = sized.alias("sa")
-    sb = sized.alias("sb")
     jac = F.col("n_common").cast("double") / (
-        F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_common")
+        F.col("n_sh_a") + F.col("n_sh_b") - F.col("n_common")
     )
-    return (
-        pairs.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
-        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= 0.5)
+    return pairs.select("doc_a", "doc_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= 0.5
     )
 
 
