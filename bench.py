@@ -54,6 +54,8 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
+        if name not in qs:  # registry drift guard: never break the driver loop
+            continue
         t0 = time.perf_counter()
         qs[name](spark, sf_dir).count()
         timings[name] = round(time.perf_counter() - t0, 3)
