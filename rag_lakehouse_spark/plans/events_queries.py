@@ -217,6 +217,30 @@ def events_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_hour_profile",
+    oracle="""
+    SELECT hour(ts) AS hour_of_day,
+           minute(ts) // 15 AS quarter_slot,
+           COUNT(*) AS n_events,
+           COUNT(*) FILTER (WHERE second(ts) < 30) AS first_half_minute
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("events", "date"),
+)
+def events_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-of-day profile: hour/minute/second component extraction."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy(
+        F.hour("ts").alias("hour_of_day"),
+        F.floor(F.minute("ts") / 15).alias("quarter_slot"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count(F.when(F.second("ts") < 30, 1)).alias("first_half_minute"),
+    )
+
+
+@register(
     "events_user_activity",
     oracle="""
     SELECT user_id,
