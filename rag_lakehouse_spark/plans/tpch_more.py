@@ -131,6 +131,89 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "orders_monthly_trend",
+    oracle="""
+    WITH monthly AS (
+      SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS ym,
+             COUNT(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+      FROM orders GROUP BY 1
+    )
+    SELECT ym, n_orders, revenue,
+           revenue - LAG(revenue) OVER (ORDER BY ym) AS revenue_delta,
+           CAST(SUM(CAST(revenue AS DECIMAL(18,4))) OVER (
+             ORDER BY ym ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS DOUBLE) AS revenue_cum
+    FROM monthly
+    """,
+    tags=("agg", "window", "trend"),
+)
+def orders_monthly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-over-aggregate composition: monthly rollup, then
+    month-over-month delta and running total on the aggregated rows
+    (the aggregate output is tiny → the unpartitioned window is safe;
+    decimal recast keeps the running sum order-independent)."""
+    o = load_table(spark, sf_dir, "orders")
+    from pyspark.sql import Window as W
+
+    monthly = o.groupBy(
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("ym")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)")).cast("double").alias("revenue"),
+    )
+    w = W.orderBy("ym")
+    return monthly.select(
+        "ym",
+        "n_orders",
+        "revenue",
+        (F.col("revenue") - F.lag("revenue").over(w)).alias("revenue_delta"),
+        F.sum(F.col("revenue").cast("decimal(18,4)"))
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("double")
+        .alias("revenue_cum"),
+    )
+
+
+@register(
+    "nation_customer_share",
+    oracle="""
+    SELECT n_name,
+           COUNT(c_custkey) AS n_customers,
+           CAST(COUNT(c_custkey) AS DOUBLE)
+             / (SELECT COUNT(*) FROM customer) AS share,
+           COUNT(c_custkey) FILTER (WHERE c_acctbal > 0) AS n_positive_bal
+    FROM nation
+    LEFT JOIN customer ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+    tags=("join", "agg", "subquery"),
+)
+def nation_customer_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-total via an uncorrelated scalar subquery (broadcast
+    single-row aggregate) over a dim-preserving LEFT join — exact
+    integer counts divided once, bit-identical across engines."""
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    total = c.agg(F.count(F.lit(1)).alias("__total"))
+    return (
+        n.join(c, c.c_nationkey == n.n_nationkey, "left")
+        .groupBy("n_name")
+        .agg(
+            F.count("c_custkey").alias("n_customers"),
+            F.count(F.when(F.col("c_acctbal") > 0, 1)).alias("n_positive_bal"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "n_name",
+            "n_customers",
+            (F.col("n_customers").cast("double") / F.col("__total")).alias("share"),
+            "n_positive_bal",
+        )
+    )
+
+
 @register("media_features_pipeline", oracle=None, tags=("multimodal", "pandas"))
 def media_features_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing over the driver tables: document text bytes
