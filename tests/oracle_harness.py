@@ -28,6 +28,45 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+# Int widths int8..int64 collapse to one canonical "int": the driver's
+# value-hash tolerates them (r1 evidence: knn_similarity_join passed with
+# Spark int32 vs DuckDB int64) because both export to Arrow as exact
+# integers. HUGEINT (int128) stays distinct — DuckDB exports it as a
+# different physical Arrow type, which is exactly what failed
+# docs_by_lang_source / events_sessionize in round 1.
+_SPARK_CANON = {
+    "bigint": "int", "int": "int", "smallint": "int", "tinyint": "int",
+    "double": "float64", "float": "float32", "string": "str", "boolean": "bool",
+    "date": "date", "timestamp": "timestamp", "timestamp_ntz": "timestamp",
+    "binary": "bytes",
+}
+_DUCK_CANON = {
+    "bigint": "int", "hugeint": "int128", "integer": "int",
+    "smallint": "int", "tinyint": "int", "ubigint": "uint64",
+    "double": "float64", "float": "float32", "varchar": "str",
+    "boolean": "bool", "date": "date", "timestamp": "timestamp",
+    "timestamp with time zone": "timestamp", "blob": "bytes",
+}
+
+
+def _canon_spark_type(dt: str) -> str:
+    dt = dt.strip().lower()
+    if dt.startswith("array<") and dt.endswith(">"):
+        return f"list<{_canon_spark_type(dt[6:-1])}>"
+    if dt.startswith("decimal"):
+        return dt.replace(" ", "")
+    return _SPARK_CANON.get(dt, dt)
+
+
+def _canon_duck_type(dt: str) -> str:
+    dt = str(dt).strip().lower()
+    if dt.endswith("[]"):
+        return f"list<{_canon_duck_type(dt[:-2])}>"
+    if dt.startswith("decimal"):
+        return dt.replace(" ", "")
+    return _DUCK_CANON.get(dt, dt)
+
+
 def _norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
@@ -54,6 +93,16 @@ def compare(name: str, spark_df, con, sql: str) -> list[str]:
     if sorted(s_cols) != sorted(d_cols):
         problems.append(f"columns differ: spark={sorted(s_cols)} duck={sorted(d_cols)}")
         return problems
+    # Typed comparison: the driver value-hashes typed cells (Arrow), so a
+    # DuckDB HUGEINT vs Spark BIGINT divergence fails there even when the
+    # stringified values match. Mirror that strictness here.
+    s_types = {c.lower(): _canon_spark_type(t) for c, t in spark_df.dtypes}
+    d_types = {c.lower(): _canon_duck_type(t) for c, t in zip(d.columns, d.types)}
+    type_mismatch = {
+        c: (s_types[c], d_types[c]) for c in s_types if s_types[c] != d_types[c]
+    }
+    if type_mismatch:
+        problems.append(f"column types differ (spark, duck): {type_mismatch}")
     if len(s_rows) != len(d_rows):
         problems.append(f"row count differs: spark={len(s_rows)} duck={len(d_rows)}")
     sm = _row_multiset(s_cols, s_rows)
