@@ -44,7 +44,11 @@ def scd2_apply(
         .filter(changed_cond)
         .select(F.col(f"upd.{key}").alias(key))
     )
-    new_keys = upd.join(current, key, "left_anti").select(key)
+    # Anti-join against the OPEN versions only: a key whose versions are
+    # all closed (no is_current row) must still get a new open version
+    # when it reappears in updates — anti-joining the full table would
+    # silently drop it (its closed history rows would mask it).
+    new_keys = upd.join(cur_open, key, "left_anti").select(key)
     affected = changed_keys.union(new_keys).distinct()
 
     # close the superseded current versions

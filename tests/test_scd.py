@@ -63,6 +63,25 @@ def test_scd2_idempotent_on_no_changes(spark, current):
     assert out.filter(F.col("is_current")).count() == 3
 
 
+def test_scd2_reopens_fully_closed_key(spark):
+    """A key whose versions are ALL closed (deleted earlier, no
+    is_current row) must get a new open version when it reappears in
+    updates — regression for the anti-join-against-full-table bug that
+    silently dropped such keys."""
+    current = spark.createDataFrame(
+        [(9, "GHOST", 1.0, "2024-01-01 00:00:00", "2025-01-01 00:00:00", False)],
+        "k long, segment string, bal double, effective_from string, "
+        "effective_to string, is_current boolean",
+    )
+    updates = spark.createDataFrame([(9, "GHOST", 2.0)], "k long, segment string, bal double")
+    out = scd2_apply(current, updates, "k", ("segment", "bal"), batch_ts="2026-01-01 00:00:00")
+    rows = sorted(out.collect(), key=lambda r: r.effective_from)
+    assert len(rows) == 2  # closed history kept + new open version
+    assert not rows[0].is_current  # history row untouched
+    assert rows[1].is_current and rows[1].bal == 2.0
+    assert rows[1].effective_from == "2026-01-01 00:00:00"
+
+
 def test_compact_reduces_files(spark, sf_dir, tmp_path_factory):
     from rag_lakehouse_spark.sources.tables import load_table
 
