@@ -24,7 +24,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from rag_lakehouse_spark.functions.text import with_shingles
+from rag_lakehouse_spark.functions.text import (
+    normalized_relation,
+    shingle_relation,
+    shingles_from_norm,
+)
 from rag_lakehouse_spark.functions.util import fan_out as _fan_out
 
 
@@ -63,6 +67,19 @@ def minhash_signatures_only(
     (~10× slower). Aggregation is groupBy(min×64): partial map-side
     combine means the shuffle carries docs×64 longs, not shingles.
     """
+    sh = shingle_relation(df, text_col, id_col, shingle_k)
+    return signatures_from_shingles(sh, id_col, num_hashes)
+
+
+def signatures_from_shingles(
+    sh_df: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    shingle_col: str = "shingles",
+) -> DataFrame:
+    """(id, signature) from an already-materialized (id, shingles)
+    relation — the seam that lets one shingle pass feed both the
+    signature computation and the exact-Jaccard verification."""
     rng_a = [(2 * i + 1) * 0x9E3779B97F4A7C15 & (2**64 - 1) for i in range(num_hashes)]
     rng_b = [(i * 0xC2B2AE3D27D4EB4F + 0x165667B19E3779F9) & (2**64 - 1) for i in range(num_hashes)]
 
@@ -70,8 +87,7 @@ def minhash_signatures_only(
         return v - 2**64 if v >= 2**63 else v
 
     exploded = (
-        with_shingles(_fan_out(df.select(id_col, text_col)), text_col, shingle_k, out="__shingles")
-        .select(F.col(id_col), F.explode("__shingles").alias("__sh"))
+        sh_df.select(F.col(id_col), F.explode(shingle_col).alias("__sh"))
         .withColumn("__h", F.xxhash64("__sh"))
     )
     mins = exploded.groupBy(id_col).agg(
@@ -137,12 +153,34 @@ def minhash_lsh_pairs(
 
     With 16 bands × 4 rows the LSH S-curve crosses ~50% recall at
     J≈(1/16)^(1/4)≈0.5 — matched to the default threshold.
+
+    The normalized-text relation is materialized ONCE (persisted — a
+    compact string column, far cheaper to cache than the shingle
+    arrays) and feeds both the signature computation and the
+    exact-Jaccard verification — normalization + shingling is the most
+    expensive map stage, and without the persist the corpus would be
+    scanned and normalized twice. At true scale, write-through (a
+    parquet temp) is the equivalent.
     """
-    sigs = minhash_signatures_only(df, text_col, id_col, num_hashes, shingle_k)
-    cands = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
-    sh = with_shingles(_fan_out(df), text_col, shingle_k).select(F.col(id_col), "shingles")
-    a = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
-    b = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
+    norm = normalized_relation(df, text_col, id_col).persist()
+    sigs = signatures_from_shingles(shingles_from_norm(norm, id_col, shingle_k), id_col, num_hashes)
+    # Candidate pairs are consumed twice (id extraction + final join):
+    # persist the tiny pair list so the signature/banding pipeline runs
+    # once, not once per consumer.
+    cands = lsh_candidate_pairs(sigs, id_col, num_hashes, bands).persist()
+    # Verification shingles are built for CANDIDATE docs only: semi-join
+    # the (cached) normalized relation down to ids that appear in some
+    # candidate pair, then shingle that small slice — at scale the
+    # candidate set is orders of magnitude smaller than the corpus, so
+    # re-shingling everything for the verify join would dominate.
+    cand_ids = cands.select(
+        F.explode(F.array("id_a", "id_b")).alias(id_col)
+    ).distinct()
+    cand_sh = shingles_from_norm(
+        norm.join(cand_ids, id_col, "left_semi"), id_col, shingle_k
+    )
+    a = cand_sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
+    b = cand_sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
     joined = cands.join(a, "id_a").join(b, "id_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter

@@ -259,15 +259,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window as W
 
-    from rag_lakehouse_spark.functions.util import fan_out
-
     d = load_table(spark, sf_dir, "documents")
     # carry |shingle-set| with each exploded row (free — computed from
     # the array before exploding) so no size-lookup joins are needed;
     # the DF cap comes from a window over the same shingle-partitioned
     # shuffle the self-join uses, and both join inputs are the IDENTICAL
-    # subplan → Spark reuses one exchange for both sides.
-    arr = TX.with_shingles(fan_out(d), "text", 8)
+    # subplan → Spark reuses one exchange for both sides. The shingle
+    # relation normalizes BEFORE its fan-out exchange (codegen fusion
+    # pathology — see functions.text.normalized_relation).
+    arr = TX.shingle_relation(d, "text", "doc_id", 8)
     sh = arr.select(
         "doc_id", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("shingle")
     )

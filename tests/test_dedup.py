@@ -64,6 +64,36 @@ def test_simhash_near_pairs(docs):
     assert (1, 4) not in pairs
 
 
+def test_char_shingles_short_text_cross_engine(spark):
+    """Texts shorter than k yield an EMPTY shingle set in both engines.
+    Regression: Spark's sequence(1, 0) used to infer step -1 and emit a
+    bogus whole-text shingle where DuckDB's generate_series(1, 0) is
+    empty — a latent oracle divergence for every shingle-based query."""
+    import duckdb
+
+    from rag_lakehouse_spark.functions import text as TX
+
+    rows = [(1, "short"), (2, "exactly8"), (3, "longer than eight chars"), (4, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: sorted(r.sh)
+        for r in TX.with_shingles(df, "text", k=8, out="sh").select("doc_id", "sh").collect()
+    }
+    assert got[1] == [] and got[4] == []  # sub-k → empty, not [whole text]
+    assert got[2] == ["exactly8"]
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    duck = {
+        i: sorted(s)
+        for i, s in con.execute(
+            f"SELECT doc_id, {TX.duckdb_char_shingles('text', 8)} FROM t"
+        ).fetchall()
+    }
+    assert got == duck
+
+
 def test_exact_dedup_keeps_min_id(spark):
     from rag_lakehouse_spark.operators.text import exact_dedup
 
