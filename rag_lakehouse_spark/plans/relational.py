@@ -825,7 +825,8 @@ def window_lag_lead_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderkey, o_custkey,
            NTILE(4) OVER (ORDER BY o_totalprice DESC, o_orderkey) AS price_quartile,
            CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE)
-             / (CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER () AS DOUBLE))
+             / (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                FROM orders WHERE o_orderkey < 2000)
              AS price_share
     FROM orders
     WHERE o_orderkey < 2000
@@ -833,20 +834,22 @@ def window_lag_lead_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("window",),
 )
 def window_ntile_share(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NTILE bucketing + share-of-total via an unpartitioned window.
-
-    Scale caveat: an empty OVER () collapses to a single partition —
-    fine for a filtered slice, never for the full fact table (there the
-    total comes from a broadcast scalar aggregate instead)."""
+    """NTILE bucketing + share-of-total via a broadcast scalar
+    aggregate (crossJoin of a one-row sum) — NOT an empty ``OVER ()``
+    window, which would collapse the whole relation onto one partition.
+    This is the scale-safe share-of-total pattern (same as
+    ``nation_customer_share``); NTILE itself remains the operator under
+    test and rides an ordered window over the filtered slice."""
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
-    w_all = W.partitionBy()
     w_ord = W.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
     dec_price = _dec("o_totalprice")
-    return o.select(
-        "o_orderkey",
-        "o_custkey",
-        F.ntile(4).over(w_ord).alias("price_quartile"),
-        (
-            dec_price.cast("double") / F.sum(dec_price).over(w_all).cast("double")
-        ).alias("price_share"),
+    total = o.agg(F.sum(dec_price).cast("double").alias("__total"))
+    return (
+        o.crossJoin(F.broadcast(total))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.ntile(4).over(w_ord).alias("price_quartile"),
+            (dec_price.cast("double") / F.col("__total")).alias("price_share"),
+        )
     )
