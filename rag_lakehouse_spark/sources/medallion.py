@@ -23,10 +23,10 @@ Re-expresses the reference pipeline Spark-first:
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from rag_lakehouse_spark.sources.storage import join_uri
 
 # Bronze rename contract (reference jobs/bronze_transformation.py:21-30).
 # Applied only when the source column exists — scraped records are
@@ -114,16 +114,21 @@ def write_zone(
     zone: str,
     partition_cols: tuple[str, ...] = ("run_id", "run_date"),
     mode: str = "overwrite",
+    fmt: str | None = None,
 ) -> str:
-    """Partitioned parquet write for a medallion zone. Partition columns
-    replace the reference's `{run_id}/{zone}/{date}` key-path encoding —
-    readers get partition pruning instead of prefix listing."""
-    out = os.path.join(base_path, zone)
-    cols = [c for c in partition_cols if c in df.columns]
-    writer = df.write.mode(mode)
-    if cols:
-        writer = writer.partitionBy(*cols)
-    writer.parquet(out)
+    """Partitioned write for a medallion zone. Partition columns replace
+    the reference's `{run_id}/{zone}/{date}` key-path encoding — readers
+    get partition pruning instead of prefix listing.
+
+    Format is gated on jar availability (sources.lakehouse): with Delta
+    or Iceberg on the classpath the overwrite is an atomic snapshot
+    swap — the capability the reference's hand-rolled local-staging +
+    part-upload commit (jobs/bronze_transformation.py:73-80) lacks —
+    otherwise plain parquet delete-then-write."""
+    from rag_lakehouse_spark.sources.lakehouse import write_table
+
+    out = join_uri(base_path, zone)
+    write_table(df, out, fmt=fmt, mode=mode, partition_cols=partition_cols)
     return out
 
 
@@ -136,9 +141,11 @@ def run_pipeline(
     """raw JSON → bronze parquet → silver parquet; returns the silver
     DataFrame (read back from the written zone, as downstream stages —
     chunk/embed — would consume it)."""
+    from rag_lakehouse_spark.sources.lakehouse import read_table
+
     bronze = bronze_transform(read_raw_json(spark, raw_path))
     write_zone(bronze.withColumn("run_id", F.lit(run_id)), base_path, "bronze",
                partition_cols=("run_id",))
     silver = silver_transform(bronze, run_id)
     write_zone(silver, base_path, "silver")
-    return spark.read.parquet(os.path.join(base_path, "silver"))
+    return read_table(spark, join_uri(base_path, "silver"))

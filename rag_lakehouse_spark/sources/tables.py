@@ -14,6 +14,8 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
+from rag_lakehouse_spark.sources.storage import join_uri
+
 TABLES = (
     "region",
     "nation",
@@ -37,14 +39,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # (lossless here — the generator emits whole-microsecond values,
         # and DuckDB's reader performs the same us conversion).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        df = spark.read.parquet(join_uri(sf_dir, "events.parquet"))
         from pyspark.sql import functions as F
         from pyspark.sql import types as T
 
         if isinstance(df.schema["ts"].dataType, T.LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         return df
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    # join_uri keeps this scheme-agnostic: sf_dir may be a plain path,
+    # file://, or s3a://bucket/prefix (with configure_object_store).
+    return spark.read.parquet(join_uri(sf_dir, f"{name}.parquet"))
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
