@@ -298,3 +298,50 @@ def knn_vectorized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
     return knn_exact_vectorized(e.filter(F.col("vec_id") >= 20), q, k=3)
+
+
+@register(
+    "salted_join_hot_events",
+    oracle="""
+    WITH dim(event_type, weight) AS (
+      VALUES ('click', 1.0), ('view', 0.5), ('purchase', 5.0),
+             ('signup', 3.0), ('error', 0.0)
+    )
+    SELECT e.event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(12,2)) * CAST(dim.weight AS DECIMAL(2,1)))
+                AS DOUBLE) AS weighted_value
+    FROM events e JOIN dim ON e.event_type = dim.event_type
+    GROUP BY e.event_type
+    """,
+    tags=("join", "skew", "salted"),
+)
+def salted_join_hot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated equi-join on a HOT key: every event_type holds
+    ~20% of the fact table, so an unsalted shuffle join lands each key
+    on one reducer. ``salted_join`` spreads each hot key over 8
+    reducers (left gets a random salt, right is replicated 8x and the
+    shuffle key becomes (event_type, __salt)) — plan-asserted in
+    tests/test_plans.py.
+
+    The dim side carries a merge hint to emulate the
+    too-big-to-broadcast case this pattern exists for (a 5-row literal
+    dim would otherwise broadcast, hiding the salted exchange; when a
+    dim DOES fit in memory, broadcast — not salting — is the answer).
+    The oracle is the plain join: salting must not change semantics.
+    """
+    from rag_lakehouse_spark.operators.joins import salted_join
+
+    e = load_table(spark, sf_dir, "events").select("event_type", "value")
+    dim = spark.createDataFrame(
+        [("click", 1.0), ("view", 0.5), ("purchase", 5.0),
+         ("signup", 3.0), ("error", 0.0)],
+        "event_type string, weight double",
+    ).hint("merge")
+    joined = salted_join(e, dim, on="event_type", salt=8)
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(
+            F.col("value").cast("decimal(12,2)") * F.col("weight").cast("decimal(2,1)")
+        ).cast("double").alias("weighted_value"),
+    )

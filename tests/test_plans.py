@@ -64,3 +64,16 @@ def test_semi_anti_joins_planned_as_such(spark, sf_dir):
     anti = plan_of("join_anti_idle_customers", spark, sf_dir)
     assert "LeftSemi" in semi
     assert "LeftAnti" in anti
+
+
+def test_salted_join_spreads_hot_key(spark, sf_dir):
+    """The salted-join demo must actually shuffle on (key, __salt) —
+    if the salt column fell out of the exchange, the hot key would
+    still serialize onto one reducer."""
+    plan = plan_of("salted_join_hot_events", spark, sf_dir)
+    assert "SortMergeJoin" in plan  # merge hint held: not broadcast
+    assert "__salt" in plan
+    import re
+
+    exchanges = re.findall(r"hashpartitioning\([^)]*\)", plan)
+    assert any("__salt" in e and "event_type" in e for e in exchanges), exchanges
