@@ -4,11 +4,17 @@ $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 
     {"metric": "...", "value": <total_sec>, "unit": "sec",
-     "queries": {name: sec, ...}, "sf": <sf>}
+     "queries": {name: sec, ...}, "duckdb": {name: sec, ...}, "sf": <sf>}
 
 Each query executes to completion (count() materializes the full
 plan) with the result cut off from driver collection — we measure
 engine throughput, not driver serialization.
+
+"duckdb" records the wall time of each headline query's oracle SQL on
+single-node DuckDB over the same parquet — the engine-external anchor
+for the <=2x perf gate (the reference publishes no timings). Queries
+without an oracle (probabilistic dedup, BLAS knn) have no entry.
+Set SPARK_GRAFT_SKIP_DUCKDB=1 to skip the anchor pass.
 """
 
 from __future__ import annotations
@@ -60,6 +66,13 @@ def main() -> None:
         qs[name](spark, sf_dir).count()
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    duck_timings: dict[str, float] = {}
+    if not os.environ.get("SPARK_GRAFT_SKIP_DUCKDB"):
+        try:
+            duck_timings = duckdb_anchor(sf_dir)
+        except Exception:
+            duck_timings = {}  # the anchor must never break the bench line
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -68,10 +81,37 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "duckdb": duck_timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
     )
+
+
+def duckdb_anchor(sf_dir: str) -> dict[str, float]:
+    """Wall time of each headline oracle SQL on DuckDB (all cores) over
+    the same parquet files — a real engine-external baseline at the
+    same data scale, single-node vs single-node."""
+    import duckdb
+
+    from rag_lakehouse_spark.plans import registry
+    from rag_lakehouse_spark.sources.tables import TABLES
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    oracles = registry.oracle_sql()
+    out: dict[str, float] = {}
+    for name in HEADLINE:
+        sql = oracles.get(name)
+        if not sql:
+            continue
+        t0 = time.perf_counter()
+        con.execute(sql).fetchall()
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
 
 
 if __name__ == "__main__":

@@ -154,30 +154,34 @@ def minhash_lsh_pairs(
     With 16 bands × 4 rows the LSH S-curve crosses ~50% recall at
     J≈(1/16)^(1/4)≈0.5 — matched to the default threshold.
 
-    The normalized-text relation is materialized ONCE (persisted — a
-    compact string column, far cheaper to cache than the shingle
-    arrays) and feeds both the signature computation and the
-    exact-Jaccard verification — normalization + shingling is the most
-    expensive map stage, and without the persist the corpus would be
-    scanned and normalized twice. At true scale, write-through (a
-    parquet temp) is the equivalent.
+    Corpus SHINGLING happens once (the signature pass); the exact-
+    Jaccard verification re-normalizes the corpus (a cheap regex scan)
+    but shingles only the docs that appear in a candidate pair — at
+    scale the candidate set is orders of magnitude smaller than the
+    corpus, so the expensive k-gram materialization never runs twice
+    over everything. The shingle pass itself puts an exchange between
+    the regex and the k-gram lambda (see functions.text
+    .normalized_relation for the codegen pathology this avoids).
+    Deliberately NOT persisted: caching the wide shingle arrays (or
+    even the norm strings) costs more in columnar cache encode/decode
+    than the recompute saves, and the bench path runs each query once,
+    cold. At true scale the equivalent of the single shingle pass is a
+    write-through parquet temp.
     """
-    norm = normalized_relation(df, text_col, id_col).persist()
-    sigs = signatures_from_shingles(shingles_from_norm(norm, id_col, shingle_k), id_col, num_hashes)
+    sigs = signatures_from_shingles(
+        shingle_relation(df, text_col, id_col, shingle_k), id_col, num_hashes
+    )
     # Candidate pairs are consumed twice (id extraction + final join):
-    # persist the tiny pair list so the signature/banding pipeline runs
+    # persist the TINY pair list so the signature/banding pipeline runs
     # once, not once per consumer.
     cands = lsh_candidate_pairs(sigs, id_col, num_hashes, bands).persist()
-    # Verification shingles are built for CANDIDATE docs only: semi-join
-    # the (cached) normalized relation down to ids that appear in some
-    # candidate pair, then shingle that small slice — at scale the
-    # candidate set is orders of magnitude smaller than the corpus, so
-    # re-shingling everything for the verify join would dominate.
-    cand_ids = cands.select(
-        F.explode(F.array("id_a", "id_b")).alias(id_col)
-    ).distinct()
+    # No .distinct() — a left-semi probe side tolerates duplicate keys,
+    # and dropping it saves a whole shuffle stage.
+    cand_ids = cands.select(F.explode(F.array("id_a", "id_b")).alias(id_col))
     cand_sh = shingles_from_norm(
-        norm.join(cand_ids, id_col, "left_semi"), id_col, shingle_k
+        normalized_relation(df, text_col, id_col).join(cand_ids, id_col, "left_semi"),
+        id_col,
+        shingle_k,
     )
     a = cand_sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
     b = cand_sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))

@@ -47,6 +47,43 @@ def test_pseudo_embed_udf_matches_local(spark):
     assert np.allclose(by_id[2], local[1], atol=1e-6)
 
 
+_ST_AVAILABLE = __import__("importlib").util.find_spec("sentence_transformers") is not None
+
+
+@pytest.mark.skipif(
+    not _ST_AVAILABLE,
+    reason="sentence-transformers not installed in this container",
+)
+def test_sentence_transformer_parity_with_pseudo(spark):
+    """Where the real model exists: sentence_transformer_udf must be a
+    drop-in for pseudo_embed_udf — same column type (array<float>),
+    deterministic output, fixed dimensionality (384 for MiniLM)."""
+    from rag_lakehouse_spark.operators.embedding import sentence_transformer_udf
+
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "spark engine"), (3, None)], "id long, text string"
+    )
+    real = df.select("id", sentence_transformer_udf()(F.col("text")).alias("e"))
+    pseudo = df.select("id", pseudo_embed_udf()(F.col("text")).alias("e"))
+    assert real.schema["e"].dataType == pseudo.schema["e"].dataType
+    rows_a = {r.id: r.e for r in real.collect()}
+    rows_b = {r.id: r.e for r in real.collect()}
+    assert all(len(v) == 384 for v in rows_a.values())
+    assert rows_a == rows_b  # deterministic across invocations
+
+
+@pytest.mark.skipif(
+    _ST_AVAILABLE, reason="gate only observable without sentence-transformers"
+)
+def test_sentence_transformer_gate_raises_cleanly():
+    """Without the dependency the factory must fail at construction time
+    with a message naming the fallback — not deep inside an executor."""
+    from rag_lakehouse_spark.operators.embedding import sentence_transformer_udf
+
+    with pytest.raises(ImportError, match="pseudo_embed_udf"):
+        sentence_transformer_udf()
+
+
 @pytest.fixture(scope="module")
 def media(spark):
     rows = [
