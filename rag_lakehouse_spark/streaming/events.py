@@ -33,13 +33,23 @@ EVENTS_SCHEMA = T.StructType(
 )
 
 
-def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
+def read_events_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
     """File-source stream over a directory of event parquet/json.
     (The parquet file source replays existing files then tails new
-    ones — the local stand-in for a Kafka topic.)"""
+    ones — the local stand-in for a Kafka topic.)
+
+    ``max_files_per_trigger`` bounds each micro-batch to N files —
+    production backpressure control, and the test lever for forcing a
+    deterministic multi-batch replay (late/out-of-order arrival is only
+    observable across micro-batch boundaries)."""
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     if path.endswith(".json") or path.endswith("/json"):
-        return spark.readStream.schema(EVENTS_SCHEMA).json(path)
-    return spark.readStream.schema(EVENTS_SCHEMA).parquet(path)
+        return reader.json(path)
+    return reader.parquet(path)
 
 
 def tumbling_window_counts(

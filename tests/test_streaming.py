@@ -70,3 +70,55 @@ def test_dedup_within_watermark_stream(spark, events_dir):
     n_batch = spark.read.parquet(events_dir).select("event_id").distinct().count()
     assert out.count() == n_batch
     assert out.select("event_id").distinct().count() == n_batch
+
+
+def test_dedup_late_out_of_order_matches_batch(spark, tmp_path_factory):
+    """Late-data depth for dropDuplicatesWithinWatermark: duplicates and
+    a brand-new event arrive in a LATER micro-batch with OLDER event
+    times (out-of-order, inside the 2h watermark). Output must equal
+    the batch twin's keyed dedup — duplicates dropped even though they
+    crossed a batch boundary, the late new event kept."""
+    import datetime
+    import shutil
+
+    root = tmp_path_factory.mktemp("late_events")
+    stream_dir = root / "stream"
+    stream_dir.mkdir()
+    base = datetime.datetime(2026, 1, 1, 9, 0, 0)
+
+    def row(i: int, minutes: int):
+        return (
+            i, base + datetime.timedelta(minutes=minutes), i % 7,
+            "click", float(i), "{}",
+        )
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    batch1 = [row(i, i) for i in range(50)]  # 09:00..09:49
+    batch2 = (
+        [row(i, 120) for i in range(50, 60)]  # 11:00 — advances watermark
+        + [row(i, i) for i in range(20)]      # replayed dups, OLD event times
+        + [row(99, 5)]                        # genuinely new, late, 09:05
+    )
+    for n, rows in (("0001", batch1), ("0002", batch2)):
+        tmp = str(root / f"tmp_{n}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(p for p in __import__("os").listdir(tmp) if p.endswith(".parquet"))
+        shutil.copy(f"{tmp}/{part}", str(stream_dir / f"{n}.parquet"))
+
+    stream = read_events_stream(spark, str(stream_dir), max_files_per_trigger=1)
+    run_batch_to_memory(dedup_within_watermark(stream), "late_dedup_out")
+    got = sorted(
+        (r.event_id, r.ts, r.value)
+        for r in spark.sql("SELECT * FROM late_dedup_out").collect()
+    )
+    want = sorted(
+        (r.event_id, r.ts, r.value)
+        for r in spark.read.parquet(str(stream_dir))
+        .dropDuplicates(["event_id"])
+        .collect()
+    )
+    assert len(got) == 61  # 0..59 plus the late new id 99
+    assert got == want
