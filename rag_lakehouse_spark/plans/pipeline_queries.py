@@ -7,7 +7,6 @@ plus rows-only registrations for the probabilistic dedup operators.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from rag_lakehouse_spark.functions import vector as VEC
@@ -81,31 +80,38 @@ def rag_retrieve_context(spark: SparkSession, sf_dir: str) -> DataFrame:
     src/api.py:38-46 ('\\n\\n---\\n\\n'.join + metadatas[0]) minus the
     external LLM call (kept out of the query path by design).
 
-    Scale: query vector broadcasts; the doc join is id-equi (shuffle on
-    3 ids after the rank filter — effectively free); context assembly
-    is a 3-row aggregate.
+    Scale: query vector broadcasts; top-k is ``orderBy().limit(k)`` —
+    planned as TakeOrderedAndProject (per-partition partial top-k, no
+    single-partition WindowExec, no global sort); the doc join is
+    id-equi (shuffle on 3 ids — effectively free); context assembly is
+    a 3-row aggregate ordered by (-score, vec_id), the same total order
+    the old rank column encoded.
     """
     e = load_table(spark, sf_dir, "embeddings")
     d = load_table(spark, sf_dir, "documents")
     q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
-    ranked = (
+    topk = (
         e.filter(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(q))
         .select("vec_id", VEC.cosine("embedding", "q_emb").alias("score"))
-        .withColumn("rank", F.row_number().over(W.orderBy(F.desc("score"), F.asc("vec_id"))))
-        .filter(F.col("rank") <= 3)
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(3)
     )
-    joined = ranked.join(d, ranked.vec_id == d.doc_id)
+    joined = topk.join(d, topk.vec_id == d.doc_id)
+    order_key = F.struct((-F.col("score")).alias("neg"), F.col("vec_id").alias("tie"))
     return joined.agg(
         F.lit(0).alias("query_id"),
         F.count(F.lit(1)).alias("n_docs"),
         F.array_join(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("rank", "text"))), lambda x: x["text"]
+                F.array_sort(
+                    F.collect_list(F.struct(order_key.alias("k"), F.col("text")))
+                ),
+                lambda x: x["text"],
             ),
             "\n\n---\n\n",
         ).alias("context"),
-        F.min_by("source", "rank").alias("top_source"),
+        F.min_by("source", order_key).alias("top_source"),
     )
 
 

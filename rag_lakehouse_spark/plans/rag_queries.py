@@ -6,7 +6,6 @@ the refusal guard — the reference's /ask endpoint semantics
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from rag_lakehouse_spark.functions import vector as VEC
@@ -87,19 +86,26 @@ def rag_attribution_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     d = load_table(spark, sf_dir, "documents")
     q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
-    ranked = (
+    # score-threshold filter commutes with top-k on the same sort key,
+    # so it runs BEFORE orderBy().limit(3) → TakeOrderedAndProject (no
+    # single-partition rank window).
+    topk3 = (
         e.filter(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(q))
         .select("vec_id", VEC.cosine("embedding", "q_emb").alias("score"))
-        .withColumn("rank", F.row_number().over(W.orderBy(F.desc("score"), F.asc("vec_id"))))
-        .filter((F.col("rank") <= 3) & (F.col("score") >= 0.2))
+        .filter(F.col("score") >= 0.2)
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(3)
     )
-    topk = ranked.join(d, ranked.vec_id == d.doc_id)
+    topk = topk3.join(d, topk3.vec_id == d.doc_id)
+    order_key = F.struct((-F.col("score")).alias("neg"), F.col("vec_id").alias("tie"))
     return topk.agg(
         F.lit(0).alias("query_id"),
         F.count(F.lit(1)).alias("n_docs"),
         F.when(F.count(F.lit(1)) == 0, REFUSAL)
         .otherwise("context_available")
         .alias("answer_state"),
-        F.coalesce(F.min_by("source", "rank"), F.lit("No source found")).alias("attribution"),
+        F.coalesce(F.min_by("source", order_key), F.lit("No source found")).alias(
+            "attribution"
+        ),
     )
