@@ -198,3 +198,60 @@ def bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftright(k, 3).alias("shifted_r"),
         F.bit_count(k).alias("popcount"),
     )
+
+
+@register(
+    "xpath_multi_fallback",
+    oracle="""
+    SELECT p_partkey,
+           p_name AS extracted_name,
+           p_brand AS extracted_brand,
+           p_size AS extracted_size,
+           CASE WHEN p_partkey % 2 = 0 THEN 'name' ELSE 'title' END AS matched_tag
+    FROM part
+    WHERE p_partkey < 500
+    """,
+    tags=("xpath", "string", "extract"),
+)
+def xpath_multi_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-XPath fallback extraction (SURVEY §2.1 S2): the reference
+    scrapes each field by trying a LIST of XPaths first-match-wins
+    (reference config/config.py:32 BOOK_DETAILS_XPATH lists;
+    jobs/scraper.py:161-166 fallback loop). Spark-first that is the
+    built-in JVM ``xpath_*`` family over an XML column plus a
+    coalesce(nullif(...)) chain — no Python, fully codegen.
+
+    The XML document is synthesized row-side with a layout that DRIFTS
+    by row (even part keys use <name>, odd use <title> — the page-
+    variant situation the fallback lists exist for), then parsed back
+    through the real XPath engine. The oracle is the round-trip
+    identity: extraction must return exactly the embedded fields.
+    """
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") < 500)
+    name_el = F.when(
+        F.col("p_partkey") % 2 == 0,
+        F.concat(F.lit("<name>"), F.col("p_name"), F.lit("</name>")),
+    ).otherwise(F.concat(F.lit("<title>"), F.col("p_name"), F.lit("</title>")))
+    xml = F.concat(
+        F.lit("<product>"),
+        name_el,
+        F.lit("<brand>"), F.col("p_brand"), F.lit("</brand>"),
+        F.lit("<size>"), F.col("p_size").cast("string"), F.lit("</size>"),
+        F.lit("</product>"),
+    )
+    doc = p.select("p_partkey", xml.alias("__xml"))
+
+    def xp(path: str):
+        # xpath_string yields '' (not NULL) on no-match → nullif guards
+        # the fallback chain exactly like the reference's `if value:`.
+        return F.nullif(F.expr(f"xpath_string(__xml, '{path}')"), F.lit(""))
+
+    return doc.select(
+        "p_partkey",
+        F.coalesce(xp("/product/name"), xp("/product/title")).alias("extracted_name"),
+        xp("/product/brand").alias("extracted_brand"),
+        F.expr("xpath_int(__xml, '/product/size')").alias("extracted_size"),
+        F.when(xp("/product/name").isNotNull(), "name")
+        .otherwise("title")
+        .alias("matched_tag"),
+    )
