@@ -167,6 +167,77 @@ def knn_lsh(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def kmeans_centroids(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    n_iters: int = 3,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """Spherical k-means coarse quantizer learned with Lloyd iterations
+    expressed as DataFrame jobs — the trained upgrade over the sampled
+    centroids ``knn_ivf`` defaults to.
+
+    Each iteration: (1) assign every corpus vector to its most-cosine-
+    similar centroid (broadcast join + argmin window), (2) new centroid
+    = per-cell elementwise mean (posexplode → (cell, pos) avg),
+    unit-normalized. Centroids live driver-side between iterations —
+    they are tiny by construction (n_cells × dim floats; the FAISS-style
+    train/index split), so this is NOT a driver-side data loop; at
+    100 TB you train on a sample and the per-iteration assign remains
+    one broadcast-join scan.
+
+    Empty cells keep their previous centroid. Deterministic: stratified
+    init (first vector of each id % n_cells stratum), fixed iteration
+    count, tie-break on cell_id.
+    """
+    import numpy as np
+
+    spark = corpus.sparkSession
+    w_strat = W.partitionBy(F.col(corpus_id) % n_cells).orderBy(corpus_id)
+    init_rows = (
+        corpus.withColumn("__rn", F.row_number().over(w_strat))
+        .filter(F.col("__rn") == 1)
+        .select(
+            (F.col(corpus_id) % n_cells).cast("int").alias("cell_id"),
+            F.col(corpus_vec).alias("centroid"),
+        )
+        .collect()
+    )
+    cents = {r.cell_id: np.asarray(r.centroid, dtype=np.float64) for r in init_rows}
+    norm = lambda v: v / (np.linalg.norm(v) + 1e-12)  # noqa: E731
+    cents = {c: norm(v) for c, v in cents.items()}
+
+    assign_w = W.partitionBy(corpus_id).orderBy(F.desc("__sim"), F.asc("cell_id"))
+    for _ in range(n_iters):
+        cent_df = spark.createDataFrame(
+            [(c, [float(x) for x in v]) for c, v in sorted(cents.items())],
+            "cell_id int, centroid array<float>",
+        )
+        assigned = (
+            corpus.crossJoin(F.broadcast(cent_df))
+            .withColumn("__sim", cosine(F.col(corpus_vec), F.col("centroid")))
+            .withColumn("__r", F.row_number().over(assign_w))
+            .filter(F.col("__r") == 1)
+            .select("cell_id", corpus_vec)
+        )
+        means = (
+            assigned.select("cell_id", F.posexplode(corpus_vec).alias("pos", "val"))
+            .groupBy("cell_id", "pos")
+            .agg(F.avg("val").alias("m"))
+            .collect()
+        )
+        new: dict[int, np.ndarray] = {}
+        for r in means:
+            new.setdefault(r.cell_id, np.zeros(len(next(iter(cents.values())))))[r.pos] = r.m
+        cents = {c: norm(new[c]) if c in new else v for c, v in cents.items()}
+
+    return spark.createDataFrame(
+        [(c, [float(x) for x in v]) for c, v in sorted(cents.items())],
+        "cell_id int, centroid array<float>",
+    )
+
+
 def knn_ivf(
     corpus: DataFrame,
     queries: DataFrame,
@@ -178,6 +249,7 @@ def knn_ivf(
     query_id: str = "query_id",
     query_vec: str = "q_emb",
     seed: int = 42,
+    centroids_df: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-flat approximate k-NN: assign corpus vectors to their nearest
     of ``n_cells`` coarse centroids (sampled deterministically from the
@@ -188,19 +260,23 @@ def knn_ivf(
     scanned once for assignment (cacheable/materializable as a bucketed
     table so repeated queries skip it) and the search join touches
     n_probe/n_cells of the data.
+
+    ``centroids_df`` (cell_id, centroid) plugs in a trained quantizer
+    (see ``kmeans_centroids``); default is the deterministic stratified
+    sample — cheap, reproducible, good enough for a coarse quantizer.
     """
-    # Deterministic centroid sample: first vector of every (id % n_cells)
-    # stratum — cheap, reproducible, good enough for a coarse quantizer.
-    w_strat = W.partitionBy(F.col(corpus_id) % n_cells).orderBy(corpus_id)
-    centroids = (
-        corpus.withColumn("__rn", F.row_number().over(w_strat))
-        .filter(F.col("__rn") == 1)
-        .select(
-            (F.col(corpus_id) % n_cells).alias("cell_id"),
-            F.col(corpus_vec).alias("centroid"),
+    if centroids_df is None:
+        # first vector of every (id % n_cells) stratum
+        w_strat = W.partitionBy(F.col(corpus_id) % n_cells).orderBy(corpus_id)
+        centroids_df = (
+            corpus.withColumn("__rn", F.row_number().over(w_strat))
+            .filter(F.col("__rn") == 1)
+            .select(
+                (F.col(corpus_id) % n_cells).alias("cell_id"),
+                F.col(corpus_vec).alias("centroid"),
+            )
         )
-    )
-    cent_b = F.broadcast(centroids)
+    cent_b = F.broadcast(centroids_df)
 
     # Assign corpus rows to nearest centroid (argmin over broadcast cells).
     assign_w = W.partitionBy(corpus_id).orderBy(F.desc("__sim"), F.asc("cell_id"))

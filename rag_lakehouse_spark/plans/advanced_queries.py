@@ -253,11 +253,17 @@ def approx_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("ann_recall_report", oracle=None, tags=("vector", "ann", "quality"))
 def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@10 of the approximate search paths (SRP-LSH, IVF) against
-    exact brute force, for 20 queries — the quality/speed dial report
-    that justifies an ANN deployment. Deterministic (seeded planes,
-    id-stratified centroids). Rows-only: one row per method."""
-    from rag_lakehouse_spark.operators.similarity import knn_exact, knn_ivf, knn_lsh
+    """Recall@10 of the approximate search paths (SRP-LSH, sampled-
+    centroid IVF, k-means-trained IVF) against exact brute force, for
+    20 queries — the quality/speed dial report that justifies an ANN
+    deployment. Deterministic (seeded planes, id-stratified centroids,
+    fixed Lloyd iteration count). Rows-only: one row per method."""
+    from rag_lakehouse_spark.operators.similarity import (
+        kmeans_centroids,
+        knn_exact,
+        knn_ivf,
+        knn_lsh,
+    )
 
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 20).select(
@@ -265,10 +271,15 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = e.filter(F.col("vec_id") >= 20)
     exact = knn_exact(corpus, q, k=10).select("query_id", "neighbor_id")
+    trained = kmeans_centroids(corpus, n_cells=16, n_iters=2)
     reports = []
     for method, approx in (
         ("srp_lsh", knn_lsh(corpus, q, k=10, dim=64, n_planes=4)),
         ("ivf", knn_ivf(corpus, q, k=10, n_cells=16, n_probe=4)),
+        (
+            "ivf_kmeans",
+            knn_ivf(corpus, q, k=10, n_cells=16, n_probe=4, centroids_df=trained),
+        ),
     ):
         hits = exact.join(
             approx.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]

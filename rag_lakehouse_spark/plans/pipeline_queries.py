@@ -157,3 +157,72 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup key for hamming-distance blocking."""
     d = load_table(spark, sf_dir, "documents")
     return simhash_docs(d, text_col="text", id_col="doc_id")
+
+
+@register(
+    "rag_batch_retrieve",
+    oracle=f"""
+    WITH scored AS (
+      SELECT a.vec_id AS query_id, b.vec_id,
+             {VEC.duckdb_cosine('a.embedding', 'b.embedding')} AS score
+      FROM embeddings a, embeddings b
+      WHERE a.vec_id < 8 AND b.vec_id >= 8
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, score,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, vec_id) AS rank
+      FROM scored
+    )
+    SELECT r.query_id,
+           COUNT(*) AS n_docs,
+           string_agg(d.text, '
+
+---
+
+' ORDER BY r.rank) AS context,
+           arg_min(d.source, r.rank) AS top_source
+    FROM ranked r JOIN documents d ON d.doc_id = r.vec_id
+    WHERE r.rank <= 3
+    GROUP BY r.query_id
+    """,
+    tags=("rag", "retrieval", "batch"),
+)
+def rag_batch_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched retrieval serve path: top-3 context assembly for a WHOLE
+    BATCH of query vectors in one plan — the shape a serving or
+    training-data pipeline runs (the reference answers one question per
+    /ask request; reference src/api.py:32-46).
+
+    Scale: the query batch broadcasts (small by contract); scoring is a
+    codegen expression against the streamed corpus; the per-query rank
+    window gets a WindowGroupLimit partial limit, so the single shuffle
+    on query_id carries only ~k rows per (query, partition); context
+    assembly aggregates 3 rows per query.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    d = load_table(spark, sf_dir, "documents")
+    q = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    scored = (
+        e.filter(F.col("vec_id") >= 8)
+        .crossJoin(F.broadcast(q))
+        .select("query_id", "vec_id", VEC.cosine("embedding", "q_emb").alias("score"))
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    topk = scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 3)
+    joined = topk.join(d, topk.vec_id == d.doc_id)
+    return joined.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rank", "text"))),
+                lambda x: x["text"],
+            ),
+            "\n\n---\n\n",
+        ).alias("context"),
+        F.min_by("source", "rank").alias("top_source"),
+    )

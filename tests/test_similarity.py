@@ -8,7 +8,12 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from rag_lakehouse_spark.operators.similarity import knn_exact, knn_ivf, knn_lsh
+from rag_lakehouse_spark.operators.similarity import (
+    kmeans_centroids,
+    knn_exact,
+    knn_ivf,
+    knn_lsh,
+)
 from rag_lakehouse_spark.sources.tables import load_table
 
 
@@ -61,3 +66,24 @@ def test_lsh_recall_vs_exact(emb, queries):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.2  # 4 planes / 16 buckets on 500 random vectors
+
+
+def test_kmeans_centroids_deterministic_unit_and_complete(emb):
+    import numpy as np
+
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    a = kmeans_centroids(corpus, n_cells=8, n_iters=2).collect()
+    b = kmeans_centroids(corpus, n_cells=8, n_iters=2).collect()
+    assert {r.cell_id: r.centroid for r in a} == {r.cell_id: r.centroid for r in b}
+    assert sorted(r.cell_id for r in a) == list(range(8))  # no lost cells
+    for r in a:
+        assert np.linalg.norm(r.centroid) == pytest.approx(1.0, abs=1e-4)
+
+
+def test_ivf_with_trained_centroids_finds_self(emb, queries):
+    cents = kmeans_centroids(emb, n_cells=8, n_iters=2)
+    top = knn_ivf(emb, queries, k=1, n_cells=8, n_probe=8, centroids_df=cents).collect()
+    # probing all cells → must find the identical vector regardless of
+    # which learned cell it was assigned to
+    assert all(r.neighbor_id == r.query_id for r in top)
+    assert all(r.score == pytest.approx(1.0, abs=1e-9) for r in top)
