@@ -356,3 +356,23 @@ def salted_join_hot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("value").cast("decimal(12,2)") * F.col("weight").cast("decimal(2,1)")
         ).cast("double").alias("weighted_value"),
     )
+
+
+@register("ann_pq_topk", oracle=None, tags=("vector", "ann", "pq", "pandas"))
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN end-to-end: train codebooks (bounded
+    sample, driver-side Lloyd's), encode the corpus to m=8 one-byte
+    codes (32x compression of a 64-dim float32 vector), ADC top-10 for
+    20 queries. Rows-only (seeded k-means has no SQL oracle);
+    tests/test_pq.py asserts recall against exact brute force and
+    encoding determinism."""
+    from rag_lakehouse_spark.operators.pq import pq_encode, pq_search, train_pq
+
+    e = load_table(spark, sf_dir, "embeddings")
+    corpus = e.filter(F.col("vec_id") >= 20)
+    q = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    books = train_pq(corpus, dim=64, m=8, k=16)
+    codes = pq_encode(corpus, books)
+    return pq_search(codes, q, books, k_neighbors=10)

@@ -1,0 +1,75 @@
+"""Product-quantization ANN tests: codebook shapes/determinism, encode
+determinism, ADC recall against exact brute force, and the compression
+contract (m one-byte-range codes per vector)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from rag_lakehouse_spark.operators.pq import pq_encode, pq_search, train_pq
+from rag_lakehouse_spark.operators.similarity import knn_exact
+from rag_lakehouse_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+@pytest.fixture(scope="module")
+def books(emb):
+    return train_pq(emb.filter(F.col("vec_id") >= 20), dim=64, m=8, k=16)
+
+
+def test_codebook_shape_and_determinism(emb, books):
+    assert books.shape == (8, 16, 8)
+    again = train_pq(emb.filter(F.col("vec_id") >= 20), dim=64, m=8, k=16)
+    assert np.array_equal(books, again)
+
+
+def test_encode_deterministic_byte_range(emb, books):
+    corpus = emb.filter(F.col("vec_id") >= 20)
+    a = {r.vec_id: r.codes for r in pq_encode(corpus, books).collect()}
+    b = {r.vec_id: r.codes for r in pq_encode(corpus, books).collect()}
+    assert a == b
+    assert all(len(c) == 8 and all(0 <= x < 16 for x in c) for c in a.values())
+
+
+def test_pq_recall_vs_exact(emb, books):
+    corpus = emb.filter(F.col("vec_id") >= 20)
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in knn_exact(corpus, q, k=10, metric="l2").collect()
+    }
+    codes = pq_encode(corpus, books)
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in pq_search(codes, q, books, k_neighbors=10).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    # 8 bytes vs 256 bytes — on 64-d random unit vectors the planted
+    # structure is weak; require a clearly-better-than-chance recall
+    # (chance = 10/480 ≈ 0.02).
+    assert recall >= 0.15, recall
+
+
+def test_pq_search_shape_and_rank(emb, books):
+    corpus = emb.filter(F.col("vec_id") >= 20)
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    out = pq_search(pq_encode(corpus, books), q, books, k_neighbors=5).collect()
+    by_q: dict = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {0, 1, 2}
+    for rows in by_q.values():
+        rows = sorted(rows, key=lambda r: r.rank)
+        assert len(rows) == 5
+        dists = [r.adc_distance for r in rows]
+        assert dists == sorted(dists)
