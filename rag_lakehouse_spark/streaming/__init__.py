@@ -1,5 +1,7 @@
 from rag_lakehouse_spark.streaming.events import (
+    click_purchase_stream_join,
     dedup_within_watermark,
+    enrich_stream_static,
     read_events_stream,
     run_batch_to_memory,
     session_window_agg,
@@ -13,5 +15,7 @@ __all__ = [
     "sliding_window_counts",
     "session_window_agg",
     "dedup_within_watermark",
+    "enrich_stream_static",
+    "click_purchase_stream_join",
     "run_batch_to_memory",
 ]

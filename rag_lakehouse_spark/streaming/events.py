@@ -117,6 +117,57 @@ def dedup_within_watermark(events: DataFrame, watermark: str = "2 hours") -> Dat
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
 
 
+def enrich_stream_static(events: DataFrame, dim: DataFrame, on: str = "user_id") -> DataFrame:
+    """Stream-static join: each micro-batch joins against the (small,
+    broadcast) dimension snapshot — the standard enrichment shape
+    (stream of events × slowly-changing user/product dim). No state
+    store involved; the dim is re-resolved per micro-batch, so a
+    Delta/parquet-backed dim picks up updates between batches."""
+    return events.join(F.broadcast(dim), on)
+
+
+def click_purchase_stream_join(
+    events: DataFrame,
+    horizon: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: purchases attributed to a
+    prior click by the same user within ``horizon`` — the canonical
+    funnel/attribution join.
+
+    State-store bounds come from BOTH watermarks plus the time-range
+    predicate: a click can be dropped from state once no purchase
+    within the horizon can still arrive (event-time watermark + range
+    condition — Spark derives the state cleanup from exactly this
+    conjunction). Shuffle is on user_id for both sides.
+    """
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {horizon}")),
+    ).select("user_id", "click_id", "click_ts", "purchase_id", "purchase_ts", "purchase_value")
+
+
 def run_batch_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
     """Drive a streaming query over the currently-available input to
     completion, materializing into an in-memory table ``name``.

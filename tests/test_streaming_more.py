@@ -44,6 +44,57 @@ def test_sliding_stream_matches_batch_windows(spark, events_dir):
     assert got == want
 
 
+def test_stream_static_enrichment_matches_batch(spark, events_dir):
+    from rag_lakehouse_spark.streaming import enrich_stream_static
+
+    static = spark.read.parquet(events_dir)
+    # dim: per-user profile snapshot derived offline
+    dim = static.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_total"))
+    stream = read_events_stream(spark, events_dir)
+    run_batch_to_memory(enrich_stream_static(stream, dim), "enriched_out")
+    got = spark.sql("SELECT * FROM enriched_out")
+    assert got.count() == static.count()  # inner join on a complete dim
+    assert "n_total" in got.columns
+    # every row carries its user's profile value
+    bad = got.join(dim.withColumnRenamed("n_total", "want"), "user_id").filter(
+        F.col("n_total") != F.col("want")
+    )
+    assert bad.count() == 0
+
+
+def test_stream_stream_join_matches_batch(spark, events_dir):
+    from rag_lakehouse_spark.streaming import click_purchase_stream_join
+
+    stream = read_events_stream(spark, events_dir)
+    run_batch_to_memory(click_purchase_stream_join(stream), "funnel_out")
+    got = {
+        (r.click_id, r.purchase_id)
+        for r in spark.sql("SELECT * FROM funnel_out").collect()
+    }
+    e = spark.read.parquet(events_dir)
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    purch = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    want = {
+        (r.click_id, r.purchase_id)
+        for r in clicks.join(
+            purch,
+            (F.col("user_id") == F.col("p_user_id"))
+            & (F.col("purchase_ts") > F.col("click_ts"))
+            & (
+                F.col("purchase_ts")
+                <= F.col("click_ts") + F.expr("INTERVAL 30 minutes")
+            ),
+        ).collect()
+    }
+    assert got == want and len(want) > 0
+
+
 def test_foreach_batch_parquet_sink(spark, events_dir, tmp_path_factory):
     """foreachBatch sink: per-micro-batch idempotent parquet write —
     the exactly-once pattern for sinks without native streaming
