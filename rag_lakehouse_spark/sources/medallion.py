@@ -132,6 +132,30 @@ def write_zone(
     return out
 
 
+def observe_silver_quality(df: DataFrame):
+    """Attach zero-cost in-flight quality metrics to the silver frame:
+    row count, prices the cast repaired to null, quantities defaulted
+    to 0 — collected by the ACTION that writes the zone (Spark's
+    Observation API piggybacks on the job; no second scan, unlike the
+    standalone dq_* audit queries, which re-scan for exact reports).
+
+    Returns (observed_df, observation); read ``observation.get`` after
+    the write action completes. At 100 TB this is the only affordable
+    per-write audit — the write itself carries the counters.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation("silver_quality")
+    observed = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("price").isNull(), 1)).alias("n_null_price"),
+        F.count(F.when(F.col("quantity") == 0, 1)).alias("n_default_quantity"),
+        F.count(F.when(F.col("title").isNull(), 1)).alias("n_null_title"),
+    )
+    return observed, obs
+
+
 def run_pipeline(
     spark: SparkSession,
     raw_path: str,

@@ -99,3 +99,20 @@ def test_full_pipeline_partitioned_write(spark, raw_df, tmp_path_factory):
     # partition pruning works on the written layout
     pruned = silver.filter(F.col("run_date") == "2026-08-13")
     assert pruned.count() == 1
+
+
+def test_observe_silver_quality_piggybacks_on_write(raw_df, tmp_path_factory):
+    """Observation metrics must be collected BY the write action itself
+    (no extra scan) and report the exact repair counts: 'Out of stock'
+    yields quantity default 0; both prices parse; titles present."""
+    from rag_lakehouse_spark.sources.medallion import observe_silver_quality, write_zone
+
+    silver = silver_transform(bronze_transform(raw_df), run_id="obs-1")
+    observed, obs = observe_silver_quality(silver)
+    out = str(tmp_path_factory.mktemp("observed_zone"))
+    write_zone(observed, out, "silver")
+    metrics = obs.get
+    assert metrics["n_rows"] == 2
+    assert metrics["n_null_price"] == 0
+    assert metrics["n_default_quantity"] == 1  # the Out-of-stock record
+    assert metrics["n_null_title"] == 0
