@@ -77,3 +77,16 @@ def test_salted_join_spreads_hot_key(spark, sf_dir):
 
     exchanges = re.findall(r"hashpartitioning\([^)]*\)", plan)
     assert any("__salt" in e and "event_type" in e for e in exchanges), exchanges
+
+
+def test_q7_both_nation_roles_broadcast(spark, sf_dir):
+    plan = plan_of("q7_volume_shipping", spark, sf_dir)
+    assert plan.count("BroadcastHashJoin") >= 2  # supplier-side and customer-side nation
+    assert "PushedFilters" in plan
+
+
+def test_q14_broadcasts_part_and_pushes_year(spark, sf_dir):
+    plan = plan_of("q14_promo_revenue_share", spark, sf_dir)
+    assert "BroadcastHashJoin" in plan
+    # year(l_shipdate) = 1997 must prune at the scan, not post-join
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan or "l_shipdate" in plan.split("ReadSchema")[0]
