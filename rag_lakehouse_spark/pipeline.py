@@ -90,6 +90,44 @@ def build_index(
     return spark.read.parquet(os.path.join(base_path, "index"))
 
 
+def incremental_embed(
+    existing_index: DataFrame,
+    chunks: DataFrame,
+    embed_udf=None,
+    id_col: str = "chunk_id",
+    text_col: str = "chunk_text",
+) -> DataFrame:
+    """Incremental index refresh: embed ONLY chunks that are new or
+    whose text changed; reuse stored vectors for unchanged chunks; drop
+    index rows whose chunk disappeared.
+
+    Change detection is a content fingerprint (md5 of the chunk text)
+    equi-joined on (chunk_id, fingerprint) — no timestamps to trust, no
+    full re-embed. At 100 TB this is THE difference between an index
+    refresh costing the changed slice (embedding is the expensive
+    stage: model inference) and costing the whole corpus. The reference
+    re-embeds everything every run (reference jobs/embedder.py:54-87).
+
+    ``chunks`` must carry every non-embedding column of the index
+    schema; returns the refreshed index (same schema as
+    ``existing_index``).
+    """
+    embed = embed_udf or pseudo_embed_udf()
+    fp = F.md5(F.coalesce(F.col(text_col), F.lit("")))
+    cand = chunks.withColumn("__fp", fp)
+    existing = existing_index.withColumn("__fp", fp)
+
+    # unchanged: same id + same content fingerprint → keep stored vector
+    keep_keys = cand.select(id_col, "__fp")
+    reused = existing.join(keep_keys, [id_col, "__fp"], "left_semi").drop("__fp")
+    # new or changed content → embed just these
+    to_embed = cand.join(
+        existing.select(id_col, "__fp"), [id_col, "__fp"], "left_anti"
+    ).drop("__fp")
+    embedded = to_embed.withColumn("embedding", embed(F.col(text_col)))
+    return reused.unionByName(embedded)
+
+
 def ask(
     spark: SparkSession,
     index: DataFrame,

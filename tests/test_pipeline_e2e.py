@@ -61,3 +61,46 @@ def test_ask_deterministic(spark, lake):
     a = ask(spark, lake, ["poetry"], k=2).collect()
     b = ask(spark, lake, ["poetry"], k=2).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_incremental_embed_touches_only_changed_chunks(spark):
+    """Refresh must reuse stored vectors for unchanged chunks, embed new
+    and changed ones, and drop deleted ones. Proven by refreshing with a
+    DIFFERENT embedder: unchanged rows keep their v1 vectors (reuse),
+    touched rows get v2-marker vectors (re-embedded)."""
+    import numpy as np
+
+    from rag_lakehouse_spark.operators.embedding import pseudo_embed_udf
+    from rag_lakehouse_spark.pipeline import incremental_embed
+
+    schema = "chunk_id string, chunk_text string, book_id string"
+    v1 = spark.createDataFrame(
+        [("c1", "alpha text", "b1"), ("c2", "beta text", "b1"), ("c3", "gamma text", "b2")],
+        schema,
+    )
+    index_v1 = v1.withColumn("embedding", pseudo_embed_udf()(F.col("chunk_text")))
+    index_v1.cache().count()
+
+    v2 = spark.createDataFrame(
+        [
+            ("c1", "alpha text", "b1"),        # unchanged → reuse
+            ("c2", "beta text EDITED", "b1"),  # changed → re-embed
+            ("c4", "delta text", "b3"),        # new → embed
+            # c3 deleted
+        ],
+        schema,
+    )
+
+    # marker embedder: constant vector, trivially distinguishable from v1
+    from pyspark.sql import types as T
+
+    @F.udf(T.ArrayType(T.FloatType()))
+    def marker(_):
+        return [9.0] * 4
+
+    out = {r.chunk_id: r for r in incremental_embed(index_v1, v2, embed_udf=marker).collect()}
+    assert set(out) == {"c1", "c2", "c4"}  # c3 dropped
+    v1_vecs = {r.chunk_id: r.embedding for r in index_v1.collect()}
+    assert np.allclose(out["c1"].embedding, v1_vecs["c1"])  # reused, not re-embedded
+    assert out["c2"].embedding == [9.0] * 4  # changed → marker embedder ran
+    assert out["c4"].embedding == [9.0] * 4  # new → marker embedder ran
