@@ -389,3 +389,32 @@ def docs_by_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_chars").alias("min_chars"),
         F.max("n_chars").alias("max_chars"),
     )
+
+
+@register("udtf_sentence_stats", oracle=None, tags=("udtf", "text", "lateral"))
+def udtf_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface through the driver signal: LATERAL
+    split_sentences over documents → per-doc sentence stats.
+
+    Rows-only: the sentence regex uses lookbehind ((?<=[.!?])\\s+),
+    which DuckDB's RE2 cannot express — tests/test_udtf_incremental.py
+    instead asserts exact agreement with an expression-based Spark twin
+    (F.split with the same Java regex). Scale: a UDTF is row-at-a-time
+    Python — acceptable for low-volume expansion; hot paths use the
+    expression chunkers (operators.chunking).
+    """
+    from rag_lakehouse_spark.operators.udtf import register_udtfs
+
+    register_udtfs(spark)
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    d.createOrReplaceTempView("__udtf_docs")
+    return spark.sql(
+        """
+        SELECT doc_id,
+               COUNT(*) AS n_sentences,
+               CAST(SUM(s.n_words) AS BIGINT) AS total_words,
+               MAX(s.n_words) AS max_sentence_words
+        FROM __udtf_docs, LATERAL split_sentences(text) s
+        GROUP BY doc_id
+        """
+    )

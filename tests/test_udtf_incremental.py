@@ -64,3 +64,34 @@ def test_incremental_microbatches(spark, sf_dir, tmp_path_factory):
     assert len([p for p in progress if p["numInputRows"] > 0]) >= 3  # one batch per file
     total = spark.sql("SELECT * FROM inc_out").collect()[0].n
     assert total == load_table(spark, sf_dir, "events").count()
+
+
+def test_udtf_sentence_stats_matches_expression_twin(spark, sf_dir):
+    """The UDTF path must agree exactly with a pure-expression twin
+    (F.split on the same Java regex) — the local oracle for a query
+    DuckDB can't express (RE2 has no lookbehind)."""
+    from pyspark.sql import functions as F
+
+    from rag_lakehouse_spark.plans import registry
+    from rag_lakehouse_spark.sources.tables import load_table
+
+    got = {
+        r.doc_id: (r.n_sentences, r.total_words, r.max_sentence_words)
+        for r in registry.queries()["udtf_sentence_stats"](spark, sf_dir).collect()
+    }
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    sent = F.filter(
+        F.split("text", r"(?<=[.!?])\s+"), lambda s: F.trim(s) != ""
+    )
+    words = F.transform(sent, lambda s: F.size(F.split(F.trim(s), r"\s+")))
+    twin = d.filter(F.length(F.trim("text")) > 0).select(
+        "doc_id",
+        F.size(sent).alias("n_sentences"),
+        F.aggregate(words, F.lit(0).cast("bigint"), lambda a, x: a + x).alias("total_words"),
+        F.array_max(words).alias("max_sentence_words"),
+    )
+    want = {
+        r.doc_id: (r.n_sentences, r.total_words, r.max_sentence_words)
+        for r in twin.collect()
+    }
+    assert got == want and len(got) > 0
