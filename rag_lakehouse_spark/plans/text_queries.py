@@ -418,3 +418,30 @@ def udtf_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY doc_id
         """
     )
+
+
+@register(
+    "binary_content_stats",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text) AS content_md5,
+           base64(encode(substring(text, 1, 16))) AS head_b64
+    FROM documents WHERE doc_id < 200
+    """,
+    tags=("binary", "multimodal"),
+)
+def binary_content_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary column handling with a hard oracle: UTF-8 byte
+    length, content digest, and a base64 head sample — the typed-
+    metadata layer every multimodal (image/audio bytes) column carries
+    (operators.multimodal holds the decode/feature UDFs; this query
+    proves the binary encode/digest/encode-printable path is
+    engine-exact). Pure map, no Python, no shuffle."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return d.select(
+        "doc_id",
+        F.length(F.encode("text", "UTF-8")).alias("n_bytes"),
+        F.md5("text").alias("content_md5"),
+        F.base64(F.encode(F.substring("text", 1, 16), "UTF-8")).alias("head_b64"),
+    )
