@@ -44,6 +44,12 @@ def get_spark(app_name: str = "rag_lakehouse_spark", **extra_conf: str) -> Spark
             "spark.sql.optimizer.excludedRules",
             "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
         )
+        # Runtime bloom-filter semi-join reduction: when a selective
+        # build side can't broadcast, inject a bloom filter of its join
+        # keys into the probe-side scan. Default size thresholds kept —
+        # locally it never fires (probe side must exceed ~10 GB); on the
+        # 100 TB cluster it prunes shuffle input for free.
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config("spark.ui.enabled", "false")
@@ -70,6 +76,7 @@ def tune_session(spark: SparkSession) -> SparkSession:
     try:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
         spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
     except Exception:
         pass  # conf may be static in some deployments; semantics confs above are what matter
     return spark

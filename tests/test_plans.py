@@ -90,3 +90,34 @@ def test_q14_broadcasts_part_and_pushes_year(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     # year(l_shipdate) = 1997 must prune at the scan, not post-join
     assert "PushedFilters: [IsNotNull(l_shipdate)" in plan or "l_shipdate" in plan.split("ReadSchema")[0]
+
+
+def test_runtime_bloom_filter_mechanism(spark, sf_dir):
+    """The session enables runtime bloom-filter join reduction with
+    default size thresholds (fires only when the probe side is huge —
+    the cluster case). This test lowers the thresholds to prove the
+    mechanism works: a selective non-broadcast build side must inject a
+    bloom_filter_agg into the probe-side plan."""
+    from pyspark.sql import functions as F
+
+    from rag_lakehouse_spark.sources.tables import load_table
+
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = load_table(spark, sf_dir, "lineitem")
+        o = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(o, li.l_orderkey == o.o_orderkey).groupBy("o_orderpriority").count()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan
+        assert j.count() > 0  # and it still computes correctly
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.conf.unset(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+        )
