@@ -269,3 +269,61 @@ def events_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("purchase_value"),
         (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))).alias("active_span_s"),
     )
+
+
+@register(
+    "events_click_purchase_funnel",
+    oracle="""
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           date_diff('second', c.ts, p.ts) AS secs_to_purchase,
+           p.value AS purchase_value
+    FROM events c
+    JOIN events p
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase'
+     AND c.event_type = 'click'
+     AND p.ts > c.ts
+     AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    """,
+    tags=("events", "funnel", "interval-join"),
+)
+def events_click_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click→purchase attribution funnel: every purchase within 30
+    minutes after a click by the same user (interval equi+range join).
+    Batch twin of streaming.click_purchase_stream_join — the streaming
+    side is agreement-tested against exactly this plan.
+
+    Scale: equi-join on user_id carries the range predicate; one
+    shuffle, range filter evaluated post-match (no cross product)."""
+    e = load_table(spark, sf_dir, "events")
+    c = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    return (
+        c.join(
+            p,
+            (F.col("user_id") == F.col("p_user_id"))
+            & (F.col("purchase_ts") > F.col("click_ts"))
+            & (
+                F.col("purchase_ts")
+                <= F.col("click_ts") + F.expr("INTERVAL 30 minutes")
+            ),
+        )
+        .select(
+            "user_id",
+            "click_id",
+            "purchase_id",
+            (
+                F.unix_timestamp("purchase_ts") - F.unix_timestamp("click_ts")
+            ).alias("secs_to_purchase"),
+            "purchase_value",
+        )
+    )
