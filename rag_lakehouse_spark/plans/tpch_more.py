@@ -370,3 +370,39 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+@register(
+    "skew_key_report",
+    oracle="""
+    SELECT l_suppkey AS key, COUNT(*) AS n_rows,
+           CAST(COUNT(*) AS DOUBLE) / (SELECT COUNT(*) FROM lineitem) AS share
+    FROM lineitem
+    GROUP BY 1
+    ORDER BY n_rows DESC, key
+    LIMIT 20
+    """,
+    tags=("skew", "diagnostics", "agg"),
+)
+def skew_key_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnosis: top-20 heavy hitters of a prospective
+    shuffle key with their share of the table — the report that decides
+    between plain shuffle, AQE skew-join, and explicit salting
+    (operators.joins.salted_join / salted_join_hot_events).
+
+    Scale: two-phase count + broadcast scalar total + top-k
+    (TakeOrderedAndProject); one shuffle of (key, partial_count)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    total = li.agg(F.count(F.lit(1)).alias("__total"))
+    return (
+        li.groupBy(F.col("l_suppkey").alias("key"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "key",
+            "n_rows",
+            (F.col("n_rows").cast("double") / F.col("__total")).alias("share"),
+        )
+        .orderBy(F.desc("n_rows"), F.asc("key"))
+        .limit(20)
+    )
