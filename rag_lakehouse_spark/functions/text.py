@@ -29,13 +29,22 @@ def _c(col: Column | str) -> Column:
 
 
 def normalized(text: Column | str) -> Column:
-    """Lowercase, collapse every non-alphanumeric run to one space, trim.
-    Canonical form for fingerprinting and near-dup shingling."""
-    return F.trim(F.regexp_replace(F.lower(_c(text)), "[^a-z0-9]+", " "))
+    """Collapse every non-ASCII-alphanumeric run to one space, THEN
+    lowercase, then trim. Canonical form for fingerprinting and
+    near-dup shingling.
+
+    Strip-before-lower is deliberate: engines disagree on full Unicode
+    case mapping (Spark lowercases U+0130 'İ' to 'i'+combining-dot,
+    DuckDB does not — found by the hypothesis fuzz in
+    tests/test_property_text.py), so casing must only ever see ASCII,
+    where every engine agrees. Non-ASCII text contributes word
+    boundaries, not characters — the same contract the old form applied
+    in practice, minus the divergent edge."""
+    return F.trim(F.lower(F.regexp_replace(_c(text), "[^A-Za-z0-9]+", " ")))
 
 
 def duckdb_normalized(text: str) -> str:
-    return f"trim(regexp_replace(lower({text}), '[^a-z0-9]+', ' ', 'g'))"
+    return f"trim(lower(regexp_replace({text}, '[^A-Za-z0-9]+', ' ', 'g')))"
 
 
 def tokens(text: Column | str) -> Column:

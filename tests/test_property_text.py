@@ -1,0 +1,113 @@
+"""Hypothesis cross-engine property tests for the text-function layer.
+
+Every Spark text primitive ships with a DuckDB twin used to build
+oracles; any divergence between the pair silently corrupts a whole
+query family (this is exactly how the short-text shingle bug slipped
+through: hand-picked fixtures never included a sub-k document). These
+tests fuzz the pair over generated strings — empty, whitespace-only,
+punctuation-only, unicode, shorter than the shingle size — and demand
+exact agreement.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from rag_lakehouse_spark.functions import text as TX
+
+# printable-ish unicode, no surrogates/control chars (parquet/duckdb-safe),
+# biased short so sub-k shingle cases are common
+_char = st.characters(
+    blacklist_categories=("Cs", "Cc", "Cn"), max_codepoint=0x2FFF
+)
+_texts = st.lists(st.text(alphabet=_char, max_size=40), min_size=1, max_size=6)
+
+_SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+
+def _spark_rows(spark, batch, *cols):
+    df = spark.createDataFrame(list(enumerate(batch)), "i long, text string")
+    return {r.i: tuple(r[1:]) for r in df.select("i", *cols).collect()}
+
+
+def _duck_rows(batch, select_sql):
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(i BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", list(enumerate(batch)))
+    return {row[0]: tuple(row[1:]) for row in con.execute(select_sql).fetchall()}
+
+
+@settings(**_SETTINGS)
+@given(batch=_texts)
+def test_normalize_fingerprint_cross_engine(spark, batch):
+    got = _spark_rows(
+        spark,
+        batch,
+        TX.normalized("text").alias("n"),
+        TX.fingerprint("text").alias("fp"),
+    )
+    want = _duck_rows(
+        batch,
+        f"SELECT i, {TX.duckdb_normalized('text')}, {TX.duckdb_fingerprint('text')} FROM t",
+    )
+    assert got == want
+
+
+@settings(**_SETTINGS)
+@given(batch=_texts, k=st.integers(min_value=2, max_value=6))
+def test_char_shingles_cross_engine(spark, batch, k):
+    got = _spark_rows(
+        spark, batch, F.array_sort(TX.char_shingles(TX.normalized("text"), k)).alias("sh")
+    )
+    want = _duck_rows(
+        batch,
+        f"SELECT i, list_sort({TX.duckdb_char_shingles(TX.duckdb_normalized('text'), k)}) FROM t",
+    )
+    got_n = {i: tuple(v[0]) for i, v in got.items()}
+    want_n = {i: tuple(v[0]) for i, v in want.items()}
+    assert got_n == want_n
+
+
+@settings(**_SETTINGS)
+@given(batch=_texts)
+def test_tokens_cross_engine(spark, batch):
+    got = _spark_rows(spark, batch, F.size(TX.tokens("text")).alias("n"))
+    want = _duck_rows(batch, f"SELECT i, len({TX.duckdb_tokens('text')}) FROM t")
+    assert got == want
+
+
+@settings(**_SETTINGS)
+@given(batch=_texts)
+def test_rolling_hash_fold_cross_engine(spark, batch):
+    """Order-sensitive polynomial fold (anagram-safe fingerprint) must
+    produce identical int64 values in both engines."""
+    norm = TX.normalized("text")
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length(norm)),
+        lambda i: F.ascii(F.substring(norm, i, F.lit(1))).cast("bigint"),
+    )
+    fold = F.aggregate(
+        chars, F.lit(0).cast("bigint"), lambda acc, c: (acc * 131 + c) % 2147483647
+    )
+    # guard: F.sequence(1, 0) would yield [1, 0]; length 0 must fold to 0
+    got = _spark_rows(
+        spark, batch, F.when(F.length(norm) > 0, fold).otherwise(F.lit(0)).alias("h")
+    )
+    dn = TX.duckdb_normalized("text")
+    want = _duck_rows(
+        batch,
+        f"""SELECT i, list_reduce(
+                list_prepend(CAST(0 AS BIGINT),
+                  list_transform(generate_series(1, length({dn})),
+                                 j -> CAST(ascii(substring({dn}, j, 1)) AS BIGINT))),
+                (acc, c) -> (acc * 131 + c) % 2147483647) FROM t""",
+    )
+    assert got == want
