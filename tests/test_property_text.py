@@ -111,3 +111,80 @@ def test_rolling_hash_fold_cross_engine(spark, batch):
                 (acc, c) -> (acc * 131 + c) % 2147483647) FROM t""",
     )
     assert got == want
+
+
+@settings(**_SETTINGS)
+@given(batch=_texts, size=st.integers(min_value=1, max_value=9))
+def test_chunk_fixed_cross_engine(spark, batch, size):
+    """Fixed-size chunk expansion must agree with the DuckDB oracle
+    formula for every text length — including empty and shorter-than-
+    size documents (the oracle's greatest(length,1) edge)."""
+    from rag_lakehouse_spark.operators.chunking import chunk_fixed
+
+    df = spark.createDataFrame(list(enumerate(batch)), "doc_id long, text string")
+    got = sorted(
+        (r.doc_id, r.chunk_number, r.chunk_id, r.chunk_text)
+        for r in chunk_fixed(df, size=size, id_prefix="doc").collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", list(enumerate(batch)))
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            f"""
+        SELECT doc_id,
+               unnest(generate_series(0, (greatest(length(text),1)-1)//{size})) + 1,
+               'doc_' || doc_id || '_chunk_' ||
+                 unnest(generate_series(0, (greatest(length(text),1)-1)//{size})),
+               unnest(list_transform(
+                   generate_series(0, (greatest(length(text),1)-1)//{size}),
+                   i -> substring(text, i*{size}+1, {size})))
+        FROM t"""
+        ).fetchall()
+    )
+    assert got == want
+
+
+_vecs = st.integers(min_value=1, max_value=8).flatmap(
+    lambda n: st.lists(
+        st.tuples(
+            st.lists(
+                st.floats(
+                    min_value=-100, max_value=100, allow_nan=False, width=32
+                ),
+                min_size=n,
+                max_size=n,
+            ),
+            st.lists(
+                st.floats(
+                    min_value=-100, max_value=100, allow_nan=False, width=32
+                ),
+                min_size=n,
+                max_size=n,
+            ),
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+
+
+@settings(**_SETTINGS)
+@given(pairs=_vecs)
+def test_vector_dot_fold_cross_engine(spark, pairs):
+    """The strict left-fold dot product — the basis of every knn
+    oracle — must be bit-identical across engines for arbitrary
+    float32 vectors, including the list_sum-vs-fold question."""
+    from rag_lakehouse_spark.functions import vector as VEC
+
+    rows = [(i, a, b) for i, (a, b) in enumerate(pairs)]
+    df = spark.createDataFrame(rows, "i long, a array<float>, b array<float>")
+    got = {r.i: r.d for r in df.select("i", VEC.dot("a", "b").alias("d")).collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(i BIGINT, a FLOAT[], b FLOAT[])")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    want = dict(
+        con.execute(f"SELECT i, {VEC.duckdb_dot('a', 'b')} FROM t").fetchall()
+    )
+    assert got == want
