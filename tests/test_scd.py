@@ -94,3 +94,58 @@ def test_compact_reduces_files(spark, sf_dir, tmp_path_factory):
     compact(spark, path, target_files=4)
     assert len(glob.glob(f"{path}/*.parquet")) == 4
     assert spark.read.parquet(path).count() == before
+
+
+def test_scd2_invariants_under_random_update_sequences(spark):
+    """Hypothesis: apply random update batches sequentially; after every
+    merge (a) each key has at most one open version, (b) an open version
+    carries the key's latest-applied values, (c) history only grows."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    keys = st.integers(min_value=1, max_value=4)
+    batch = st.lists(
+        st.tuples(keys, st.sampled_from(["A", "B", "C"]), st.integers(0, 3)),
+        min_size=1,
+        max_size=4,
+        unique_by=lambda t: t[0],
+    )
+
+    @settings(
+        max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+    )
+    @given(batches=st.lists(batch, min_size=1, max_size=3))
+    def run(batches):
+        current = spark.createDataFrame(
+            [],
+            "k long, segment string, bal double, effective_from string, "
+            "effective_to string, is_current boolean",
+        )
+        latest: dict = {}
+        prev_rows = 0
+        for i, b in enumerate(batches):
+            updates = spark.createDataFrame(
+                [(k, s, float(v)) for k, s, v in b], "k long, segment string, bal double"
+            )
+            merged = scd2_apply(
+                current, updates, "k", ("segment", "bal"),
+                batch_ts=f"2026-01-0{i + 1} 00:00:00",
+            )
+            # materialize between merges: chained scd2 plans grow
+            # multiplicatively (each merge references current 4x), so
+            # rebuild the frame from the collected rows — tiny data,
+            # constant plan depth, 6x faster test
+            rows = merged.collect()
+            current = spark.createDataFrame(rows, merged.schema)
+            for k, s, v in b:
+                latest[k] = (s, float(v))
+            open_by_key: dict = {}
+            for r in rows:
+                if r.is_current:
+                    assert r.k not in open_by_key, f"two open versions for {r.k}"
+                    open_by_key[r.k] = (r.segment, r.bal)
+            assert open_by_key == latest  # every key's open row = last values
+            assert len(rows) >= prev_rows  # history never shrinks
+            prev_rows = len(rows)
+
+    run()
