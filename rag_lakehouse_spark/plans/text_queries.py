@@ -445,3 +445,38 @@ def binary_content_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("text").alias("content_md5"),
         F.base64(F.encode(F.substring("text", 1, 16), "UTF-8")).alias("head_b64"),
     )
+
+
+@register(
+    "sample_stratified_docs",
+    oracle="""
+    SELECT doc_id, lang,
+           substring(md5(text), 1, 2) AS bucket
+    FROM documents
+    WHERE substring(md5(text), 1, 2) <
+          CASE lang WHEN 'en' THEN '80'
+                    WHEN 'zh' THEN '40'
+                    ELSE '20' END
+    """,
+    tags=("sampling", "mixture", "text"),
+)
+def sample_stratified_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling by content hash — the
+    reproducible way to build a training-data mixture (50% of en docs,
+    25% of zh, 12.5% of the rest, by md5-prefix threshold per stratum).
+
+    Why not ``rand()``/``sample()``: content-hash sampling is stable
+    across runs, partitionings and engines (same doc → same decision),
+    composable (tighten a threshold → strict subset), and auditable.
+    Scale: pure map over the corpus — the predicate evaluates at the
+    scan, no shuffle, no state."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5("text"), 1, 2)
+    threshold = (
+        F.when(F.col("lang") == "en", "80")
+        .when(F.col("lang") == "zh", "40")
+        .otherwise("20")
+    )
+    return d.filter(bucket < threshold).select(
+        "doc_id", "lang", bucket.alias("bucket")
+    )
