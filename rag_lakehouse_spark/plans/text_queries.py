@@ -480,3 +480,18 @@ def sample_stratified_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.filter(bucket < threshold).select(
         "doc_id", "lang", bucket.alias("bucket")
     )
+
+
+@register("metadata_stamped_docs", oracle=None, tags=("metadata", "uuid", "stamping"))
+def metadata_stamped_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record-metadata stamping (SURVEY §2.1 S3): per-row uuid + batch
+    ingestion timestamp, the reference's scrape-record enrichment
+    (reference jobs/scraper.py:171-173: id = uuid4, scraped_at =
+    strftime now). Rows-only by nature (uuid/now are nondeterministic);
+    tests/test_operators_misc.py pins format and uniqueness."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.expr("uuid()").alias("record_uuid"),
+        F.date_format(F.current_timestamp(), "yyyy-MM-dd HH:mm:ss").alias("ingested_at"),
+    )
