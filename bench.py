@@ -10,11 +10,20 @@ Each query executes to completion (count() materializes the full
 plan) with the result cut off from driver collection — we measure
 engine throughput, not driver serialization.
 
+Each query is timed SPARK_GRAFT_BENCH_RUNS times (default 3);
+"queries" carries the per-query MEDIAN (robust to one-off scheduler
+hiccups — r2 recorded a 21.5 s outlier on a query that reproduces at
+1.6-2.7 s) and "cold" carries the first-run wall time for anyone who
+cares about cold-start.
+
 "duckdb" records the wall time of each headline query's oracle SQL on
 single-node DuckDB over the same parquet — the engine-external anchor
-for the <=2x perf gate (the reference publishes no timings). Queries
-without an oracle (probabilistic dedup, BLAS knn) have no entry.
-Set SPARK_GRAFT_SKIP_DUCKDB=1 to skip the anchor pass.
+for the <=2x perf gate (the reference publishes no timings). Each
+oracle gets one untimed warm run (symmetric with the Spark warmup);
+anchor failures are recorded under "duckdb_error" instead of being
+silently dropped. Queries without an oracle (probabilistic dedup,
+BLAS knn) have no entry. Set SPARK_GRAFT_SKIP_DUCKDB=1 to skip the
+anchor pass.
 """
 
 from __future__ import annotations
@@ -71,35 +80,44 @@ def main() -> None:
                 except Exception:  # warmup must never break the bench
                     pass
 
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for name in HEADLINE:
         if name not in qs:  # registry drift guard: never break the driver loop
             continue
-        t0 = time.perf_counter()
-        qs[name](spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        runs: list[float] = []
+        for i in range(n_runs):
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).count()
+            runs.append(time.perf_counter() - t0)
+        cold[name] = round(runs[0], 3)
+        runs.sort()
+        timings[name] = round(runs[len(runs) // 2], 3)  # median
 
     duck_timings: dict[str, float] = {}
+    duck_error = None
     if not os.environ.get("SPARK_GRAFT_SKIP_DUCKDB"):
         try:
             duck_timings = duckdb_anchor(sf_dir)
-        except Exception:
-            duck_timings = {}  # the anchor must never break the bench line
+        except Exception as exc:  # the anchor must never break the bench line
+            duck_error = f"{type(exc).__name__}: {exc}"
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_total",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "duckdb": duck_timings,
-                "warmup": warmed,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_suite_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "cold": cold,
+        "runs": n_runs,
+        "duckdb": duck_timings,
+        "warmup": warmed,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if duck_error:
+        out["duckdb_error"] = duck_error
+    print(json.dumps(out))
 
 
 def duckdb_anchor(sf_dir: str) -> dict[str, float]:
@@ -121,6 +139,16 @@ def duckdb_anchor(sf_dir: str) -> dict[str, float]:
     for name in HEADLINE:
         sql = oracles.get(name)
         if not sql:
+            continue
+        # One warm run (symmetric with the Spark warmup), then a timed run.
+        # If the warm run already took >5 s, record it directly: warm-vs-cold
+        # skew only matters at sub-second scale, and re-running a minute-long
+        # oracle (dedup_ngram_jaccard: ~67 s) doubles the bench for nothing.
+        t0 = time.perf_counter()
+        con.execute(sql).fetchall()
+        warm = time.perf_counter() - t0
+        if warm > 5.0:
+            out[name] = round(warm, 3)
             continue
         t0 = time.perf_counter()
         con.execute(sql).fetchall()
