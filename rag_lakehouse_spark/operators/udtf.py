@@ -11,6 +11,15 @@ import re
 from pyspark.sql.functions import udtf
 
 
+# Whitespace is the explicit ASCII class, NOT \s: Python re's \s matches
+# Unicode whitespace, Java's \s is ASCII, and DuckDB's RE2 \s is a third
+# set — pinning [ \t\n\r\f\v] makes the sentence contract identical in
+# the UDTF, the F.split expression twin, and the DuckDB oracle.
+_WS = " \t\n\r\f\v"
+_SENT_SPLIT = re.compile(r"(?<=[.!?])[ \t\n\r\f\v]+")
+_WORD = re.compile(r"[^ \t\n\r\f\v]+")
+
+
 @udtf(returnType="sentence_no int, sentence string, n_words int")
 class SplitSentences:
     """Sentence splitter table function: yields (sentence_no 1-based,
@@ -19,8 +28,8 @@ class SplitSentences:
     def eval(self, text: str):  # noqa: D102
         if not text:
             return
-        for i, s in enumerate(p for p in re.split(r"(?<=[.!?])\s+", text) if p.strip()):
-            yield i + 1, s, len(s.split())
+        for i, s in enumerate(p for p in _SENT_SPLIT.split(text) if p.strip(_WS)):
+            yield i + 1, s, len(_WORD.findall(s))
 
 
 def register_udtfs(spark) -> None:

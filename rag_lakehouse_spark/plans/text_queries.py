@@ -391,17 +391,44 @@ def docs_by_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("udtf_sentence_stats", oracle=None, tags=("udtf", "text", "lateral"))
+@register(
+    "udtf_sentence_stats",
+    # DuckDB's RE2 has no lookbehind, so the oracle emulates
+    # (?<=[.!?])<ws>+ by rewriting each boundary to a chr(1) sentinel
+    # and splitting on it — identical sentence set (whitespace is the
+    # pinned ASCII class shared by the UDTF, see operators/udtf.py).
+    oracle=r"""
+    WITH sent AS (
+      SELECT doc_id,
+             unnest(string_split(
+               regexp_replace(text, '([.!?])[ \t\n\r\f\v]+',
+                              '\1' || chr(1), 'g'),
+               chr(1))) AS s
+      FROM documents WHERE doc_id < 100
+    ), words AS (
+      SELECT doc_id,
+             len(list_filter(string_split_regex(s, '[ \t\n\r\f\v]+'),
+                             x -> x <> '')) AS n_words
+      FROM sent WHERE regexp_matches(s, '[^ \t\n\r\f\v]')
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_sentences,
+           CAST(SUM(n_words) AS BIGINT) AS total_words,
+           CAST(MAX(n_words) AS INT) AS max_sentence_words
+    FROM words
+    GROUP BY doc_id
+    """,
+    tags=("udtf", "text", "lateral"),
+)
 def udtf_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Python UDTF surface through the driver signal: LATERAL
     split_sentences over documents → per-doc sentence stats.
 
-    Rows-only: the sentence regex uses lookbehind ((?<=[.!?])\\s+),
-    which DuckDB's RE2 cannot express — tests/test_udtf_incremental.py
-    instead asserts exact agreement with an expression-based Spark twin
-    (F.split with the same Java regex). Scale: a UDTF is row-at-a-time
-    Python — acceptable for low-volume expansion; hot paths use the
-    expression chunkers (operators.chunking).
+    tests/test_udtf_incremental.py additionally asserts exact agreement
+    with an expression-based Spark twin (F.split on the same ASCII
+    whitespace regex). Scale: a UDTF is row-at-a-time Python —
+    acceptable for low-volume expansion; hot paths use the expression
+    chunkers (operators.chunking).
     """
     from rag_lakehouse_spark.operators.udtf import register_udtfs
 

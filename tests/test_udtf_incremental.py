@@ -68,8 +68,8 @@ def test_incremental_microbatches(spark, sf_dir, tmp_path_factory):
 
 def test_udtf_sentence_stats_matches_expression_twin(spark, sf_dir):
     """The UDTF path must agree exactly with a pure-expression twin
-    (F.split on the same Java regex) — the local oracle for a query
-    DuckDB can't express (RE2 has no lookbehind)."""
+    (F.split on the same pinned ASCII-whitespace regex — see
+    operators/udtf.py for why the class is explicit, not \\s)."""
     from pyspark.sql import functions as F
 
     from rag_lakehouse_spark.plans import registry
@@ -80,10 +80,15 @@ def test_udtf_sentence_stats_matches_expression_twin(spark, sf_dir):
         for r in registry.queries()["udtf_sentence_stats"](spark, sf_dir).collect()
     }
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    ws = "[ \\t\\n\\r\\f\\x0B]"
     sent = F.filter(
-        F.split("text", r"(?<=[.!?])\s+"), lambda s: F.trim(s) != ""
+        F.split("text", f"(?<=[.!?]){ws}+"),
+        lambda s: F.regexp_like(s, F.lit(f"[^ \\t\\n\\r\\f\\x0B]")),
     )
-    words = F.transform(sent, lambda s: F.size(F.split(F.trim(s), r"\s+")))
+    words = F.transform(
+        sent,
+        lambda s: F.size(F.filter(F.split(s, f"{ws}+"), lambda t: t != F.lit(""))),
+    )
     twin = d.filter(F.length(F.trim("text")) > 0).select(
         "doc_id",
         F.size(sent).alias("n_sentences"),
