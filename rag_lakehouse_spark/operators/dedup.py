@@ -172,9 +172,13 @@ def minhash_lsh_pairs(
         shingle_relation(df, text_col, id_col, shingle_k), id_col, num_hashes
     )
     # Candidate pairs are consumed twice (id extraction + final join):
-    # persist the TINY pair list so the signature/banding pipeline runs
-    # once, not once per consumer.
-    cands = lsh_candidate_pairs(sigs, id_col, num_hashes, bands).persist()
+    # materialize the TINY pair list once so the signature/banding
+    # pipeline runs once, not once per consumer. localCheckpoint (eager)
+    # rather than persist(): its blocks are owned by the RDD, so the
+    # ContextCleaner reclaims them when the result goes out of scope —
+    # a plain persist() lives in the CacheManager until an explicit
+    # unpersist and would accumulate across calls in a long session.
+    cands = lsh_candidate_pairs(sigs, id_col, num_hashes, bands).localCheckpoint(eager=True)
     # No .distinct() — a left-semi probe side tolerates duplicate keys,
     # and dropping it saves a whole shuffle stage.
     cand_ids = cands.select(F.explode(F.array("id_a", "id_b")).alias(id_col))

@@ -5,9 +5,10 @@ training-data / lakehouse pipeline runs before promoting a zone
 The reference enforces its silver contract implicitly (cast-to-null +
 fillna, reference jobs/silver_transformation.py:63-82) but never
 REPORTS violations; these queries make the checks first-class, exact,
-and cheap: every check is an aggregate over one scan (plus one
-broadcast anti-join for referential integrity), so auditing 100 TB
-costs one pass.
+and cheap: ALL of a table's checks are conditional aggregates in one
+agg() over one scan (the referential check rides the same scan through
+a 1:1 broadcast left join), unpivoted to the report shape — auditing
+100 TB costs one pass.
 """
 
 from __future__ import annotations
@@ -56,43 +57,34 @@ def dq_orders_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     domain, key uniqueness, and customer referential integrity — one
     row per check with exact violation counts.
 
-    Scale: the four column checks ride ONE scan (conditional
-    aggregates); the orphan check is a broadcast left join against the
-    customer keys. No check needs more than an aggregate's shuffle.
+    Scale: ALL five checks ride one scan — a single agg() over
+    orders LEFT-broadcast-JOIN customer (the join is 1:1 on the
+    customer primary key, so the row multiset and every per-order
+    check are unchanged) emits one wide row of conditional aggregates,
+    and ``stack`` unpivots it to the report shape. Auditing 100 TB
+    costs one pass, exactly as advertised.
     """
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer").select("c_custkey")
-
-    def check(name: str, n_bad, src: DataFrame) -> DataFrame:
-        return src.agg(
-            F.lit(name).alias("check_name"),
-            n_bad.cast("bigint").alias("n_bad"),
-            F.count(F.lit(1)).alias("n_rows"),
-        )
-
-    checks = [
-        check("null_orderdate", F.count(F.when(F.col("o_orderdate").isNull(), 1)), o),
-        check("nonpositive_price", F.count(F.when(F.col("o_totalprice") <= 0, 1)), o),
-        check(
-            "invalid_status",
-            F.count(F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1)),
-            o,
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left")
+    wide = j.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("o_orderdate").isNull(), 1)).alias("null_orderdate"),
+        F.count(F.when(F.col("o_totalprice") <= 0, 1)).alias("nonpositive_price"),
+        F.count(F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1)).alias(
+            "invalid_status"
         ),
-        check(
-            "duplicate_orderkey",
-            F.count(F.lit(1)) - F.countDistinct("o_orderkey"),
-            o,
-        ),
-        check(
-            "orphan_custkey",
-            F.count(F.when(F.col("c_custkey").isNull(), 1)),
-            o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left"),
-        ),
-    ]
-    out = checks[0]
-    for df in checks[1:]:
-        out = out.unionByName(df)
-    return out.select(
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("duplicate_orderkey"),
+        F.count(F.when(F.col("c_custkey").isNull(), 1)).alias("orphan_custkey"),
+    )
+    return wide.selectExpr(
+        "stack(5, 'null_orderdate', null_orderdate,"
+        " 'nonpositive_price', nonpositive_price,"
+        " 'invalid_status', invalid_status,"
+        " 'duplicate_orderkey', duplicate_orderkey,"
+        " 'orphan_custkey', orphan_custkey) AS (check_name, n_bad)",
+        "n_rows",
+    ).select(
         "check_name",
         "n_bad",
         "n_rows",
@@ -132,30 +124,26 @@ def dq_documents_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-side quality audit: empty documents, metadata/content
     drift (n_chars vs actual length), language-tag domain, id
     uniqueness — the gate a training corpus passes before tokenization
-    spend. One scan, conditional aggregates."""
+    spend. True one-scan: a single agg() emits one wide row of
+    conditional aggregates; ``stack`` unpivots to the report shape."""
     d = load_table(spark, sf_dir, "documents")
-
-    def check(name: str, n_bad) -> DataFrame:
-        return d.agg(
-            F.lit(name).alias("check_name"),
-            n_bad.cast("bigint").alias("n_bad"),
-            F.count(F.lit(1)).alias("n_rows"),
-        )
-
     empty = F.col("text").isNull() | (F.length(F.trim(F.col("text"))) == 0)
-    checks = [
-        check("empty_text", F.count(F.when(empty, 1))),
-        check("bad_char_count", F.count(F.when(F.col("n_chars") != F.length("text"), 1))),
-        check(
-            "unknown_lang",
-            F.count(F.when(~F.col("lang").isin("en", "de", "fr", "es", "zh"), 1)),
+    wide = d.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(empty, 1)).alias("empty_text"),
+        F.count(F.when(F.col("n_chars") != F.length("text"), 1)).alias("bad_char_count"),
+        F.count(F.when(~F.col("lang").isin("en", "de", "fr", "es", "zh"), 1)).alias(
+            "unknown_lang"
         ),
-        check("duplicate_doc_id", F.count(F.lit(1)) - F.countDistinct("doc_id")),
-    ]
-    out = checks[0]
-    for df in checks[1:]:
-        out = out.unionByName(df)
-    return out.select(
+        (F.count(F.lit(1)) - F.countDistinct("doc_id")).alias("duplicate_doc_id"),
+    )
+    return wide.selectExpr(
+        "stack(4, 'empty_text', empty_text,"
+        " 'bad_char_count', bad_char_count,"
+        " 'unknown_lang', unknown_lang,"
+        " 'duplicate_doc_id', duplicate_doc_id) AS (check_name, n_bad)",
+        "n_rows",
+    ).select(
         "check_name",
         "n_bad",
         "n_rows",

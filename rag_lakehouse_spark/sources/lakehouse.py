@@ -80,10 +80,22 @@ def write_table(
 
 
 def read_table(spark: SparkSession, path: str, fmt: str | None = None) -> DataFrame:
-    """Read a path-addressed table; format auto-detected by probing for
-    a Delta log when not given (an Iceberg/parquet directory has none)."""
+    """Read a path-addressed table; format auto-detected when not given:
+    a ``_delta_log`` dir means Delta, an Iceberg ``metadata`` dir (with
+    ``*.metadata.json`` version files) means Iceberg, else plain parquet.
+
+    The Iceberg probe matters: reading an Iceberg table root as raw
+    parquet would scan data files ACROSS snapshots (Iceberg keeps
+    superseded files on disk until expiry) — stale and uncommitted rows
+    included. Detect-or-fail-loud, never silently misread.
+    """
     if fmt is None:
-        fmt = "delta" if _has_delta_log(spark, path) else "parquet"
+        if _has_delta_log(spark, path):
+            fmt = "delta"
+        elif _has_iceberg_metadata(spark, path):
+            fmt = "iceberg"
+        else:
+            fmt = "parquet"
     return spark.read.format(fmt).load(path)
 
 
@@ -95,5 +107,23 @@ def _has_delta_log(spark: SparkSession, path: str) -> bool:
         hconf = spark.sparkContext._jsc.hadoopConfiguration()
         p = jvm.org.apache.hadoop.fs.Path(path + "/_delta_log")
         return p.getFileSystem(hconf).exists(p)
+    except Exception:
+        return False
+
+
+def _has_iceberg_metadata(spark: SparkSession, path: str) -> bool:
+    """True iff ``path`` looks like an Iceberg (HadoopTables) table root:
+    a ``metadata/`` dir containing ``*.metadata.json`` version files."""
+    if not format_available(spark, "iceberg"):
+        return False
+    try:
+        jvm = spark.sparkContext._jvm
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        meta = jvm.org.apache.hadoop.fs.Path(path + "/metadata")
+        fs = meta.getFileSystem(hconf)
+        if not fs.exists(meta):
+            return False
+        glob = jvm.org.apache.hadoop.fs.Path(path + "/metadata/*.metadata.json")
+        return len(fs.globStatus(glob) or []) > 0
     except Exception:
         return False

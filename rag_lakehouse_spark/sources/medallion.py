@@ -164,12 +164,18 @@ def run_pipeline(
 ) -> DataFrame:
     """raw JSON → bronze parquet → silver parquet; returns the silver
     DataFrame (read back from the written zone, as downstream stages —
-    chunk/embed — would consume it)."""
-    from rag_lakehouse_spark.sources.lakehouse import read_table
+    chunk/embed — would consume it).
 
+    The table format is resolved ONCE and threaded through both writes
+    and the read-back, so write and read can never disagree on what the
+    zone is (read_table's auto-detection also covers delta AND iceberg,
+    but the explicit thread-through removes the probe from the loop)."""
+    from rag_lakehouse_spark.sources.lakehouse import best_format, read_table
+
+    fmt = best_format(spark)
     bronze = bronze_transform(read_raw_json(spark, raw_path))
     write_zone(bronze.withColumn("run_id", F.lit(run_id)), base_path, "bronze",
-               partition_cols=("run_id",))
+               partition_cols=("run_id",), fmt=fmt)
     silver = silver_transform(bronze, run_id)
-    write_zone(silver, base_path, "silver")
-    return read_table(spark, join_uri(base_path, "silver"))
+    write_zone(silver, base_path, "silver", fmt=fmt)
+    return read_table(spark, join_uri(base_path, "silver"), fmt=fmt)
