@@ -167,6 +167,33 @@ def knn_lsh(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def _assign_cells(
+    df: DataFrame, cent_b: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """Nearest-centroid assignment as a ``max_by`` groupBy aggregation:
+    (id, vec, cell_id) with cell_id = argmax cosine(vec, centroid),
+    ties broken toward the smaller cell_id.
+
+    The crossJoin×n_cells expansion is streamed through a hash
+    aggregate in the SAME stage (map-side partial agg), so the shuffle
+    carries one row per input vector — a row_number window here would
+    shuffle the full n_cells× expansion. first(vec) is deterministic:
+    every row in a group carries the identical vector.
+    """
+    return (
+        df.crossJoin(cent_b)
+        .withColumn("__sim", cosine(F.col(vec_col), F.col("centroid")))
+        .groupBy(id_col)
+        .agg(
+            F.first(vec_col).alias(vec_col),
+            F.max_by(
+                F.col("cell_id"),
+                F.struct(F.col("__sim"), (-F.col("cell_id")).alias("__nc")),
+            ).alias("cell_id"),
+        )
+    )
+
+
 def kmeans_centroids(
     corpus: DataFrame,
     n_cells: int = 16,
@@ -190,6 +217,11 @@ def kmeans_centroids(
     Empty cells keep their previous centroid. Deterministic: stratified
     init (first vector of each id % n_cells stratum), fixed iteration
     count, tie-break on cell_id.
+
+    Assignment is a ``max_by`` groupBy aggregation, NOT a row_number
+    window: hash aggregation partial-aggregates map-side, so the
+    shuffle carries ONE row per corpus vector — a window over the
+    corpus×centroids expansion would shuffle n_cells× the corpus.
     """
     import numpy as np
 
@@ -208,21 +240,14 @@ def kmeans_centroids(
     norm = lambda v: v / (np.linalg.norm(v) + 1e-12)  # noqa: E731
     cents = {c: norm(v) for c, v in cents.items()}
 
-    assign_w = W.partitionBy(corpus_id).orderBy(F.desc("__sim"), F.asc("cell_id"))
     for _ in range(n_iters):
         cent_df = spark.createDataFrame(
             [(c, [float(x) for x in v]) for c, v in sorted(cents.items())],
             "cell_id int, centroid array<float>",
         )
-        assigned = (
-            corpus.crossJoin(F.broadcast(cent_df))
-            .withColumn("__sim", cosine(F.col(corpus_vec), F.col("centroid")))
-            .withColumn("__r", F.row_number().over(assign_w))
-            .filter(F.col("__r") == 1)
-            .select("cell_id", corpus_vec)
-        )
+        assigned = _assign_cells(corpus, F.broadcast(cent_df), corpus_id, corpus_vec)
         means = (
-            assigned.select("cell_id", F.posexplode(corpus_vec).alias("pos", "val"))
+            assigned.select("cell_id", F.posexplode(F.col(corpus_vec)).alias("pos", "val"))
             .groupBy("cell_id", "pos")
             .agg(F.avg("val").alias("m"))
             .collect()
@@ -278,14 +303,11 @@ def knn_ivf(
         )
     cent_b = F.broadcast(centroids_df)
 
-    # Assign corpus rows to nearest centroid (argmin over broadcast cells).
-    assign_w = W.partitionBy(corpus_id).orderBy(F.desc("__sim"), F.asc("cell_id"))
-    assigned = (
-        corpus.crossJoin(cent_b)
-        .withColumn("__sim", cosine(F.col(corpus_vec), F.col("centroid")))
-        .withColumn("__r", F.row_number().over(assign_w))
-        .filter(F.col("__r") == 1)
-        .select(corpus_id, corpus_vec, "cell_id")
+    # Assign corpus rows to nearest centroid: max_by aggregation — the
+    # shuffle carries one row per corpus vector, not the ×n_cells
+    # expansion a window argmax would move (see _assign_cells).
+    assigned = _assign_cells(corpus, cent_b, corpus_id, corpus_vec).select(
+        corpus_id, corpus_vec, "cell_id"
     )
 
     # Queries probe their n_probe nearest cells.
