@@ -109,6 +109,9 @@ _PRIORITY: tuple[str, ...] = (
     "ann_pq_topk",
     "embed_and_search",
     "media_features_pipeline",
+    # -- new in r3: first driver exposure --
+    "ann_srp_lsh_topk",
+    "medallion_silver_pipeline",
     # -- oracle upgraded in r3 (was rows-only): prove the flip --
     "udtf_sentence_stats",
     # -- green sentinels (one per verified family) --

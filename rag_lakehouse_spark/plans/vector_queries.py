@@ -174,6 +174,101 @@ def embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _duckdb_plane_dot(vec: str, plane: list[float]) -> str:
+    """DuckDB fragment: left-fold dot of a vector column against a
+    LITERAL hyperplane (repr() round-trips each double exactly, so both
+    engines fold the identical products)."""
+    arr = "[" + ", ".join(repr(float(x)) for x in plane) + "]::DOUBLE[]"
+    return (
+        f"list_sum(list_transform(generate_series(1, {len(plane)}), "
+        f"i -> CAST({vec}[i] AS DOUBLE) * ({arr})[i]))"
+    )
+
+
+def _duckdb_srp_bucket(vec: str, planes: list[list[float]]) -> str:
+    """DuckDB twin of operators.similarity._srp_bucket: one sign bit per
+    hyperplane, packed little-endian into a BIGINT."""
+    bits = " + ".join(
+        f"(CASE WHEN {_duckdb_plane_dot(vec, p)} >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    return f"CAST({bits} AS BIGINT)"
+
+
+def _srp_planes() -> list[list[float]]:
+    from rag_lakehouse_spark.operators.similarity import _random_hyperplanes
+
+    return _random_hyperplanes(dim=64, n_planes=4, seed=42)
+
+
+_SRP_SCORE = f"{VEC.duckdb_dot('c.embedding', 'q.embedding')} / (c.nrm * q.nrm)"
+
+
+@register(
+    "ann_srp_lsh_topk",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding,
+             sqrt({VEC.duckdb_dot("embedding", "embedding")}) AS nrm,
+             {_duckdb_srp_bucket("embedding", _srp_planes())} AS bucket
+      FROM embeddings)
+    SELECT * FROM (
+      SELECT q.vec_id AS query_id,
+             c.vec_id AS neighbor_id,
+             q.bucket AS bucket,
+             {_SRP_SCORE} AS score,
+             ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                ORDER BY {_SRP_SCORE} DESC, c.vec_id) AS rank
+      FROM e q JOIN e c ON q.bucket = c.bucket
+      WHERE q.vec_id < 20 AND c.vec_id >= 20) t
+    WHERE rank <= 10
+    """,
+    tags=("vector", "ann", "lsh"),
+)
+def ann_srp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate k-NN via signed-random-projection LSH, fully
+    deterministic and ORACLED: the 4 seeded hyperplanes are driver-side
+    literals, so the DuckDB twin reproduces the exact bucket bits (same
+    left-fold dots, same >= 0 signs) and the exact candidate scores —
+    a hash-checked approximate index, not just a recall report.
+
+    Scale: bucketing is pure codegen map work on both sides; the
+    candidate join is an equi-join on the bucket key (2^n_planes
+    shrink vs the cross product); norms are hoisted below the join so
+    each surviving pair costs one dot fold. The same plan shape holds
+    with the corpus bucketed/partitioned by ``bucket`` at 100 TB —
+    candidates co-locate, queries broadcast.
+    """
+    from rag_lakehouse_spark.operators.similarity import _srp_bucket
+
+    planes = _srp_planes()
+    e = _normed(load_table(spark, sf_dir, "embeddings")).withColumn(
+        "bucket", _srp_bucket(F.col("embedding"), planes)
+    )
+    q = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+        "bucket",
+    )
+    cand = (
+        e.filter(F.col("vec_id") >= 20)
+        .join(F.broadcast(q), "bucket")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "bucket",
+            (VEC.dot("embedding", "q_emb") / (F.col("nrm") * F.col("q_nrm"))).alias("score"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "neighbor_id", "bucket", "score", "rank")
+    )
+
+
 @register(
     "embedding_label_stats",
     oracle=f"""
