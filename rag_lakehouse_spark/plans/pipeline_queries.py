@@ -226,3 +226,113 @@ def rag_batch_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("context"),
         F.min_by("source", "rank").alias("top_source"),
     )
+
+
+_MEDALLION_RAW_SQL = """
+    SELECT 'Title ' || CAST(doc_id AS VARCHAR) AS title,
+           CASE WHEN doc_id % 13 = 0 THEN NULL
+                WHEN doc_id % 17 = 0 THEN 'N/A'
+                ELSE '£' || CAST(doc_id % 500 AS VARCHAR) || '.99' END AS price,
+           CASE WHEN doc_id % 7 = 0 THEN 'Out of stock'
+                ELSE 'In stock (' || CAST(doc_id % 30 + 1 AS VARCHAR)
+                     || ' available)' END AS availability,
+           'desc of ' || CAST(doc_id AS VARCHAR) AS description,
+           lang AS category,
+           CASE WHEN doc_id % 11 = 0 THEN 'N/A'
+                ELSE CAST(doc_id % 1000 AS VARCHAR) END AS review_count,
+           source || '/book/' || CAST(doc_id AS VARCHAR) AS book_url,
+           '2026-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+             || ' 08:30:00' AS scraped_at,
+           'doc-' || CAST(doc_id AS VARCHAR) AS id
+    FROM documents
+"""
+
+
+@register(
+    "medallion_silver_pipeline",
+    oracle=rf"""
+    WITH raw AS ({_MEDALLION_RAW_SQL})
+    SELECT 'r3-medallion' AS run_id,
+           strftime(TRY_CAST(scraped_at AS TIMESTAMP), '%Y-%m-%d') AS run_date,
+           title,
+           TRY_CAST(regexp_replace(price, '^(\D+)', '') AS DOUBLE) AS price,
+           price AS price_text,
+           regexp_extract(price, '^(\D+)', 1) AS currency_symbol,
+           COALESCE(TRY_CAST(regexp_extract(availability, '\((\d+)', 1) AS INT), 0)
+             AS quantity,
+           regexp_extract(availability, '^([^\(]+)', 1) AS stock_status,
+           description,
+           category,
+           TRY_CAST(review_count AS INT) AS review_count,
+           book_url,
+           scraped_at,
+           id
+    FROM raw
+    """,
+    tags=("medallion", "pipeline", "e2e"),
+)
+def medallion_silver_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end medallion run, driver-verified: a deterministic
+    scraped-record fixture derived from the documents table is written
+    to a raw JSON zone, then ``run_pipeline`` executes the reference's
+    signature path — raw JSON scan → bronze rename contract → silver
+    14-column typed contract (regex parse / null repair / cast) →
+    partitioned zone writes → read-back (reference
+    jobs/bronze_transformation.py:21-30, jobs/silver_transformation.py:
+    40-117). The oracle replays the same fixture derivations and silver
+    expressions in DuckDB SQL, so every silver cell is hash-checked —
+    including the repair paths (missing price key, unparsable 'N/A'
+    price/review_count, quantity default on 'Out of stock').
+
+    The fixture exercises schema raggedness the way real scrapes do:
+    ``doc_id % 13`` rows omit the price key entirely (JSON null-key
+    drop), so bronze sees a genuinely missing field, not an empty one.
+
+    Scale: every stage is a map-only projection or a partitioned
+    columnar write; nothing here shuffles. The returned frame re-reads
+    the written silver zone — partition columns (run_id, run_date) are
+    re-cast to the declared string contract because parquet partition
+    discovery type-infers them on read.
+    """
+    import os
+    import tempfile
+
+    from rag_lakehouse_spark.sources.medallion import SILVER_SCHEMA, run_pipeline
+
+    d = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    raw = d.select(
+        F.concat(F.lit("Title "), s(did)).alias("title_xpath"),
+        F.when(did % 13 == 0, F.lit(None).cast("string"))
+        .when(did % 17 == 0, F.lit("N/A"))
+        .otherwise(F.concat(F.lit("£"), s(did % 500), F.lit(".99")))
+        .alias("price_xpath"),
+        F.when(did % 7 == 0, F.lit("Out of stock"))
+        .otherwise(
+            F.concat(F.lit("In stock ("), s(did % 30 + 1), F.lit(" available)"))
+        )
+        .alias("availability_xpaths"),
+        F.concat(F.lit("desc of "), s(did)).alias("description_xpaths"),
+        F.col("lang").alias("category_xpath"),
+        F.when(did % 11 == 0, F.lit("N/A"))
+        .otherwise(s(did % 1000))
+        .alias("review_count_xpath"),
+        F.concat(F.col("source"), F.lit("/book/"), s(did)).alias("book_url"),
+        F.concat(
+            F.lit("2026-01-"), F.lpad(s(did % 28 + 1), 2, "0"), F.lit(" 08:30:00")
+        ).alias("scraped_at"),
+        F.concat(F.lit("doc-"), s(did)).alias("id"),
+    )
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"rls_medallion_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    raw_path = os.path.join(base, "raw")
+    raw.write.mode("overwrite").json(raw_path)
+    silver = run_pipeline(spark, raw_path, base, run_id="r3-medallion")
+    # Partition discovery type-infers run_date (DATE) on read-back;
+    # restore the declared silver string contract for comparison.
+    return silver.select(
+        *[F.col(name).try_cast(dtype).alias(name) for name, dtype in SILVER_SCHEMA.items()]
+    )
