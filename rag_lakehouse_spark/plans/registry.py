@@ -114,12 +114,13 @@ _PRIORITY: tuple[str, ...] = (
     "medallion_silver_pipeline",
     # -- oracle upgraded in r3 (was rows-only): prove the flip --
     "udtf_sentence_stats",
-    # -- green sentinels (one per verified family) --
+    # -- green sentinel (canonical agg family) --
     "q1_pricing_summary",
-    "q3_shipping_priority",
-    "knn_similarity_join",
-    "events_sessionize",
-    "dedup_exact_docs",
+    # -- r3 TPC-H completions: the two most distinctive new shapes
+    # (correlated-MIN join-back; exists/not-exists pair) take the last
+    # two sample slots; the other 11 ride the r4 rotation --
+    "q2_min_cost_supplier",
+    "q21_waiting_suppliers",
 )
 
 
@@ -145,6 +146,7 @@ def _load_all() -> None:
     import rag_lakehouse_spark.plans.window_queries  # noqa: F401
     import rag_lakehouse_spark.plans.tpch_more  # noqa: F401
     import rag_lakehouse_spark.plans.tpch_full  # noqa: F401
+    import rag_lakehouse_spark.plans.timeseries_queries  # noqa: F401
     import rag_lakehouse_spark.plans.quality_queries  # noqa: F401
 
 

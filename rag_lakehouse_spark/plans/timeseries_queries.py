@@ -1,0 +1,117 @@
+"""Time-series operators over the events table: bucketed range join
+and hypertable-style multi-resolution rollup (SURVEY.md §2.10 family;
+the reference has no time-series surface, these are the engine-side
+operators a stream table needs at rest).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rag_lakehouse_spark.operators.range_join import bucketed_range_join, epoch_micros
+from rag_lakehouse_spark.operators.rollup import time_rollup
+from rag_lakehouse_spark.plans.registry import register
+from rag_lakehouse_spark.sources.tables import load_table
+
+_TEN_MIN_US = 600 * 1_000_000
+
+
+@register(
+    "events_incident_window_join",
+    oracle="""
+    WITH win AS (
+      SELECT event_id AS window_id, date_trunc('second', ts) AS w_start,
+             date_trunc('second', ts) + INTERVAL 10 MINUTE AS w_end
+      FROM events WHERE event_type = 'purchase' AND value > 200
+    )
+    SELECT window_id, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events e
+    JOIN win ON date_trunc('second', e.ts) >= w_start
+            AND date_trunc('second', e.ts) < w_end
+    GROUP BY window_id
+    """,
+    tags=("events", "range-join"),
+)
+def events_incident_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyless point-in-interval join at scale: high-value purchases
+    open 10-minute incident windows; count/sum ALL events (any user)
+    inside each window. No equality key exists, so the naive plan is a
+    nested-loop/cartesian — the bucketed range join quantizes time
+    into 10-minute buckets, explodes each window to its ≤2 buckets,
+    and hash-joins on bucket id with the exact range as a residual.
+
+    Timestamps are second-truncated on BOTH sides before comparing so
+    the parquet ns-vs-µs physical difference between engines cannot
+    shift a boundary row.
+
+    Scale: shuffle is hash-partitioned on time bucket — linear, no
+    broadcast dependence; bursty buckets split via AQE skew join."""
+    e = load_table(spark, sf_dir, "events")
+    ts_s = epoch_micros(F.date_trunc("second", F.col("ts")))
+    wins = (
+        e.filter((F.col("event_type") == "purchase") & (F.col("value") > 200))
+        .select(
+            F.col("event_id").alias("window_id"),
+            ts_s.alias("w_start"),
+            (ts_s + F.lit(_TEN_MIN_US)).alias("w_end"),
+        )
+    )
+    points = e.select(ts_s.alias("ts_us"), F.col("value").alias("ev_value"))
+    joined = bucketed_range_join(
+        points, wins, "ts_us", "w_start", "w_end", bucket_width=_TEN_MIN_US
+    )
+    return joined.groupBy("window_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("ev_value").cast("decimal(12,2)")).cast("double").alias("total_value"),
+    )
+
+
+@register(
+    "events_hypertable_rollup",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS b, COUNT(*) AS n,
+             SUM(CAST(value AS DECIMAL(12,2))) AS v
+      FROM events GROUP BY 1
+    ), daily AS (
+      SELECT date_trunc('day', b) AS b, CAST(SUM(n) AS BIGINT) AS n, SUM(v) AS v
+      FROM hourly GROUP BY 1
+    ), monthly AS (
+      SELECT date_trunc('month', b) AS b, CAST(SUM(n) AS BIGINT) AS n, SUM(v) AS v
+      FROM daily GROUP BY 1
+    )
+    SELECT 'hour' AS grain, strftime(b, '%Y-%m-%d %H:%M:%S') AS bucket_start,
+           n AS n_events, CAST(v AS DOUBLE) AS total_value FROM hourly
+    UNION ALL
+    SELECT 'day', strftime(b, '%Y-%m-%d %H:%M:%S'), n, CAST(v AS DOUBLE) FROM daily
+    UNION ALL
+    SELECT 'month', strftime(b, '%Y-%m-%d %H:%M:%S'), n, CAST(v AS DOUBLE) FROM monthly
+    """,
+    tags=("events", "rollup", "timeseries"),
+)
+def events_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate hierarchy: hour/day/month event counts and
+    value totals where each coarser grain RE-AGGREGATES the finer
+    grain's partials (count→sum, decimal sum→sum) instead of
+    re-scanning the raw table — the oracle mirrors the same cascade.
+
+    Scale: one raw scan + one shuffle build the hour grain; day and
+    month work on thousands of partial rows. This is the batch twin of
+    maintaining rollup tables under a streaming sink."""
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "__v", F.col("value").cast("decimal(12,2)")
+    )
+    rolled = time_rollup(
+        e.select("ts", "__v"),
+        "ts",
+        measures={"n_events": ("count", "__v"), "total_value": ("sum", "__v")},
+        grains=("hour", "day", "month"),
+    )
+    return rolled.select(
+        "grain",
+        F.date_format("bucket_start", "yyyy-MM-dd HH:mm:ss").alias("bucket_start"),
+        "n_events",
+        F.col("total_value").cast("double").alias("total_value"),
+    )

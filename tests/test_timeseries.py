@@ -1,0 +1,96 @@
+"""Operator-level checks for the bucketed range join and the
+multi-resolution time rollup (the registered queries are additionally
+oracle-checked in test_oracle.py)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from rag_lakehouse_spark.operators.range_join import bucketed_range_join, epoch_micros
+from rag_lakehouse_spark.operators.rollup import time_rollup
+from rag_lakehouse_spark.sources.tables import load_table
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_bucketed_range_join_matches_naive_nonequi(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    ts_us = epoch_micros(F.col("ts"))
+    pts = e.select(F.col("event_id").alias("pid"), ts_us.alias("t"))
+    iv = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("iid"),
+        ts_us.alias("lo"),
+        (ts_us + F.lit(300_000_000)).alias("hi"),
+    )
+    got = bucketed_range_join(pts, iv, "t", "lo", "hi", bucket_width=300_000_000)
+    naive = pts.join(iv, (F.col("t") >= F.col("lo")) & (F.col("t") < F.col("hi")))
+    assert _rows(got, ["pid", "iid"]) == _rows(naive, ["pid", "iid"])
+    assert got.count() > 0
+
+
+def test_bucketed_range_join_end_inclusive_and_keys(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    ts_us = epoch_micros(F.col("ts"))
+    pts = e.select("user_id", F.col("event_id").alias("pid"), ts_us.alias("t"))
+    iv = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("iid"),
+        ts_us.alias("lo"),
+        (ts_us + F.lit(3_600_000_000)).alias("hi"),
+    )
+    got = bucketed_range_join(
+        pts, iv, "t", "lo", "hi",
+        bucket_width=3_600_000_000, extra_keys=("user_id",), end_inclusive=True,
+    )
+    naive = pts.join(
+        iv.withColumnRenamed("user_id", "u2"),
+        (F.col("t") >= F.col("lo"))
+        & (F.col("t") <= F.col("hi"))
+        & (F.col("user_id") == F.col("u2")),
+    )
+    assert _rows(got, ["pid", "iid"]) == _rows(naive, ["pid", "iid"])
+    # the defining self-match (interval start == its own point) survives
+    assert got.filter(F.col("pid") == F.col("iid")).count() == iv.count()
+
+
+def test_bucketed_range_join_rejects_bad_width(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events").select(
+        F.col("event_id").alias("pid"), F.lit(0).alias("t")
+    )
+    with pytest.raises(ValueError):
+        bucketed_range_join(e, e, "t", "t", "t", bucket_width=0)
+
+
+def test_time_rollup_grains_agree_with_direct_aggregation(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "__v", F.col("value").cast("decimal(12,2)")
+    )
+    rolled = time_rollup(
+        e.select("ts", "__v"),
+        "ts",
+        measures={"n": ("count", "__v"), "v": ("sum", "__v")},
+        grains=("hour", "day", "month"),
+    ).cache()
+    for grain in ("hour", "day", "month"):
+        direct = e.groupBy(F.date_trunc(grain, "ts").alias("bucket_start")).agg(
+            F.count(F.lit(1)).alias("n"), F.sum("__v").alias("v")
+        )
+        got = rolled.filter(F.col("grain") == grain)
+        assert _rows(got, ["bucket_start", "n"]) == _rows(direct, ["bucket_start", "n"])
+        gv = {r["bucket_start"]: r["v"] for r in got.collect()}
+        for r in direct.collect():
+            assert gv[r["bucket_start"]] == r["v"]
+    rolled.unpersist()
+
+
+def test_time_rollup_validates_arguments(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    with pytest.raises(ValueError):
+        time_rollup(e, "ts", {"n": ("count", "ts")}, grains=("day", "hour"))
+    with pytest.raises(ValueError):
+        time_rollup(e, "ts", {"n": ("median", "ts")})
+    with pytest.raises(ValueError):
+        time_rollup(e, "ts", {"n": ("count", "ts")}, grains=("decade",))
