@@ -26,7 +26,6 @@ from pyspark.sql import functions as F
 
 from rag_lakehouse_spark.functions.text import (
     normalized_relation,
-    shingle_relation,
     shingles_from_norm,
 )
 from rag_lakehouse_spark.functions.util import fan_out as _fan_out
@@ -67,8 +66,36 @@ def minhash_signatures_only(
     (~10× slower). Aggregation is groupBy(min×64): partial map-side
     combine means the shuffle carries docs×64 longs, not shingles.
     """
-    sh = shingle_relation(df, text_col, id_col, shingle_k)
-    return signatures_from_shingles(sh, id_col, num_hashes)
+    return signatures_from_norm(
+        normalized_relation(df, text_col, id_col), id_col, num_hashes, shingle_k
+    )
+
+
+def signatures_from_norm(
+    norm_df: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    shingle_k: int = 8,
+) -> DataFrame:
+    """(id, signature) straight from the materialized normalized
+    string, WITHOUT building the distinct k-gram array: positions
+    explode, substrings hash, mins aggregate. MIN is duplicate-
+    insensitive, so skipping ``array_distinct`` (a per-row hash set)
+    and the array<string> materialization changes nothing semantically
+    — signatures are identical to the array path — while removing the
+    most allocation-heavy stage of the pipeline. Docs shorter than k
+    explode to zero rows (empty sequence), same drop semantics as the
+    array path."""
+    n_pos = F.length("__norm") - (shingle_k - 1)
+    rows = norm_df.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(1), F.greatest(n_pos, F.lit(0)))).alias("__pos"),
+        F.col("__norm"),
+    ).select(
+        F.col(id_col),
+        F.xxhash64(F.expr(f"substring(__norm, __pos, {int(shingle_k)})")).alias("__h"),
+    )
+    return _signatures_from_hash_rows(rows, id_col, num_hashes)
 
 
 def signatures_from_shingles(
@@ -81,44 +108,50 @@ def signatures_from_shingles(
     relation — the seam that lets one shingle pass feed both the
     signature computation and the exact-Jaccard verification.
 
-    ROW-LOCAL: the shingle hashes are materialized once per row
-    (``__hs`` gets its own projection; CollapseProject keeps a
-    multiply-referenced non-trivial alias materialized), then each of
-    the ``num_hashes`` components is an ``array_min`` over an affine
-    transform of that long array. No explode, no 64-buffer hash
-    aggregate, NO SHUFFLE — signatures are a pure map stage. Measured
-    at sf0.1: 0.26 s vs 1.60 s for the previous explode →
-    groupBy(min×64) formulation (the shuffle only carried docs×64
-    longs, but the exploded map side paid 1.35 M generator rows and a
-    64-column agg buffer per doc).
-
-    Docs with no shingles (shorter than k after normalization) are
-    dropped, matching the explode path, where empty arrays yielded no
-    rows — they have no signature and never reach banding.
+    explode → xxhash64 → groupBy(min × num_hashes) is the RIGHT
+    formulation, not just the obvious one. The tempting "shuffle-free"
+    alternative — hash the array once, then num_hashes ×
+    ``array_min(transform(__hs, affine_i))`` in a single projection —
+    measures 49.9 s vs 2.3 s (warm, sf0.1, 50 k docs): 64 stacked
+    higher-order lambdas in one stage blow past the whole-stage-codegen
+    budget into interpreted evaluation, and each ``transform``
+    materializes a fresh boxed array per row (64 copies of a ~1 k-long
+    array per doc). The explode path keeps every operator primitive
+    (generator, hash, min-agg buffers), stays inside codegen, and its
+    shuffle carries only docs×num_hashes longs thanks to map-side
+    partial mins. Docs with no shingles (shorter than k after
+    normalization) yield no exploded rows → no signature → never reach
+    banding.
     """
+    exploded = (
+        sh_df.select(F.col(id_col), F.explode(shingle_col).alias("__sh"))
+        .withColumn("__h", F.xxhash64("__sh"))
+    )
+    return _signatures_from_hash_rows(exploded, id_col, num_hashes)
+
+
+def _signatures_from_hash_rows(
+    rows: DataFrame, id_col: str, num_hashes: int
+) -> DataFrame:
+    """(id, __h) hash rows → (id, signature): num_hashes affine
+    transforms of the base hash, min-aggregated per doc with map-side
+    partial combine (the shuffle carries docs×num_hashes longs)."""
     rng_a = [(2 * i + 1) * 0x9E3779B97F4A7C15 & (2**64 - 1) for i in range(num_hashes)]
     rng_b = [(i * 0xC2B2AE3D27D4EB4F + 0x165667B19E3779F9) & (2**64 - 1) for i in range(num_hashes)]
 
     def _to_i64(v: int) -> int:
         return v - 2**64 if v >= 2**63 else v
 
-    hashed = sh_df.filter(F.size(shingle_col) > 0).select(
-        F.col(id_col),
-        F.transform(F.col(shingle_col), lambda s: F.xxhash64(s)).alias("__hs"),
+    mins = rows.groupBy(id_col).agg(
+        *[
+            F.min(
+                F.col("__h") * F.lit(_to_i64(rng_a[i])) + F.lit(_to_i64(rng_b[i]))
+            ).alias(f"__m{i}")
+            for i in range(num_hashes)
+        ]
     )
-    return hashed.select(
-        F.col(id_col),
-        F.array(
-            *[
-                F.array_min(
-                    F.transform(
-                        F.col("__hs"),
-                        lambda h: h * F.lit(_to_i64(rng_a[i])) + F.lit(_to_i64(rng_b[i])),
-                    )
-                )
-                for i in range(num_hashes)
-            ]
-        ).alias("signature"),
+    return mins.select(
+        F.col(id_col), F.array(*[F.col(f"__m{i}") for i in range(num_hashes)]).alias("signature")
     )
 
 
@@ -187,8 +220,8 @@ def minhash_lsh_pairs(
     cold. At true scale the equivalent of the single shingle pass is a
     write-through parquet temp.
     """
-    sigs = signatures_from_shingles(
-        shingle_relation(df, text_col, id_col, shingle_k), id_col, num_hashes
+    sigs = signatures_from_norm(
+        normalized_relation(df, text_col, id_col), id_col, num_hashes, shingle_k
     )
     # Candidate pairs are consumed twice (id extraction + final join):
     # materialize the TINY pair list once so the signature/banding
@@ -201,8 +234,14 @@ def minhash_lsh_pairs(
     # No .distinct() — a left-semi probe side tolerates duplicate keys,
     # and dropping it saves a whole shuffle stage.
     cand_ids = cands.select(F.explode(F.array("id_a", "id_b")).alias(id_col))
+    # Semi-join the RAW docs first, normalize after: the regex pass
+    # (the expensive part of re-shingling) runs over only the candidate
+    # docs — a vanishing fraction of the corpus at scale — instead of
+    # re-normalizing everything and discarding 99% post-join.
     cand_sh = shingles_from_norm(
-        normalized_relation(df, text_col, id_col).join(cand_ids, id_col, "left_semi"),
+        normalized_relation(
+            df.join(cand_ids, id_col, "left_semi"), text_col, id_col
+        ),
         id_col,
         shingle_k,
     )
