@@ -84,9 +84,11 @@ def pq_encode(
     codebooks: np.ndarray,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id, codes: array<int>) — each vector's per-subspace nearest
-    codebook entry. Distributed, Arrow-batched, BLAS argmin per batch."""
+    """(id, codes: array<int>, *keep_cols) — each vector's per-subspace
+    nearest codebook entry. Distributed, Arrow-batched, BLAS argmin per
+    batch. ``keep_cols`` pass through unchanged (e.g. an IVF cell id)."""
     m, k, sub = codebooks.shape
     cb = codebooks  # closed over; shipped once per executor via pickle
 
@@ -102,7 +104,9 @@ def pq_encode(
                 codes[:, j] = d.argmin(axis=1)
             yield pd.Series(list(codes))
 
-    return corpus.select(F.col(id_col), encode(F.col(vec_col)).alias("codes"))
+    return corpus.select(
+        F.col(id_col), encode(F.col(vec_col)).alias("codes"), *keep_cols
+    )
 
 
 def pq_search(
@@ -170,6 +174,150 @@ def pq_search(
     from pyspark.sql import Window as W
 
     local_topk = codes_df.mapInPandas(score, out_schema)
+    w = W.partitionBy("query_id").orderBy(F.asc("adc_distance"), F.asc("neighbor_id"))
+    return (
+        local_topk.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k_neighbors)
+    )
+
+
+def knn_ivf_pq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k_neighbors: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    k_codes: int = 16,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "q_emb",
+    centroids_df: DataFrame | None = None,
+    sample_rows: int = 2048,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-PQ: coarse quantizer restricts the search to ``n_probe`` of
+    ``n_cells`` inverted lists, PQ codes of the RESIDUAL (vector minus
+    its cell centroid) approximate the distance inside each probed
+    list — the FAISS IVFADC composition, built from the two halves
+    that already exist here (similarity.kmeans/_assign_cells + the PQ
+    train/encode/ADC machinery).
+
+    Residual encoding is exact in the decomposition
+    ``||q - v||² = ||(q - cent(v)) - r(v)||²`` — only r is quantized,
+    so the coarse quantizer's structure is not re-paid by the codes;
+    the ADC lookup table is built per (query, probed cell) from the
+    query's residual against that cell.
+
+    Scale split: centroids and codebooks are driver-side PARAMETERS
+    (n_cells×dim + m×k×dim/m floats); assignment and encoding are
+    distributed map stages; search touches only the probed fraction
+    of the code table (hash equi-join on cell id — the inverted-list
+    read), and the shuffle after per-batch local top-k carries
+    O(q · k · partitions) rows.
+    """
+    from rag_lakehouse_spark.operators.similarity import _assign_cells
+
+    spark = corpus.sparkSession
+    if centroids_df is None:
+        from pyspark.sql import Window as W
+
+        w_strat = W.partitionBy(F.col(corpus_id) % n_cells).orderBy(corpus_id)
+        centroids_df = (
+            corpus.withColumn("__rn", F.row_number().over(w_strat))
+            .filter(F.col("__rn") == 1)
+            .select(
+                (F.col(corpus_id) % n_cells).cast("int").alias("cell_id"),
+                F.col(corpus_vec).alias("centroid"),
+            )
+        )
+    cent_rows = sorted(centroids_df.collect(), key=lambda r: r.cell_id)
+    cent_ids = [r.cell_id for r in cent_rows]
+    cent_mat = np.asarray([r.centroid for r in cent_rows], dtype=np.float32)
+    cent_b = F.broadcast(
+        spark.createDataFrame(
+            [(int(c), [float(x) for x in v]) for c, v in zip(cent_ids, cent_mat)],
+            "cell_id int, centroid array<float>",
+        )
+    )
+
+    assigned = _assign_cells(corpus, cent_b, corpus_id, corpus_vec)
+    residuals = assigned.join(cent_b, "cell_id").select(
+        F.col(corpus_id),
+        F.col("cell_id"),
+        F.zip_with(corpus_vec, "centroid", lambda a, b: a - b).alias("__res"),
+    )
+    books = train_pq(
+        residuals, dim, m=m, k=k_codes, vec_col="__res",
+        sample_rows=sample_rows, seed=seed,
+    )
+    codes = pq_encode(residuals, books, corpus_id, "__res", keep_cols=("cell_id",))
+
+    # query side: probe lists + per-(query, cell) residual ADC tables —
+    # all parameter-sized (q × n_probe × m × k_codes floats).
+    qrows = queries.select(query_id, query_vec).collect()
+    qids = [r[0] for r in qrows]
+    qmat = np.asarray([r[1] for r in qrows], dtype=np.float32)
+    cn = cent_mat / (np.linalg.norm(cent_mat, axis=1, keepdims=True) + 1e-12)
+    qn = qmat / (np.linalg.norm(qmat, axis=1, keepdims=True) + 1e-12)
+    sims = qn @ cn.T  # cosine, same probe metric as knn_ivf
+    sub = dim // m
+    lut: dict[tuple[int, int], np.ndarray] = {}
+    probe_pairs = []
+    for qi, qid in enumerate(qids):
+        order = np.lexsort((cent_ids, -sims[qi]))[:n_probe]
+        for ci in order:
+            cell = int(cent_ids[ci])
+            probe_pairs.append((int(qid), cell))
+            qres = qmat[qi] - cent_mat[ci]
+            lut[(int(qid), cell)] = np.stack(
+                [
+                    (
+                        (qres[j * sub : (j + 1) * sub][None, :] - books[j]) ** 2
+                    ).sum(axis=1)
+                    for j in range(m)
+                ]
+            )  # (m, k_codes)
+
+    probes = F.broadcast(
+        spark.createDataFrame(probe_pairs, f"{query_id} long, cell_id int")
+    )
+    probed = codes.join(probes, "cell_id")
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("adc_distance", T.DoubleType()),
+        ]
+    )
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            outs = []
+            for (qid, cell), grp in b.groupby([query_id, "cell_id"], sort=False):
+                table = lut[(int(qid), int(cell))]
+                cds = np.stack(grp["codes"].to_numpy())  # (n, m)
+                d = table[np.arange(table.shape[0])[None, :], cds].sum(axis=1)
+                top = np.argsort(d, kind="stable")[:k_neighbors]
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": int(qid),
+                            "neighbor_id": grp[corpus_id].to_numpy()[top],
+                            "adc_distance": d[top].astype(np.float64),
+                        }
+                    )
+                )
+            yield pd.concat(outs, ignore_index=True) if outs else pd.DataFrame(
+                {c.name: pd.Series(dtype="float64") for c in out_schema}
+            )
+
+    from pyspark.sql import Window as W
+
+    local_topk = probed.mapInPandas(score, out_schema)
     w = W.partitionBy("query_id").orderBy(F.asc("adc_distance"), F.asc("neighbor_id"))
     return (
         local_topk.withColumn("rank", F.row_number().over(w))
