@@ -31,6 +31,20 @@ _REAGG = {
     "max": (lambda c: F.max(c), F.max),
 }
 
+# sketch measures: partials are mergeable binary sketches, the output
+# column is the estimate extracted at each level. HLL register-maxima
+# merges are associative and order-insensitive, so the cascade yields
+# the IDENTICAL sketch a direct aggregation would — this is how
+# non-additive measures (distinct users) survive re-aggregation.
+# (leaf sketch over raw, union over partials, finalize -> estimate)
+_SKETCH = {
+    "approx_distinct": (
+        lambda c: F.hll_sketch_agg(c),
+        lambda c: F.hll_union_agg(c),
+        lambda c: F.hll_sketch_estimate(c),
+    ),
+}
+
 # grain name -> (date_trunc unit, ordering rank from finest to coarsest)
 _GRAINS = ["minute", "hour", "day", "month", "year"]
 
@@ -47,8 +61,10 @@ def time_rollup(
     deriving each coarser grain from the previous one's partials.
 
     ``measures`` maps output column name → (kind, source column) with
-    kind in {count, sum, min, max}; the source column is ignored for
-    count. Returns the union of all levels with columns
+    kind in {count, sum, min, max, approx_distinct}; the source column
+    is ignored for count. ``approx_distinct`` carries a mergeable HLL
+    sketch between levels and emits the estimate (bigint) at each
+    level. Returns the union of all levels with columns
     ``(grain, bucket_start, *extra_keys, *measures)``, bucket_start
     being the truncated timestamp of the bucket.
     """
@@ -58,30 +74,39 @@ def time_rollup(
     if list(grains) != sorted(grains, key=order.__getitem__):
         raise ValueError("grains must be ordered finest to coarsest")
     for kind, _src in measures.values():
-        if kind not in _REAGG:
+        if kind not in _REAGG and kind not in _SKETCH:
             raise ValueError(f"measure kind {kind!r} is not re-aggregatable")
+
+    def _leaf_agg(name, kind, src):
+        if kind in _SKETCH:
+            return _SKETCH[kind][0](F.col(src)).alias(f"__sk_{name}")
+        return _REAGG[kind][0](F.col(src)).alias(name)
+
+    def _re_agg(name, kind):
+        if kind in _SKETCH:
+            return _SKETCH[kind][1](F.col(f"__sk_{name}")).alias(f"__sk_{name}")
+        return _REAGG[kind][1](F.col(name)).alias(name)
+
+    def _finalized(level_df, grain):
+        cols = [F.lit(grain).alias("grain"), F.col("bucket_start"), *extra_keys]
+        for name, (kind, _src) in measures.items():
+            if kind in _SKETCH:
+                cols.append(_SKETCH[kind][2](F.col(f"__sk_{name}")).alias(name))
+            else:
+                cols.append(F.col(name))
+        return level_df.select(*cols)
 
     finest = grains[0]
     leaf = df.groupBy(
         F.date_trunc(finest, F.col(ts_col)).alias("bucket_start"), *extra_keys
-    ).agg(
-        *[
-            _REAGG[kind][0](F.col(src)).alias(name)
-            for name, (kind, src) in measures.items()
-        ]
-    )
-    levels = [leaf.select(F.lit(finest).alias("grain"), "*")]
+    ).agg(*[_leaf_agg(name, kind, src) for name, (kind, src) in measures.items()])
+    levels = [_finalized(leaf, finest)]
     prev = leaf
     for g in grains[1:]:
         prev = prev.groupBy(
             F.date_trunc(g, F.col("bucket_start")).alias("bucket_start"), *extra_keys
-        ).agg(
-            *[
-                _REAGG[kind][1](F.col(name)).alias(name)
-                for name, (kind, _src) in measures.items()
-            ]
-        )
-        levels.append(prev.select(F.lit(g).alias("grain"), "*"))
+        ).agg(*[_re_agg(name, kind) for name, (kind, _src) in measures.items()])
+        levels.append(_finalized(prev, g))
     out = levels[0]
     for lv in levels[1:]:
         out = out.unionByName(lv)

@@ -115,3 +115,30 @@ def events_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.col("total_value").cast("double").alias("total_value"),
     )
+
+
+@register("events_rollup_distinct_sketch", oracle=None, tags=("events", "rollup", "sketch"))
+def events_rollup_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rollup hierarchy with a NON-additive measure: distinct users
+    per hour/day/month carried between grains as mergeable HLL
+    sketches (register-maxima merges are associative, so the cascaded
+    estimate is identical to sketching the raw rows directly). This is
+    the only way distinct counts survive re-aggregation at 100 TB —
+    exact COUNT(DISTINCT) per grain would need one full shuffle of
+    (bucket, user) per grain. Rows-only: DuckDB's approx_distinct uses
+    a different sketch; tests assert ≤5% error against exact counts
+    and cascade-vs-direct agreement."""
+    e = load_table(spark, sf_dir, "events")
+    rolled = time_rollup(
+        e.select("ts", "user_id"),
+        "ts",
+        measures={"n_events": ("count", "user_id"),
+                  "approx_users": ("approx_distinct", "user_id")},
+        grains=("hour", "day", "month"),
+    )
+    return rolled.select(
+        "grain",
+        F.date_format("bucket_start", "yyyy-MM-dd HH:mm:ss").alias("bucket_start"),
+        "n_events",
+        "approx_users",
+    )

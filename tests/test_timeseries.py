@@ -94,3 +94,40 @@ def test_time_rollup_validates_arguments(spark, sf_dir):
         time_rollup(e, "ts", {"n": ("median", "ts")})
     with pytest.raises(ValueError):
         time_rollup(e, "ts", {"n": ("count", "ts")}, grains=("decade",))
+
+
+def test_time_rollup_sketch_distinct_accuracy_and_cascade(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    rolled = time_rollup(
+        e.select("ts", "user_id"),
+        "ts",
+        measures={"approx_users": ("approx_distinct", "user_id")},
+        grains=("hour", "day", "month"),
+    ).cache()
+    for grain in ("hour", "month"):
+        exact = {
+            r["bucket_start"]: r["x"]
+            for r in e.groupBy(F.date_trunc(grain, "ts").alias("bucket_start"))
+            .agg(F.countDistinct("user_id").alias("x"))
+            .collect()
+        }
+        got = {
+            r["bucket_start"]: r["approx_users"]
+            for r in rolled.filter(F.col("grain") == grain).collect()
+        }
+        assert set(got) == set(exact)
+        for b, est in got.items():
+            assert abs(est - exact[b]) <= max(2, 0.05 * exact[b]), (grain, b, est, exact[b])
+    # cascade (hour→day→month unions) == direct sketch over raw rows
+    direct = {
+        r["bucket_start"]: r["x"]
+        for r in e.groupBy(F.date_trunc("month", "ts").alias("bucket_start"))
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("x"))
+        .collect()
+    }
+    cascaded = {
+        r["bucket_start"]: r["approx_users"]
+        for r in rolled.filter(F.col("grain") == "month").collect()
+    }
+    assert cascaded == direct
+    rolled.unpersist()
