@@ -55,6 +55,7 @@ def time_rollup(
     measures: dict[str, tuple[str, str]],
     grains: tuple[str, ...] = ("hour", "day", "month"),
     extra_keys: tuple[str, ...] = (),
+    materialize_levels: bool = True,
 ) -> DataFrame:
     """Aggregate ``df`` at every grain in ``grains`` (ordered finest →
     coarsest), scanning the raw rows only for the finest grain and
@@ -100,12 +101,24 @@ def time_rollup(
     leaf = df.groupBy(
         F.date_trunc(finest, F.col(ts_col)).alias("bucket_start"), *extra_keys
     ).agg(*[_leaf_agg(name, kind, src) for name, (kind, src) in measures.items()])
+    if materialize_levels and len(grains) > 1:
+        # Each grain feeds BOTH the output union and the next grain; a
+        # lazy union would re-derive the whole lineage per branch (3
+        # raw scans for 3 grains). Materializing each partial table —
+        # buckets × groups rows, vanishingly small next to the raw
+        # data — makes the cascade real: ONE raw scan, every coarser
+        # grain reads the previous partials. (In production these ARE
+        # stored tables; localCheckpoint is the in-session stand-in,
+        # eager so blocks are RDD-owned and ContextCleaner-reclaimed.)
+        leaf = leaf.localCheckpoint(eager=True)
     levels = [_finalized(leaf, finest)]
     prev = leaf
     for g in grains[1:]:
         prev = prev.groupBy(
             F.date_trunc(g, F.col("bucket_start")).alias("bucket_start"), *extra_keys
         ).agg(*[_re_agg(name, kind) for name, (kind, _src) in measures.items()])
+        if materialize_levels and g != grains[-1]:
+            prev = prev.localCheckpoint(eager=True)
         levels.append(_finalized(prev, g))
     out = levels[0]
     for lv in levels[1:]:

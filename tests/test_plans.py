@@ -121,3 +121,58 @@ def test_runtime_bloom_filter_mechanism(spark, sf_dir):
         spark.conf.unset(
             "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
         )
+
+
+def full_plan_of(name, spark, sf_dir) -> str:
+    """Formatted explain — toString() truncates long PushedFilters
+    lists, the formatted mode prints full scan-node details."""
+    df = registry.QUERIES[name].fn(spark, sf_dir)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_q6_all_predicates_push_to_scan(spark, sf_dir):
+    plan = full_plan_of("q6_forecast_revenue", spark, sf_dir)
+    # discount range and quantity bound reach the parquet scan
+    assert "GreaterThanOrEqual(l_discount,0.05" in plan
+    assert "LessThanOrEqual(l_discount,0.07" in plan
+    assert "LessThan(l_quantity,24" in plan
+
+
+def test_q19_disjunction_pushes_common_conjuncts(spark, sf_dir):
+    plan = full_plan_of("q19_disjunctive_revenue", spark, sf_dir)
+    # Catalyst extracts lineitem-only bounds from the OR-of-ANDs and
+    # pushes them below the join; part side broadcasts
+    assert "BroadcastHashJoin" in plan
+    assert "LessThanOrEqual(l_quantity,30" in plan
+
+
+def test_q21_exists_pair_is_semi_plus_anti(spark, sf_dir):
+    plan = plan_of("q21_waiting_suppliers", spark, sf_dir)
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q11_reuses_pv_and_broadcasts_total(spark, sf_dir):
+    plan = plan_of("q11_important_part_values", spark, sf_dir)
+    # the scalar-threshold side arrives as a broadcast single row
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_range_join_is_equi_join_not_nested_loop(spark, sf_dir):
+    plan = plan_of("events_incident_window_join", spark, sf_dir)
+    # the bucket key turns the keyless interval join into a hash join
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashJoin" in plan
+
+
+def test_hypertable_rollup_scans_raw_once(spark, sf_dir):
+    plan = plan_of("events_hypertable_rollup", spark, sf_dir)
+    # The raw scan runs ONCE, inside the eager leaf materialization;
+    # the query plan itself reads only the materialized partial tables
+    # (a lazy union would show three parquet scans — one per grain).
+    assert plan.count("Scan parquet") == 0
+    assert "Scan ExistingRDD" in plan
