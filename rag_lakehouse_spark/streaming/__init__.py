@@ -8,6 +8,10 @@ from rag_lakehouse_spark.streaming.events import (
     sliding_window_counts,
     tumbling_window_counts,
 )
+from rag_lakehouse_spark.streaming.rollup_sink import (
+    maintain_hourly_rollup,
+    rollup_hierarchy_from_state,
+)
 
 __all__ = [
     "read_events_stream",
@@ -18,4 +22,6 @@ __all__ = [
     "enrich_stream_static",
     "click_purchase_stream_join",
     "run_batch_to_memory",
+    "maintain_hourly_rollup",
+    "rollup_hierarchy_from_state",
 ]

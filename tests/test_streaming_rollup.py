@@ -1,0 +1,64 @@
+"""Multi-batch incremental rollup maintenance == batch rollup.
+
+Events replay through an availableNow file stream one file per
+trigger; each micro-batch folds into the stored hour-partial table.
+The derived hierarchy must equal the batch cascade over all rows —
+counts and decimal sums exactly, HLL estimates exactly (sketch union
+is associative, so batching cannot change the registers).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rag_lakehouse_spark.sources.tables import load_table
+from rag_lakehouse_spark.streaming.rollup_sink import (
+    maintain_hourly_rollup,
+    rollup_hierarchy_from_state,
+)
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, sf_dir, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("events_rollup_stream"))
+    # 4 files → 4 micro-batches under maxFilesPerTrigger=1
+    load_table(spark, sf_dir, "events").repartition(4).write.mode("overwrite").parquet(out)
+    return out
+
+
+def test_incremental_rollup_matches_batch(spark, events_dir, tmp_path_factory):
+    state = str(tmp_path_factory.mktemp("rollup_state")) + "/hourly"
+    stream = (
+        spark.readStream.schema(spark.read.parquet(events_dir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_dir)
+    )
+    q = maintain_hourly_rollup(spark, stream, state)
+    q.awaitTermination()
+    assert q.lastProgress is not None and q.lastProgress["batchId"] >= 3
+
+    got = {
+        (r.grain, r.bucket_start): (r.n_events, r.total_value, r.approx_users)
+        for r in rollup_hierarchy_from_state(spark, state).collect()
+    }
+
+    raw = spark.read.parquet(events_dir)
+    for grain in ("hour", "day", "month"):
+        want = {
+            r.bucket_start: (r.n, r.v, r.u)
+            for r in raw.groupBy(F.date_trunc(grain, "ts").alias("bucket_start"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("v"),
+                F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("u"),
+            )
+            .collect()
+        }
+        got_grain = {b: v for (g, b), v in got.items() if g == grain}
+        assert set(got_grain) == set(want), grain
+        for b, (n, v, u) in got_grain.items():
+            wn, wv, wu = want[b]
+            assert n == wn, (grain, b)
+            assert v == pytest.approx(wv, abs=1e-9), (grain, b)
+            assert u == wu, (grain, b)  # sketch union is associative
