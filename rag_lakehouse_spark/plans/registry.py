@@ -147,6 +147,7 @@ def _load_all() -> None:
     import rag_lakehouse_spark.plans.tpch_more  # noqa: F401
     import rag_lakehouse_spark.plans.tpch_full  # noqa: F401
     import rag_lakehouse_spark.plans.timeseries_queries  # noqa: F401
+    import rag_lakehouse_spark.plans.corpus_queries  # noqa: F401
     import rag_lakehouse_spark.plans.quality_queries  # noqa: F401
 
 
