@@ -176,3 +176,12 @@ def test_hypertable_rollup_scans_raw_once(spark, sf_dir):
     # (a lazy union would show three parquet scans — one per grain).
     assert plan.count("Scan parquet") == 0
     assert "Scan ExistingRDD" in plan
+
+
+def test_knn_similarity_join_hoists_norms(spark, sf_dir):
+    df = registry.QUERIES["knn_similarity_join"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    # exactly three folds total: ONE per-pair dot + one hoisted norm
+    # projection per side — the un-hoisted form showed three folds PER
+    # PAIR (dot + both norms recomputed for every corpus×query pair)
+    assert plan.count("aggregate(") == 3
