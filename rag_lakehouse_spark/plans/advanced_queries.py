@@ -407,3 +407,63 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_ivf_pq(
         corpus, q, dim=64, k_neighbors=10, n_cells=64, n_probe=16, m=16, k_codes=256
     )
+
+
+@register(
+    "graph_pagerank_influencers",
+    oracle="""
+    WITH e0 AS (
+      SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ), edges AS (
+      SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0
+    ), deg AS (
+      SELECT src, COUNT(*) AS d FROM edges GROUP BY src
+    ), r0 AS (
+      SELECT src AS node, CAST(1000000000000 AS BIGINT) AS rank FROM deg
+    ), r1 AS (
+      SELECT e.dst AS node,
+             CAST((15 * 1000000000000 + 85 * SUM(r.rank // d.d)) // 100 AS BIGINT) AS rank
+      FROM r0 r JOIN deg d ON d.src = r.node JOIN edges e ON e.src = r.node
+      GROUP BY e.dst
+    ), r2 AS (
+      SELECT e.dst AS node,
+             CAST((15 * 1000000000000 + 85 * SUM(r.rank // d.d)) // 100 AS BIGINT) AS rank
+      FROM r1 r JOIN deg d ON d.src = r.node JOIN edges e ON e.src = r.node
+      GROUP BY e.dst
+    ), r3 AS (
+      SELECT e.dst AS node,
+             CAST((15 * 1000000000000 + 85 * SUM(r.rank // d.d)) // 100 AS BIGINT) AS rank
+      FROM r2 r JOIN deg d ON d.src = r.node JOIN edges e ON e.src = r.node
+      GROUP BY e.dst
+    )
+    SELECT node, rank FROM r3 ORDER BY rank DESC, node LIMIT 20
+    """,
+    tags=("graph", "iterative", "pagerank"),
+)
+def graph_pagerank_influencers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the bidirected customer↔supplier trade graph
+    (nodes: custkey·2 / suppkey·2+1), top-20 after 3 power-iteration
+    rounds — in exact scaled-INTEGER arithmetic (operators.graph), so
+    the chained-CTE DuckDB oracle reproduces the fixpoint bit-for-bit
+    (float PageRank would be order-dependent in its per-node sums and
+    unverifiable across engines).
+
+    Scale: each round is one join + one shuffle keyed by node id with
+    checkpoint lineage truncation — the DataFrame power-iteration
+    pattern, no graph library needed."""
+    from rag_lakehouse_spark.operators.graph import integer_pagerank
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    e0 = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = e0.unionByName(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    ranks = integer_pagerank(edges, iterations=3)
+    return ranks.orderBy(F.desc("rank"), F.asc("node")).limit(20)

@@ -522,3 +522,66 @@ def metadata_stamped_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("uuid()").alias("record_uuid"),
         F.date_format(F.current_timestamp(), "yyyy-MM-dd HH:mm:ss").alias("ingested_at"),
     )
+
+
+@register(
+    "dup_components_exact",
+    oracle=f"""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id, unnest({TX.duckdb_char_shingles('text', 8)}) AS shingle
+      FROM documents
+    ),
+    sized AS (
+      SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+    ),
+    rare AS (
+      SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 100
+    ),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM sh a
+      JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      JOIN rare r ON a.shingle = r.shingle
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    jac AS (
+      SELECT doc_a, doc_b FROM cand
+      JOIN sized sa ON sa.doc_id = doc_a
+      JOIN sized sb ON sb.doc_id = doc_b
+      WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM jac
+      UNION
+      SELECT doc_b AS a, doc_a AS b FROM jac
+    ),
+    reach AS (
+      SELECT a AS node, a AS r FROM edges
+      UNION
+      SELECT e.b AS node, reach.r AS r FROM reach JOIN edges e ON e.a = reach.node
+    ),
+    comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node)
+    SELECT d.doc_id,
+           COALESCE(component, d.doc_id) AS cluster_id,
+           d.doc_id = COALESCE(component, d.doc_id) AS is_canonical
+    FROM documents d LEFT JOIN comp ON comp.node = d.doc_id
+    """,
+    tags=("dedup", "components", "iterative"),
+)
+def dup_components_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters with an EXACT oracle: connected components
+    (iterative min-label propagation, operators.clusters) over the
+    deterministic n-gram-Jaccard pair graph, every doc labeled
+    (cluster_id, is_canonical) with singletons their own canonical.
+    DuckDB replicates the fixpoint with a recursive CTE — the oracled
+    twin of the rows-only `dedup_cluster_canonicals` (whose MinHash
+    edge set is xxhash-based and has no SQL equivalent).
+
+    Scale: each propagation round is one shuffle on the vertex id with
+    localCheckpoint lineage truncation; near-dup graphs are tiny
+    cliques/chains, so rounds ≈ component diameter ≈ a handful."""
+    from rag_lakehouse_spark.operators.clusters import dedup_cluster_canonicals as _canon
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    return _canon(d, pairs, id_col="doc_id", id_a="doc_a", id_b="doc_b")

@@ -33,3 +33,21 @@ def test_canonical_assignment_with_singletons(spark):
     # exactly one canonical per cluster
     canon = [r for r in out.values() if r.is_canonical]
     assert len({r.cluster_id for r in canon}) == len(canon) == 5
+
+
+def test_integer_pagerank_star_graph(spark):
+    from rag_lakehouse_spark.operators.graph import SCALE, integer_pagerank
+
+    # star: hub 0 <-> leaves 1..4 (bidirected)
+    edges = [(0, i) for i in range(1, 5)] + [(i, 0) for i in range(1, 5)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    ranks = {r.node: r.rank for r in integer_pagerank(df, iterations=5).collect()}
+    assert set(ranks) == {0, 1, 2, 3, 4}
+    # hub collects all leaf mass -> strictly highest; leaves symmetric
+    assert ranks[0] > ranks[1]
+    assert len({ranks[i] for i in range(1, 5)}) == 1
+    # mass is conserved up to the integer-div truncation (< 1e-9 rel)
+    total = sum(ranks.values())
+    assert abs(total - 5 * SCALE) / (5 * SCALE) < 1e-9
+    again = {r.node: r.rank for r in integer_pagerank(df, iterations=5).collect()}
+    assert again == ranks
