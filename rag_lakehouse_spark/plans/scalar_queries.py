@@ -255,3 +255,77 @@ def xpath_multi_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("title")
         .alias("matched_tag"),
     )
+
+
+@register(
+    "map_funcs_events",
+    oracle="""
+    SELECT event_id,
+           ['k', 'type', 'uid'] AS keys_sorted,
+           CAST(3 AS INTEGER) AS n_entries,
+           json_extract_string(props, '$.k') AS k_val,
+           event_type AS type_val,
+           CAST(2 AS INTEGER) AS n_non_uid
+    FROM events
+    WHERE event_id < 200
+    """,
+    tags=("map", "scalar", "json"),
+)
+def map_funcs_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: build a map<string,string> per event
+    (create_map of literals/columns ⊎ from_json of the props JSON via
+    map_concat), then read it back with map_keys / element_at /
+    map_filter / size. The oracle states the expected values directly
+    (the map is constructed in-plan, so its contents are derivable
+    without map types in DuckDB) — the hash check proves Spark's map
+    operators produce them.
+
+    Scale: pure codegen map expressions, no shuffle."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 200)
+    m = F.map_concat(
+        F.create_map(
+            F.lit("type"), F.col("event_type"),
+            F.lit("uid"), F.col("user_id").cast("string"),
+        ),
+        F.from_json("props", "map<string,string>"),
+    )
+    return e.select(
+        "event_id",
+        F.array_sort(F.map_keys(m)).alias("keys_sorted"),
+        F.size(m).alias("n_entries"),
+        F.element_at(m, "k").alias("k_val"),
+        F.element_at(m, "type").alias("type_val"),
+        F.size(F.map_filter(m, lambda k, _v: k != "uid")).alias("n_non_uid"),
+    )
+
+
+@register(
+    "variant_json_events",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS INTEGER) AS k_int,
+           CAST(json_extract(props, '$.k') AS VARCHAR) AS k_str,
+           CAST(json_extract(props, '$.missing') AS INTEGER) AS missing_val
+    FROM events
+    WHERE event_id < 200
+    """,
+    tags=("variant", "json", "scalar"),
+)
+def variant_json_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT surface (Spark 4): parse the props JSON
+    once into a variant and extract typed paths with variant_get —
+    the open-schema ingestion path for heterogeneous JSON at scale
+    (one binary-encoded column, no schema inference pass, pushdown-
+    friendly shredding on newer writers).
+
+    Scale: parse_json + variant_get are codegen expressions; at 100 TB
+    variant beats from_json-with-declared-schema whenever the schema
+    drifts (no job-restart on new fields)."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 200)
+    v = F.parse_json("props")
+    return e.select(
+        "event_id",
+        F.try_variant_get(v, "$.k", "int").alias("k_int"),
+        F.try_variant_get(v, "$.k", "string").alias("k_str"),
+        F.try_variant_get(v, "$.missing", "int").alias("missing_val"),
+    )
