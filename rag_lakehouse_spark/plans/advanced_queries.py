@@ -467,3 +467,45 @@ def graph_pagerank_influencers(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = e0.unionByName(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     ranks = integer_pagerank(edges, iterations=3)
     return ranks.orderBy(F.desc("rank"), F.asc("node")).limit(20)
+
+
+_RECURSIVE_BFS_SQL = """
+WITH RECURSIVE e0 AS (
+  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+), edges AS (
+  SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0
+), seeds AS (
+  SELECT s_suppkey * 2 + 1 AS node
+  FROM supplier JOIN nation ON n_nationkey = s_nationkey
+  WHERE n_name = 'NATION_18'
+), reach(node, hops) AS (
+  SELECT node, 0 FROM seeds
+  UNION ALL
+  SELECT e.dst, r.hops + 1 FROM reach r JOIN edges e ON e.src = r.node
+  WHERE r.hops < 2
+)
+SELECT node, CAST(MIN(hops) AS INTEGER) AS hops, COUNT(*) AS n_paths
+FROM reach GROUP BY node
+"""
+
+
+@register(
+    "recursive_cte_reach",
+    oracle=_RECURSIVE_BFS_SQL,
+    tags=("recursive-cte", "graph", "sql"),
+)
+def recursive_cte_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (new in Spark 4): bounded BFS over the bidirected
+    customer↔supplier graph from one nation's suppliers — per node the
+    minimum hop count (≤2) and the number of distinct paths reaching
+    it. Spark executes the IDENTICAL SQL text the DuckDB oracle runs —
+    the declarative twin of the hand-iterated power-iteration/label-
+    propagation operators in operators.graph / operators.clusters.
+
+    Scale: the engine unrolls the recursion into bounded join rounds
+    (hops < 2 caps the depth); each round is an equi-join on node id —
+    the same shape the explicit loop produces, minus the driver-side
+    control flow."""
+    register_views(spark, sf_dir)
+    return spark.sql(_RECURSIVE_BFS_SQL)
