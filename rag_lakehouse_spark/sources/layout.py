@@ -63,3 +63,69 @@ def scan_rows_read(df: DataFrame) -> int:
         if not m.isEmpty():
             return m.get().value()
     raise RuntimeError(f"no parquet scan metric found in plan:\n{plan.toString()[:500]}")
+
+
+def zorder_key(col_a, col_b, bits: int = 16):
+    """Z-order (Morton) interleaving of two non-negative integer
+    columns as a pure codegen expression: bit i of each input lands at
+    output bits 2i / 2i+1. Sorting by this key clusters the data along
+    BOTH dimensions at once, so min/max row-group stats stay selective
+    for predicates on EITHER column — the multi-key generalization of
+    single-column sort-clustering (Delta OPTIMIZE ZORDER-style, minus
+    the table format).
+
+    ``bits`` caps the per-column range at 2^bits (callers quantize
+    bigger domains down first — rank or bucket ids, not raw keys).
+    """
+    from pyspark.sql import functions as F
+
+    a = col_a if not isinstance(col_a, str) else F.col(col_a)
+    b = col_b if not isinstance(col_b, str) else F.col(col_b)
+    out = F.lit(0).cast("long")
+    for i in range(bits):
+        out = (
+            out
+            + F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i)
+            + F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return out
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    n_files: int = 8,
+    row_group_kb: int = 1024,
+    bits: int = 8,
+    quantize: bool = True,
+) -> str:
+    """Cluster by the Z-order interleave of two integer columns:
+    range-partition + sort on the Morton key, small row groups.
+    Returns the path.
+
+    ``quantize`` (default) first scales each column onto the same
+    2^bits range — WITHOUT it, the wider-range column's high bits
+    dominate the interleave and the layout degenerates toward a
+    single-column sort (measured: suppkey predicates skipped nothing
+    against raw 9-bit partkey vs 7-bit suppkey interleave; with
+    quantization they read 3× fewer rows). See tests/test_layout.py
+    for the measured both-dimension skipping."""
+    from pyspark.sql import functions as F
+
+    a, b = F.col(col_a), F.col(col_b)
+    if quantize:
+        ma, mb = df.agg(F.max(col_a), F.max(col_b)).collect()[0]
+        a = (a * (1 << bits) / (int(ma) + 1)).cast("long")
+        b = (b * (1 << bits) / (int(mb) + 1)).cast("long")
+    keyed = df.withColumn("__z", zorder_key(a, b, bits))
+    (
+        keyed.repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .option("parquet.block.size", row_group_kb * 1024)
+        .parquet(path)
+    )
+    return path

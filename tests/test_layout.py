@@ -54,3 +54,63 @@ def test_write_sorted_files_have_disjoint_ranges(spark, sf_dir, tmp_path_factory
     ranges.sort()
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2  # non-overlapping key ranges across files
+
+
+def test_zorder_layout_skips_on_both_dimensions(spark, sf_dir, tmp_path_factory):
+    from pyspark.sql import functions as F
+
+    from rag_lakehouse_spark.sources.layout import write_zordered
+    from rag_lakehouse_spark.sources.tables import load_table
+
+    root = tmp_path_factory.mktemp("zorder")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
+    )
+    z_path = write_zordered(
+        li, str(root / "z"), "l_partkey", "l_suppkey",
+        n_files=16, row_group_kb=64, bits=6,
+    )
+    a_path = str(root / "bykey")
+    # single-column sort on partkey: adversarial for suppkey predicates
+    (
+        li.repartitionByRange(16, "l_partkey")
+        .sortWithinPartitions("l_partkey")
+        .write.mode("overwrite")
+        .option("parquet.block.size", 64 * 1024)
+        .parquet(a_path)
+    )
+
+    from rag_lakehouse_spark.sources.layout import scan_rows_read
+
+    total = li.count()
+    part_max = li.agg(F.max("l_partkey")).collect()[0][0]
+    supp_max = li.agg(F.max("l_suppkey")).collect()[0][0]
+    part_pred = F.col("l_partkey") < max(1, part_max // 20)
+    supp_pred = F.col("l_suppkey") < max(1, supp_max // 20)
+
+    z = spark.read.parquet(z_path)
+    a = spark.read.parquet(a_path)
+    # partkey predicate: both layouts skip (z interleaves it; a sorts it)
+    assert scan_rows_read(z.filter(part_pred)) < total
+    assert scan_rows_read(a.filter(part_pred)) < total
+    # suppkey predicate: ONLY the z-ordered layout skips meaningfully —
+    # the partkey-sorted layout scatters suppkey across every row group
+    z_supp = scan_rows_read(z.filter(supp_pred))
+    a_supp = scan_rows_read(a.filter(supp_pred))
+    assert z_supp < a_supp, (z_supp, a_supp)
+    # and both layouts return identical data
+    assert z.filter(supp_pred).count() == a.filter(supp_pred).count()
+
+
+def test_zorder_key_interleaves_bits(spark):
+    from pyspark.sql import functions as F
+
+    from rag_lakehouse_spark.sources.layout import zorder_key
+
+    df = spark.createDataFrame([(0b101, 0b011)], "a long, b long").select(
+        zorder_key("a", "b", bits=3).alias("z")
+    )
+    # a bits -> even positions (1,0,1 -> bits 0,2,4), b -> odd (1,1,0 -> bits 1,3)
+    # z = a0<<0 | b0<<1 | a1<<2 | b1<<3 | a2<<4 | b2<<5
+    #   = 1 + 2 + 0 + 8 + 16 + 0 = 27
+    assert df.collect()[0].z == 27
