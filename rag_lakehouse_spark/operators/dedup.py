@@ -84,12 +84,16 @@ def signatures_from_norm(
     and the array<string> materialization changes nothing semantically
     — signatures are identical to the array path — while removing the
     most allocation-heavy stage of the pipeline. Docs shorter than k
-    explode to zero rows (empty sequence), same drop semantics as the
-    array path."""
+    are filtered out BEFORE the explode (same drop semantics as the
+    guarded array path in functions.text.char_shingles): Spark's
+    ``sequence(1, 0)`` infers step -1 and yields ``[1, 0]``, so an
+    unguarded explode would hand sub-k docs two bogus positions and a
+    truncated-substring signature — every empty-normalizing doc would
+    then share ``xxhash64('')`` and collide pairwise in LSH banding."""
     n_pos = F.length("__norm") - (shingle_k - 1)
-    rows = norm_df.select(
+    rows = norm_df.filter(F.length("__norm") >= shingle_k).select(
         F.col(id_col),
-        F.explode(F.sequence(F.lit(1), F.greatest(n_pos, F.lit(0)))).alias("__pos"),
+        F.explode(F.sequence(F.lit(1), n_pos)).alias("__pos"),
         F.col("__norm"),
     ).select(
         F.col(id_col),

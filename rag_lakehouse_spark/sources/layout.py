@@ -111,14 +111,29 @@ def write_zordered(
     single-column sort (measured: suppkey predicates skipped nothing
     against raw 9-bit partkey vs 7-bit suppkey interleave; with
     quantization they read 3× fewer rows). See tests/test_layout.py
-    for the measured both-dimension skipping."""
+    for the measured both-dimension skipping.
+
+    Quantization is min-shifted: values map to ``(v - min) * 2^bits /
+    (max - min + 1)``, so negative domains land in [0, 2^bits) like any
+    other. (Max-only scaling left negatives negative, and shiftright on
+    negative longs sign-extends — the interleave silently degraded.)
+    An EMPTY input writes an empty parquet table as-is: there is
+    nothing to quantize, and ``int(None)`` used to crash here."""
     from pyspark.sql import functions as F
 
     a, b = F.col(col_a), F.col(col_b)
     if quantize:
-        ma, mb = df.agg(F.max(col_a), F.max(col_b)).collect()[0]
-        a = (a * (1 << bits) / (int(ma) + 1)).cast("long")
-        b = (b * (1 << bits) / (int(mb) + 1)).cast("long")
+        mna, mxa, mnb, mxb = df.agg(
+            F.min(col_a), F.max(col_a), F.min(col_b), F.max(col_b)
+        ).collect()[0]
+        if mxa is None or mxb is None:  # empty input (or all-null keys)
+            df.write.mode("overwrite").option(
+                "parquet.block.size", row_group_kb * 1024
+            ).parquet(path)
+            return path
+        span_a, span_b = int(mxa) - int(mna) + 1, int(mxb) - int(mnb) + 1
+        a = ((a - F.lit(int(mna))) * (1 << bits) / span_a).cast("long")
+        b = ((b - F.lit(int(mnb))) * (1 << bits) / span_b).cast("long")
     keyed = df.withColumn("__z", zorder_key(a, b, bits))
     (
         keyed.repartitionByRange(n_files, "__z")

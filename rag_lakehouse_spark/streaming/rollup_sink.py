@@ -19,11 +19,13 @@ cascade correct makes the incremental fold correct.
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 # the maintained partial schema: bucket_start, n_events, total_value
-# (decimal partial), user_sketch (HLL binary)
+# (decimal partial), user_sketch (HLL binary), last_batch_id (the
+# idempotency watermark — constant across rows of one state version)
 
 
 def _batch_partials(df: DataFrame, grain: str = "hour") -> DataFrame:
@@ -46,6 +48,46 @@ def _merge(prev: DataFrame, batch: DataFrame) -> DataFrame:
     )
 
 
+def _read_state(spark: SparkSession, state_path: str) -> DataFrame | None:
+    """Read the maintained state table, returning None iff the path
+    does not exist yet (first batch). Any OTHER read error — permission
+    trouble, corrupt footer, transient storage failure — raises: the
+    old blanket ``except`` silently reset state to empty and dropped
+    all folded history on a hiccup."""
+    try:
+        return spark.read.parquet(state_path)
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+            return None
+        raise
+
+
+def fold_batch(
+    spark: SparkSession, state_path: str, batch_df: DataFrame, batch_id: int
+) -> bool:
+    """Fold one micro-batch's hour partials into the state table.
+    Idempotent under foreachBatch's at-least-once contract: the state
+    carries the last applied ``batch_id``, and a batch replayed after a
+    failure between the state overwrite and the checkpoint commit is
+    skipped instead of double-counted. Returns True iff folded.
+
+    Spark assigns batch ids monotonically from the checkpoint, so
+    ``applied >= batch_id`` ⇔ this exact batch already folded."""
+    prev = _read_state(spark, state_path)
+    if prev is not None:
+        applied = prev.agg(F.max("last_batch_id")).first()[0]
+        if applied is not None and applied >= batch_id:
+            return False
+        prev = prev.drop("last_batch_id")
+    partial = _batch_partials(batch_df)
+    merged = _merge(prev, partial) if prev is not None else _merge(partial.limit(0), partial)
+    merged = merged.withColumn("last_batch_id", F.lit(int(batch_id)).cast("bigint"))
+    # materialize BEFORE overwriting the path being read
+    merged = merged.localCheckpoint(eager=True)
+    merged.write.mode("overwrite").parquet(state_path)
+    return True
+
+
 def maintain_hourly_rollup(
     spark: SparkSession, events_stream: DataFrame, state_path: str
 ):
@@ -53,17 +95,8 @@ def maintain_hourly_rollup(
     partials into the parquet state table at ``state_path``. Returns
     the StreamingQuery (caller awaits termination)."""
 
-    def fold(batch_df: DataFrame, _batch_id: int) -> None:
-        partial = _batch_partials(batch_df)
-        try:
-            prev = spark.read.parquet(state_path)
-            has_prev = True
-        except Exception:
-            has_prev = False
-        merged = _merge(prev, partial) if has_prev else _merge(partial.limit(0), partial)
-        # materialize BEFORE overwriting the path being read
-        merged = merged.localCheckpoint(eager=True)
-        merged.write.mode("overwrite").parquet(state_path)
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        fold_batch(spark, state_path, batch_df, batch_id)
 
     return (
         events_stream.writeStream.foreachBatch(fold)
@@ -80,7 +113,7 @@ def rollup_hierarchy_from_state(
     partials — the serving-side read. Output matches
     ``events_rollup_distinct_sketch``-style columns:
     (grain, bucket_start, n_events, total_value, approx_users)."""
-    level = spark.read.parquet(state_path)
+    level = spark.read.parquet(state_path).drop("last_batch_id")
     out = None
     for g in grains:
         if g != grains[0]:

@@ -94,6 +94,32 @@ def test_char_shingles_short_text_cross_engine(spark):
     assert got == duck
 
 
+def test_minhash_drops_sub_k_docs(spark):
+    """Docs whose normalized text is shorter than shingle_k must get NO
+    signature (and therefore never reach LSH banding). Regression:
+    sequence(1, greatest(n_pos, 0)) fed sequence(1, 0) → [1, 0] for
+    sub-k docs, so every short/empty doc got a truncated-substring
+    signature and all empty docs collided pairwise in banding."""
+    from rag_lakehouse_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_signatures_only,
+    )
+
+    rows = [
+        (1, "abc"),          # shorter than k
+        (2, ""),             # empty
+        (3, "?!  ..."),      # normalizes to empty
+        (4, "a sufficiently long document that clears the shingle size"),
+        (5, "another sufficiently long document clearing the shingle size"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = {r.doc_id for r in minhash_signatures_only(df, shingle_k=8).collect()}
+    assert sigs == {4, 5}
+    # short docs never reach banding → no pairs among ids 1-3
+    pairs = {(r.id_a, r.id_b) for r in minhash_lsh_pairs(df, threshold=0.1).collect()}
+    assert all(a not in (1, 2, 3) and b not in (1, 2, 3) for a, b in pairs)
+
+
 def test_exact_dedup_keeps_min_id(spark):
     from rag_lakehouse_spark.operators.text import exact_dedup
 

@@ -114,3 +114,29 @@ def test_zorder_key_interleaves_bits(spark):
     # z = a0<<0 | b0<<1 | a1<<2 | b1<<3 | a2<<4 | b2<<5
     #   = 1 + 2 + 0 + 8 + 16 + 0 = 27
     assert df.collect()[0].z == 27
+
+
+def test_zorder_empty_and_negative_domains(spark, tmp_path_factory):
+    """write_zordered must not crash on an empty input (int(None)
+    regression) and must min-shift negative domains so the Morton
+    interleave stays meaningful (shiftright on negative longs
+    sign-extends, silently degrading clustering)."""
+    from rag_lakehouse_spark.sources.layout import write_zordered
+
+    root = tmp_path_factory.mktemp("zorder_edge")
+
+    empty = spark.createDataFrame([], "a long, b long, v string")
+    p_empty = write_zordered(empty, str(root / "empty"), "a", "b", n_files=1)
+    assert spark.read.parquet(p_empty).count() == 0
+
+    rows = [(i - 500, (i * 7919) % 1000 - 500, f"v{i}") for i in range(1000)]
+    neg = spark.createDataFrame(rows, "a long, b long, v string")
+    p_neg = write_zordered(neg, str(root / "neg"), "a", "b", n_files=4, bits=8)
+    back = spark.read.parquet(p_neg)
+    assert back.count() == 1000
+    assert sorted(r.v for r in back.collect()) == sorted(r[2] for r in rows)
+    # clustering sanity: a point predicate on either (negative-valued)
+    # dimension must not read the whole table
+    read_a = scan_rows_read(back.filter(F.col("a") == -499))
+    read_b = scan_rows_read(back.filter(F.col("b") == -499))
+    assert read_a < 1000 and read_b < 1000, (read_a, read_b)

@@ -62,3 +62,50 @@ def test_incremental_rollup_matches_batch(spark, events_dir, tmp_path_factory):
             assert n == wn, (grain, b)
             assert v == pytest.approx(wv, abs=1e-9), (grain, b)
             assert u == wu, (grain, b)  # sketch union is associative
+
+
+def test_fold_batch_replay_is_idempotent(spark, events_dir, tmp_path_factory):
+    """foreachBatch is at-least-once: a batch re-delivered after a
+    failure between the state overwrite and the checkpoint commit must
+    NOT double-count. fold_batch skips ids <= the stored watermark."""
+    from rag_lakehouse_spark.streaming.rollup_sink import fold_batch
+
+    state = str(tmp_path_factory.mktemp("rollup_replay")) + "/hourly"
+    raw = spark.read.parquet(events_dir)
+    b0, b1 = raw.limit(500), raw.subtract(raw.limit(500))
+
+    assert fold_batch(spark, state, b0, 0) is True
+    snap = sorted(
+        (r.bucket_start, r.n_events, str(r.total_value))
+        for r in spark.read.parquet(state).collect()
+    )
+    # replay of the same batch id: skipped, state byte-identical
+    assert fold_batch(spark, state, b0, 0) is False
+    assert snap == sorted(
+        (r.bucket_start, r.n_events, str(r.total_value))
+        for r in spark.read.parquet(state).collect()
+    )
+    # next id folds; totals equal the one-shot aggregate over all rows
+    assert fold_batch(spark, state, b1, 1) is True
+    got_n = spark.read.parquet(state).agg(F.sum("n_events")).first()[0]
+    assert got_n == raw.count()
+
+
+def test_read_state_raises_on_non_missing_errors(spark, tmp_path_factory):
+    """Only path-not-found means 'no state yet'; a corrupt state table
+    must fail loud, not silently reset history to empty."""
+    import os
+
+    import pytest as _pytest
+
+    from rag_lakehouse_spark.streaming.rollup_sink import _read_state
+
+    missing = str(tmp_path_factory.mktemp("rollup_missing")) + "/nope"
+    assert _read_state(spark, missing) is None
+
+    corrupt = str(tmp_path_factory.mktemp("rollup_corrupt")) + "/state"
+    os.makedirs(corrupt)
+    with open(os.path.join(corrupt, "part-00000.parquet"), "wb") as f:
+        f.write(b"this is not a parquet file")
+    with _pytest.raises(Exception):
+        _read_state(spark, corrupt).collect()
