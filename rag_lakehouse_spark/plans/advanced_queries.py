@@ -331,6 +331,33 @@ def knn_vectorized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "knn_vectorized_ranks",
+    oracle=None,  # replaced below via _VEC import ordering; see _RANKS_ORACLE
+    tags=("vector", "knn", "pandas"),
+)
+def knn_vectorized_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BLAS top-k ID SET, hash-oracled: same plan as
+    ``knn_vectorized_topk`` but projecting (query_id, neighbor_id, rank)
+    WITHOUT the float score, so the mapInPandas matrix-multiply path —
+    previously rows-only because BLAS sum order differs from the
+    oracle's strict left fold in the last bits — carries a full
+    value-hash driver row. Safe by measurement: the minimum adjacent
+    top-k score gap at sf0.01 is 2.2e-4, ~11 orders of magnitude above
+    float64 summation-order divergence, so ranks cannot flip between
+    the BLAS and fold paths. (The +1e-12 norm regularizer scales scores
+    by <1e-12 relative — also far below the gap.)"""
+    from rag_lakehouse_spark.operators.similarity import knn_exact_vectorized
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    return knn_exact_vectorized(e.filter(F.col("vec_id") >= 20), q, k=3).select(
+        "query_id", "neighbor_id", "rank"
+    )
+
+
+@register(
     "salted_join_hot_events",
     oracle="""
     WITH dim(event_type, weight) AS (

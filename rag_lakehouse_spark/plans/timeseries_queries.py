@@ -117,6 +117,67 @@ def events_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_rollup_hour_only",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket_start,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1
+    """,
+    tags=("events", "rollup", "streaming"),
+)
+def events_rollup_hour_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING-maintained hour grain, hash-checked against the
+    batch oracle: events replay through an availableNow file stream
+    (maxFilesPerTrigger=1 over a 4-file copy, so ≥4 micro-batches each
+    fold into the stored partial table via
+    ``streaming.rollup_sink.maintain_hourly_rollup``), then the state
+    table is read back as a batch DataFrame. Because every maintained
+    measure is mergeable (count/decimal-sum add, the HLL sketch unions),
+    batch boundaries cannot change the result — the incremental fold
+    must equal the one-shot GROUP BY the oracle runs. This turns the
+    sink's pytest-only evidence into a driver row.
+
+    Scale: each micro-batch touches its own rows plus the partial table
+    (buckets × groups, thousands of rows); raw history is never
+    re-scanned. Serving reads are a scan of the tiny state table."""
+    import os
+    import shutil
+    import tempfile
+
+    from rag_lakehouse_spark.streaming.rollup_sink import maintain_hourly_rollup
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"rls_rollup_stream_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    # Fresh source/checkpoint/state per invocation: a stale checkpoint
+    # would treat rewritten source files as new and re-fold them onto
+    # the old state.
+    shutil.rmtree(base, ignore_errors=True)
+    src = os.path.join(base, "events")
+    (
+        load_table(spark, sf_dir, "events")
+        .select("ts", "user_id", "value")
+        .repartition(4)
+        .write.mode("overwrite")
+        .parquet(src)
+    )
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    state = os.path.join(base, "hourly")
+    maintain_hourly_rollup(spark, stream, state).awaitTermination()
+    return spark.read.parquet(state).select(
+        F.date_format("bucket_start", "yyyy-MM-dd HH:mm:ss").alias("bucket_start"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.col("total_value").cast("double").alias("total_value"),
+    )
+
+
 @register("events_rollup_distinct_sketch", oracle=None, tags=("events", "rollup", "sketch"))
 def events_rollup_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The rollup hierarchy with a NON-additive measure: distinct users
