@@ -330,9 +330,28 @@ def knn_vectorized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_exact_vectorized(e.filter(F.col("vec_id") >= 20), q, k=3)
 
 
+_RANKS_DOT = "list_sum(list_transform(list_zip(a.embedding, b.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+
+
 @register(
     "knn_vectorized_ranks",
-    oracle=None,  # replaced below via _VEC import ordering; see _RANKS_ORACLE
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding,
+             sqrt(list_sum(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      FROM embeddings
+    )
+    SELECT query_id, neighbor_id, rank FROM (
+      SELECT a.vec_id AS query_id,
+             b.vec_id AS neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                ORDER BY {_RANKS_DOT} / (a.nrm * b.nrm) DESC,
+                                         b.vec_id) AS rank
+      FROM e a, e b
+      WHERE a.vec_id < 20 AND b.vec_id >= 20) t
+    WHERE rank <= 3
+    """,
     tags=("vector", "knn", "pandas"),
 )
 def knn_vectorized_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -345,7 +364,9 @@ def knn_vectorized_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-k score gap at sf0.01 is 2.2e-4, ~11 orders of magnitude above
     float64 summation-order divergence, so ranks cannot flip between
     the BLAS and fold paths. (The +1e-12 norm regularizer scales scores
-    by <1e-12 relative — also far below the gap.)"""
+    by <1e-12 relative — also far below the gap.) The oracle ranks by
+    the exact cosine with the same (score DESC, neighbor_id) tiebreak
+    the window uses."""
     from rag_lakehouse_spark.operators.similarity import knn_exact_vectorized
 
     e = load_table(spark, sf_dir, "embeddings")
