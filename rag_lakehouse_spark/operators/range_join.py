@@ -89,5 +89,9 @@ def epoch_micros(c: Column) -> Column:
     for time-range joins. Integer micros keep bucket arithmetic exact;
     unix_timestamp() would truncate to whole seconds and shift
     sub-second points across interval boundaries. Bucket widths are
-    then given in micros (e.g. one day = 86_400 * 1_000_000)."""
-    return F.unix_micros(c)
+    then given in micros (e.g. one day = 86_400 * 1_000_000).
+
+    Total over both timestamp flavors: unix_micros requires TIMESTAMP,
+    so a TIMESTAMP_NTZ input is first relabeled via cast (a no-op for
+    TIMESTAMP; for NTZ it applies the session timezone, pinned UTC)."""
+    return F.unix_micros(c.cast("timestamp"))

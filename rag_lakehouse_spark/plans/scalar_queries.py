@@ -261,7 +261,7 @@ def xpath_multi_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
     "map_funcs_events",
     oracle="""
     SELECT event_id,
-           ['k', 'type', 'uid'] AS keys_sorted,
+           'k,type,uid' AS keys_sorted,
            CAST(3 AS INTEGER) AS n_entries,
            json_extract_string(props, '$.k') AS k_val,
            event_type AS type_val,
@@ -291,7 +291,10 @@ def map_funcs_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return e.select(
         "event_id",
-        F.array_sort(F.map_keys(m)).alias("keys_sorted"),
+        # joined to a single string (not array<string>): the external
+        # driver canonicalizes via pandas sort_values, which cannot
+        # factorize list-valued cells (r4/r5 driver error).
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_sorted"),
         F.size(m).alias("n_entries"),
         F.element_at(m, "k").alias("k_val"),
         F.element_at(m, "type").alias("type_val"),

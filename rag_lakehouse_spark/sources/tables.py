@@ -43,8 +43,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         from pyspark.sql import functions as F
         from pyspark.sql import types as T
 
-        if isinstance(df.schema["ts"].dataType, T.LongType):
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(ts_type, T.TimestampNTZType):
+            # Some parquet reader configs resolve TIMESTAMP(NANOS) as
+            # TIMESTAMP_NTZ instead of raw nanos. The session timezone is
+            # pinned to UTC (session.py:35), so NTZ -> LTZ is a lossless
+            # relabel; downstream time functions (unix_micros, window,
+            # session_window) all require TIMESTAMP.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     # join_uri keeps this scheme-agnostic: sf_dir may be a plain path,
     # file://, or s3a://bucket/prefix (with configure_object_store).
