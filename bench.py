@@ -48,6 +48,7 @@ HEADLINE = (
     "dedup_exact_docs",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    "dedup_simhash",
     "knn_similarity_join",
     "knn_vectorized_topk",
     "events_asof_purchase",
@@ -72,7 +73,12 @@ def main() -> None:
     warmed = ["q1_pricing_summary"]
     qs["q1_pricing_summary"](spark, sf_dir).count()
     if os.path.isdir(warmup_sf):
-        for name in ("dedup_minhash_lsh", "dedup_ngram_jaccard", "knn_vectorized_topk"):
+        for name in (
+            "dedup_minhash_lsh",
+            "dedup_ngram_jaccard",
+            "dedup_simhash",
+            "knn_vectorized_topk",
+        ):
             if name in qs:
                 try:
                     qs[name](spark, warmup_sf).count()

@@ -275,31 +275,44 @@ def simhash_docs(
 
     Near-dups differ in few bits → block/join on rotated prefixes or
     compare via ``bit_count(sh_a ^ sh_b)`` (hamming) on candidates.
-    """
+
+    Shape: tokens EXPLODE to (id, xxhash64(token)) rows, the 64 bit
+    votes are 64 conditional-SUM aggregation buffers, and the
+    fingerprint packs from the vote columns in a scalar projection —
+    the same explode→primitive-agg formulation as the MinHash
+    signatures (``_signatures_from_hash_rows``). The alternative (64
+    ``F.aggregate`` folds stacked in one projection) is the shape the
+    MinHash measurement showed falls out of whole-stage codegen into
+    interpreted evaluation (~20× slower); votes-as-agg-buffers keeps
+    every operator primitive, and map-side partial combine means the
+    shuffle carries docs×64 longs, exactly like MinHash."""
     df = _fan_out(df)
-    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
-
-    def _vote(bit: int):
-        # bit-test via mask (no shift on the lambda var); factory keeps
-        # the merge lambda at arity 2 (acc, h)
-        mask = (1 << bit) if bit < 63 else -(1 << 63)
-        return lambda acc, h: acc + F.when(
-            h.bitwiseAND(F.lit(mask)) != 0, 1
-        ).otherwise(-1)
-
-    # bit b of the fingerprint = 1 iff sum over tokens of ±1 (by hash bit b) > 0
+    toks = F.split(F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), r"\s+")
+    rows = df.select(F.col(id_col), F.explode(toks).alias("__tok")).select(
+        F.col(id_col), F.xxhash64("__tok").alias("__h")
+    )
+    # bit-test via mask; bit 63 is the sign bit of the i64 hash
+    masks = [(1 << b) if b < 63 else -(1 << 63) for b in range(64)]
+    votes = rows.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        *[
+            F.sum(
+                F.when(F.col("__h").bitwiseAND(F.lit(masks[b])) != 0, 1).otherwise(-1)
+            ).alias(f"__v{b}")
+            for b in range(64)
+        ],
+    )
+    # bit b of the fingerprint = 1 iff the ±1 vote sum for bit b is > 0
     bit_cols = [
-        F.when(F.aggregate(F.col("__hashes"), F.lit(0), _vote(b)) > 0, F.lit(1).cast("bigint"))
+        F.when(F.col(f"__v{b}") > 0, F.lit(1).cast("bigint"))
         .otherwise(F.lit(0).cast("bigint"))
         for b in range(64)
     ]
     fingerprint = bit_cols[0]
     for b in range(1, 64):
         fingerprint = fingerprint + F.shiftleft(bit_cols[b], b)
-    return (
-        df.withColumn("__hashes", hashes)
-        .select(F.col(id_col), fingerprint.alias("simhash"), F.size("__hashes").alias("n_tokens"))
+    return votes.select(
+        F.col(id_col), fingerprint.alias("simhash"), F.col("n_tokens")
     )
 
 

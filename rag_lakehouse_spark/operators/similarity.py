@@ -12,7 +12,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from rag_lakehouse_spark.functions.vector import cosine, dot, l2_distance
+from rag_lakehouse_spark.functions.vector import cosine, dot, l2_distance, l2_norm
 
 
 def knn_exact(
@@ -34,13 +34,23 @@ def knn_exact(
     WindowGroupLimit keeps k rows per partition pre-shuffle. Crossover:
     when |queries|×|corpus| work exceeds budget, switch to
     ``knn_lsh``/``knn_ivf``.
+
+    Cosine norms are HOISTED: each side projects its ``l2_norm`` once
+    per row below the join, so the per-pair work is exactly one dot
+    fold — the naive ``cosine()`` per pair recomputes both norms for
+    every corpus×query pair (3 folds/pair, ~3× the array work on the
+    quadratic stage).
     """
-    score = (
-        cosine(F.col(corpus_vec), F.col(query_vec))
-        if metric == "cosine"
-        else -l2_distance(F.col(corpus_vec), F.col(query_vec))
-    )
-    scored = corpus.crossJoin(F.broadcast(queries)).select(
+    if metric == "cosine":
+        c = corpus.withColumn("__nrm_c", l2_norm(F.col(corpus_vec)))
+        q = queries.withColumn("__nrm_q", l2_norm(F.col(query_vec)))
+        score = dot(F.col(corpus_vec), F.col(query_vec)) / (
+            F.col("__nrm_c") * F.col("__nrm_q")
+        )
+    else:
+        c, q = corpus, queries
+        score = -l2_distance(F.col(corpus_vec), F.col(query_vec))
+    scored = c.crossJoin(F.broadcast(q)).select(
         F.col(query_id),
         F.col(corpus_id).alias("neighbor_id"),
         score.alias("score"),
@@ -154,21 +164,31 @@ def knn_lsh(
     Scale: turns the cross product into an equi-join on a 2^n_planes-ary
     key — corpus scored per query shrinks ~2^n_planes×. Recall is
     tunable (fewer planes → bigger buckets → higher recall/cost).
+
+    Candidate rescoring hoists norms below the bucket join (one dot
+    fold per candidate pair; see ``knn_exact``).
     """
     planes = _random_hyperplanes(dim, n_planes, seed)
-    c = corpus.withColumn("__bucket", _srp_bucket(F.col(corpus_vec), planes))
-    q = queries.withColumn("__bucket", _srp_bucket(F.col(query_vec), planes))
+    c = corpus.withColumn(
+        "__bucket", _srp_bucket(F.col(corpus_vec), planes)
+    ).withColumn("__nrm_c", l2_norm(F.col(corpus_vec)))
+    q = queries.withColumn(
+        "__bucket", _srp_bucket(F.col(query_vec), planes)
+    ).withColumn("__nrm_q", l2_norm(F.col(query_vec)))
     scored = c.join(F.broadcast(q), "__bucket").select(
         F.col(query_id),
         F.col(corpus_id).alias("neighbor_id"),
-        cosine(F.col(corpus_vec), F.col(query_vec)).alias("score"),
+        (
+            dot(F.col(corpus_vec), F.col(query_vec))
+            / (F.col("__nrm_c") * F.col("__nrm_q"))
+        ).alias("score"),
     )
     w = W.partitionBy(query_id).orderBy(F.desc("score"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
 def _assign_cells(
-    df: DataFrame, cent_b: DataFrame, id_col: str, vec_col: str
+    df: DataFrame, cent_df: DataFrame, id_col: str, vec_col: str
 ) -> DataFrame:
     """Nearest-centroid assignment as a ``max_by`` groupBy aggregation:
     (id, vec, cell_id) with cell_id = argmax cosine(vec, centroid),
@@ -179,10 +199,19 @@ def _assign_cells(
     carries one row per input vector — a row_number window here would
     shuffle the full n_cells× expansion. first(vec) is deterministic:
     every row in a group carries the identical vector.
+
+    Scoring is ``dot / centroid_norm``, NOT full cosine: the row
+    vector's own norm is constant across the centroids it is compared
+    against, so dividing by it cannot change the argmax — dropping it
+    removes two of three folds per (row, centroid) pair. The centroid
+    norm is hoisted onto the (tiny, broadcast) centroid side.
     """
+    cent_nrm = cent_df.withColumn("__cnrm", l2_norm(F.col("centroid")))
     return (
-        df.crossJoin(cent_b)
-        .withColumn("__sim", cosine(F.col(vec_col), F.col("centroid")))
+        df.crossJoin(F.broadcast(cent_nrm))
+        .withColumn(
+            "__sim", dot(F.col(vec_col), F.col("centroid")) / F.col("__cnrm")
+        )
         .groupBy(id_col)
         .agg(
             F.first(vec_col).alias(vec_col),
@@ -245,7 +274,7 @@ def kmeans_centroids(
             [(c, [float(x) for x in v]) for c, v in sorted(cents.items())],
             "cell_id int, centroid array<float>",
         )
-        assigned = _assign_cells(corpus, F.broadcast(cent_df), corpus_id, corpus_vec)
+        assigned = _assign_cells(corpus, cent_df, corpus_id, corpus_vec)
         means = (
             assigned.select("cell_id", F.posexplode(F.col(corpus_vec)).alias("pos", "val"))
             .groupBy("cell_id", "pos")
@@ -301,29 +330,41 @@ def knn_ivf(
                 F.col(corpus_vec).alias("centroid"),
             )
         )
-    cent_b = F.broadcast(centroids_df)
-
     # Assign corpus rows to nearest centroid: max_by aggregation — the
     # shuffle carries one row per corpus vector, not the ×n_cells
     # expansion a window argmax would move (see _assign_cells).
-    assigned = _assign_cells(corpus, cent_b, corpus_id, corpus_vec).select(
-        corpus_id, corpus_vec, "cell_id"
+    assigned = (
+        _assign_cells(corpus, centroids_df, corpus_id, corpus_vec)
+        .select(corpus_id, corpus_vec, "cell_id")
+        .withColumn("__nrm_c", l2_norm(F.col(corpus_vec)))
     )
 
-    # Queries probe their n_probe nearest cells.
+    # Queries probe their n_probe nearest cells. Ranking uses
+    # dot / centroid_norm: the query's own norm is constant within its
+    # rank partition, so it cannot reorder the probe list (see
+    # _assign_cells).
+    cent_nrm = F.broadcast(
+        centroids_df.withColumn("__cnrm", l2_norm(F.col("centroid")))
+    )
     probe_w = W.partitionBy(query_id).orderBy(F.desc("__sim"), F.asc("cell_id"))
     probes = (
-        queries.crossJoin(cent_b)
-        .withColumn("__sim", cosine(F.col(query_vec), F.col("centroid")))
+        queries.withColumn("__nrm_q", l2_norm(F.col(query_vec)))
+        .crossJoin(cent_nrm)
+        .withColumn("__sim", dot(F.col(query_vec), F.col("centroid")) / F.col("__cnrm"))
         .withColumn("__r", F.row_number().over(probe_w))
         .filter(F.col("__r") <= n_probe)
-        .select(query_id, query_vec, "cell_id")
+        .select(query_id, query_vec, "__nrm_q", "cell_id")
     )
 
+    # Final candidate scoring: one dot fold per pair, norms hoisted
+    # per row on both sides.
     scored = assigned.join(F.broadcast(probes), "cell_id").select(
         F.col(query_id),
         F.col(corpus_id).alias("neighbor_id"),
-        cosine(F.col(corpus_vec), F.col(query_vec)).alias("score"),
+        (
+            dot(F.col(corpus_vec), F.col(query_vec))
+            / (F.col("__nrm_c") * F.col("__nrm_q"))
+        ).alias("score"),
     )
     w = W.partitionBy(query_id).orderBy(F.desc("score"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

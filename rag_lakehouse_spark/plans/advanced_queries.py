@@ -9,6 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from rag_lakehouse_spark.functions import vector as VEC
 from rag_lakehouse_spark.operators.asof import asof_join_backward
 from rag_lakehouse_spark.plans.registry import register
 from rag_lakehouse_spark.sources.tables import load_table, register_views
@@ -254,19 +255,30 @@ def approx_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("ann_recall_report", oracle=None, tags=("vector", "ann", "quality"))
 def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@10 of the approximate search paths (SRP-LSH, sampled-
-    centroid IVF, k-means-trained IVF, residual IVF-PQ) against exact
-    brute force, for 20 queries — the quality/speed/memory dial report
-    that justifies an ANN deployment (measured at sf0.01: 0.15 / 0.46
-    / 0.85 / 0.55, the last at quarter-probe over a 16×-compressed
-    index). Deterministic (seeded planes, id-stratified centroids,
+    centroid IVF, k-means-trained IVF, residual IVF-PQ with sampled
+    and with trained coarse quantizers) against exact brute force, for
+    20 queries — the quality/speed/memory dial report that justifies an
+    ANN deployment (measured at sf0.01: 0.15 / 0.46 / 0.85 / 0.55 /
+    0.74). Deterministic (seeded planes, id-stratified centroids,
     fixed Lloyd iteration count). Rows-only: one row per method.
 
-    Both IVF rows probe the same fraction (n_probe/n_cells = 1/4) so
-    the comparison isolates quantizer quality: finer trained cells
-    (128 cells × 32 probes, 3 Lloyd iterations) recover ≥0.7 recall@10
-    at every test scale where the 16-cell sampled quantizer sits near
-    0.5 — the 100 TB lesson being that cell COUNT (finer partition of
-    the space at a fixed probe fraction) beats extra training passes."""
+    The sampled IVF rows probe the same fraction (n_probe/n_cells =
+    1/4) so the comparison isolates quantizer quality: finer trained
+    cells (128 cells × 32 probes, 3 Lloyd iterations) recover ≥0.7
+    recall@10 at every test scale where the 16-cell sampled quantizer
+    sits near 0.5 — the 100 TB lesson being that cell COUNT (finer
+    partition of the space at a fixed probe fraction) beats extra
+    training passes.
+
+    ``ivf_pq_trained`` is the deployable 100 TB configuration: the
+    SAME trained 128-cell coarse quantizer as ``ivf_kmeans`` at the
+    same quarter-probe fraction, plus 16-byte residual PQ codes
+    (m=16 × 1 byte, a 16× index compression at dim=64 float32).
+    Measured at sf0.01: recall@10 = 0.74 (n_probe sweep: 16→0.65,
+    32→0.74, 48→0.77) vs 0.55 for the sampled-centroid IVF-PQ — the
+    trained coarse quantizer's tighter cells shrink the residuals the
+    PQ codes must cover, recovering most of the ivf_kmeans recall at a
+    sixteenth of the memory."""
     from rag_lakehouse_spark.operators.similarity import (
         kmeans_centroids,
         knn_exact,
@@ -297,6 +309,14 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             knn_ivf_pq(
                 corpus, q, dim=64, k_neighbors=10,
                 n_cells=64, n_probe=16, m=16, k_codes=256,
+            ),
+        ),
+        (
+            "ivf_pq_trained",  # the deployable config: trained coarse
+            # quantizer (shared with ivf_kmeans) + 16-byte codes
+            knn_ivf_pq(
+                corpus, q, dim=64, k_neighbors=10,
+                n_probe=32, m=16, k_codes=256, centroids_df=trained,
             ),
         ),
     ):
@@ -330,7 +350,8 @@ def knn_vectorized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_exact_vectorized(e.filter(F.col("vec_id") >= 20), q, k=3)
 
 
-_RANKS_DOT = "list_sum(list_transform(list_zip(a.embedding, b.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+# same DuckDB dot-product dialect as every other vector oracle
+_RANKS_DOT = VEC.duckdb_dot("a.embedding", "b.embedding")
 
 
 @register(
@@ -346,7 +367,7 @@ _RANKS_DOT = "list_sum(list_transform(list_zip(a.embedding, b.embedding), p -> C
       SELECT a.vec_id AS query_id,
              b.vec_id AS neighbor_id,
              ROW_NUMBER() OVER (PARTITION BY a.vec_id
-                                ORDER BY {_RANKS_DOT} / (a.nrm * b.nrm) DESC,
+                                ORDER BY {_RANKS_DOT} / (a.nrm * b.nrm + 1e-24) DESC,
                                          b.vec_id) AS rank
       FROM e a, e b
       WHERE a.vec_id < 20 AND b.vec_id >= 20) t
@@ -360,13 +381,17 @@ def knn_vectorized_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITHOUT the float score, so the mapInPandas matrix-multiply path —
     previously rows-only because BLAS sum order differs from the
     oracle's strict left fold in the last bits — carries a full
-    value-hash driver row. Safe by measurement: the minimum adjacent
-    top-k score gap at sf0.01 is 2.2e-4, ~11 orders of magnitude above
+    value-hash driver row. Safe by measurement at EVERY shipped scale:
+    the minimum adjacent top-k score gap is 5.7e-5 at sf0.001, 2.2e-4
+    at sf0.01, and 2.2e-4 at sf0.1 — each ≥7 orders of magnitude above
     float64 summation-order divergence, so ranks cannot flip between
-    the BLAS and fold paths. (The +1e-12 norm regularizer scales scores
-    by <1e-12 relative — also far below the gap.) The oracle ranks by
-    the exact cosine with the same (score DESC, neighbor_id) tiebreak
-    the window uses."""
+    the BLAS and fold paths at any scale the driver samples. (The
+    +1e-12 norm regularizer scales scores by <1e-12 relative, and the
+    oracle's +1e-24 zero-norm guard — mirroring the implementation's
+    regularizer so a zero-norm embedding cannot NULL the oracle score —
+    by even less; both far below the gap.) The oracle ranks by the
+    exact cosine with the same (score DESC, neighbor_id) tiebreak the
+    window uses."""
     from rag_lakehouse_spark.operators.similarity import knn_exact_vectorized
 
     e = load_table(spark, sf_dir, "embeddings")

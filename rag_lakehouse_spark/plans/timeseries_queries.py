@@ -143,19 +143,20 @@ def events_rollup_hour_only(spark: SparkSession, sf_dir: str) -> DataFrame:
     (buckets × groups, thousands of rows); raw history is never
     re-scanned. Serving reads are a scan of the tiny state table."""
     import os
-    import shutil
     import tempfile
 
-    from rag_lakehouse_spark.streaming.rollup_sink import maintain_hourly_rollup
-
-    base = os.path.join(
-        tempfile.gettempdir(),
-        f"rls_rollup_stream_{os.path.basename(os.path.normpath(sf_dir))}",
+    from rag_lakehouse_spark.streaming.rollup_sink import (
+        maintain_hourly_rollup,
+        read_state,
     )
-    # Fresh source/checkpoint/state per invocation: a stale checkpoint
-    # would treat rewritten source files as new and re-fold them onto
-    # the old state.
-    shutil.rmtree(base, ignore_errors=True)
+
+    # Per-invocation private temp dir: a stale checkpoint would treat
+    # rewritten source files as new and re-fold them onto old state,
+    # and a DETERMINISTIC dir rmtree'd at entry races concurrent
+    # invocations (two sessions deleting each other's live state).
+    # mkdtemp gives each invocation its own namespace; the handful of
+    # orphaned KBs go with the OS tempdir.
+    base = tempfile.mkdtemp(prefix="rls_rollup_stream_")
     src = os.path.join(base, "events")
     (
         load_table(spark, sf_dir, "events")
@@ -171,7 +172,7 @@ def events_rollup_hour_only(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     state = os.path.join(base, "hourly")
     maintain_hourly_rollup(spark, stream, state).awaitTermination()
-    return spark.read.parquet(state).select(
+    return read_state(spark, state).select(
         F.date_format("bucket_start", "yyyy-MM-dd HH:mm:ss").alias("bucket_start"),
         F.col("n_events").cast("bigint").alias("n_events"),
         F.col("total_value").cast("double").alias("total_value"),

@@ -2,13 +2,30 @@
 the streaming twin of ``operators.rollup.time_rollup``.
 
 Each micro-batch folds into the STORED finest-grain partial table
-(read → union → re-aggregate → atomic-ish overwrite); coarser grains
-re-derive from the stored partials on demand. All measures are
-mergeable by construction — counts/sums add, HLL sketches union — so
-arrival order and batch boundaries cannot change the result: the
-maintained hierarchy equals the batch rollup over the same rows
-(asserted in tests/test_streaming_rollup.py with a multi-batch
+(read → union → re-aggregate → versioned write + atomic pointer flip);
+coarser grains re-derive from the stored partials on demand. All
+measures are mergeable by construction — counts/sums add, HLL sketches
+union — so arrival order and batch boundaries cannot change the
+result: the maintained hierarchy equals the batch rollup over the same
+rows (asserted in tests/test_streaming_rollup.py with a multi-batch
 availableNow replay).
+
+State layout (local filesystem)::
+
+    state_path/
+      CURRENT      — text file naming the live version dir ("v12")
+      v12/…        — parquet partials written by batch 12
+      v7/…         — superseded version (garbage-collected best-effort)
+
+The pointer flip is ``os.replace`` (atomic on POSIX), so a crash at
+ANY point leaves a readable state: mid-write of the new version dir,
+``CURRENT`` still names the old one; after the flip, the replayed
+batch is skipped by the watermark. A plain ``mode("overwrite")`` of a
+single state dir — the previous design — deletes the old files before
+the new ones commit, so a crash mid-overwrite silently dropped ALL
+folded history. At real scale the same two-phase shape is what a
+transactional table format (Delta/Iceberg snapshot swap; see
+sources/lakehouse.py) provides natively.
 
 At 100 TB the stored partial table IS the continuous aggregate: its
 size is buckets × groups (thousands of rows), each merge touches one
@@ -19,13 +36,41 @@ cascade correct makes the incremental fold correct.
 
 from __future__ import annotations
 
+import json
+import os
+import shutil
+
 from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 # the maintained partial schema: bucket_start, n_events, total_value
 # (decimal partial), user_sketch (HLL binary), last_batch_id (the
-# idempotency watermark — constant across rows of one state version)
+# idempotency watermark — constant across rows of one state version),
+# ckpt_id (identity of the checkpoint that built the state — constant)
+
+_CURRENT = "CURRENT"
+
+
+def _local(path: str) -> str:
+    """Strip a file: scheme; the versioned-pointer layout is local-fs
+    (tests, local[...] jobs). An object-store deployment swaps this
+    sink for the transactional-format writer (sources/lakehouse.py)."""
+    if path.startswith("file://"):
+        return path[len("file://") :]
+    if path.startswith("file:"):
+        return path[len("file:") :]
+    return path
+
+
+def _version_dir(state_path: str) -> str | None:
+    """Name of the live version dir per the CURRENT pointer, or None."""
+    cur = os.path.join(_local(state_path), _CURRENT)
+    try:
+        with open(cur, encoding="utf-8") as f:
+            return f.read().strip() or None
+    except OSError:
+        return None
 
 
 def _batch_partials(df: DataFrame, grain: str = "hour") -> DataFrame:
@@ -48,12 +93,16 @@ def _merge(prev: DataFrame, batch: DataFrame) -> DataFrame:
     )
 
 
-def _read_state(spark: SparkSession, state_path: str) -> DataFrame | None:
-    """Read the maintained state table, returning None iff the path
-    does not exist yet (first batch). Any OTHER read error — permission
-    trouble, corrupt footer, transient storage failure — raises: the
-    old blanket ``except`` silently reset state to empty and dropped
-    all folded history on a hiccup."""
+def read_state(spark: SparkSession, state_path: str) -> DataFrame | None:
+    """Read the maintained state table (the live version under the
+    CURRENT pointer; legacy flat layout tolerated), returning None iff
+    no state exists yet (first batch). Any OTHER read error —
+    permission trouble, corrupt footer, transient storage failure —
+    raises: silently resetting state to empty would drop all folded
+    history on a hiccup."""
+    v = _version_dir(state_path)
+    if v is not None:
+        return spark.read.parquet(os.path.join(state_path, v))
     try:
         return spark.read.parquet(state_path)
     except AnalysisException as e:
@@ -62,30 +111,94 @@ def _read_state(spark: SparkSession, state_path: str) -> DataFrame | None:
         raise
 
 
+# back-compat alias (tests and older callers)
+_read_state = read_state
+
+
 def fold_batch(
-    spark: SparkSession, state_path: str, batch_df: DataFrame, batch_id: int
+    spark: SparkSession,
+    state_path: str,
+    batch_df: DataFrame,
+    batch_id: int,
+    ckpt_id: str | None = None,
 ) -> bool:
     """Fold one micro-batch's hour partials into the state table.
     Idempotent under foreachBatch's at-least-once contract: the state
     carries the last applied ``batch_id``, and a batch replayed after a
-    failure between the state overwrite and the checkpoint commit is
+    failure between the state pointer flip and the checkpoint commit is
     skipped instead of double-counted. Returns True iff folded.
 
     Spark assigns batch ids monotonically from the checkpoint, so
-    ``applied >= batch_id`` ⇔ this exact batch already folded."""
-    prev = _read_state(spark, state_path)
+    ``applied >= batch_id`` ⇔ this exact batch already folded — but
+    ONLY while the checkpoint that numbered the stored batches is the
+    one still running. ``ckpt_id`` (the streaming query id persisted in
+    the checkpoint's metadata file) guards that assumption: a RESET
+    checkpoint restarts batch ids at 0 against surviving state, where
+    the watermark would silently skip every replayed batch (or, worse,
+    double-count once ids pass the stale watermark). On mismatch this
+    raises instead — the operator must restore the original checkpoint
+    or delete the state table; no silent choice is correct.
+
+    Durability: the merged state writes to a NEW ``v{batch_id}`` dir,
+    then the CURRENT pointer flips via atomic rename. A crash mid-write
+    leaves CURRENT on the old version — no data loss; superseded
+    version dirs are garbage-collected best-effort after the flip.
+    """
+    prev = read_state(spark, state_path)
+    prev_version = _version_dir(state_path)
     if prev is not None:
+        if ckpt_id is not None and "ckpt_id" in prev.columns:
+            stored = prev.select("ckpt_id").first()[0]
+            if stored is not None and stored != ckpt_id:
+                raise ValueError(
+                    f"checkpoint/state identity mismatch at {state_path}: "
+                    f"state was built by streaming query {stored!r} but the "
+                    f"current checkpoint has id {ckpt_id!r}. A reset "
+                    "checkpoint restarts batch ids at 0, so the stored "
+                    "watermark cannot deduplicate replays. Restore the "
+                    "original checkpoint or delete the state table."
+                )
         applied = prev.agg(F.max("last_batch_id")).first()[0]
         if applied is not None and applied >= batch_id:
             return False
-        prev = prev.drop("last_batch_id")
+        prev = prev.drop("last_batch_id", "ckpt_id")
     partial = _batch_partials(batch_df)
     merged = _merge(prev, partial) if prev is not None else _merge(partial.limit(0), partial)
-    merged = merged.withColumn("last_batch_id", F.lit(int(batch_id)).cast("bigint"))
-    # materialize BEFORE overwriting the path being read
-    merged = merged.localCheckpoint(eager=True)
-    merged.write.mode("overwrite").parquet(state_path)
+    merged = merged.withColumn(
+        "last_batch_id", F.lit(int(batch_id)).cast("bigint")
+    ).withColumn("ckpt_id", F.lit(ckpt_id).cast("string"))
+
+    # two-phase commit: write the new version beside the old one (the
+    # read plan above still streams from the old dir — no self-
+    # overwrite, no extra materialization), then flip the pointer.
+    root = _local(state_path)
+    new_version = f"v{int(batch_id)}"
+    merged.write.mode("overwrite").parquet(os.path.join(state_path, new_version))
+    tmp = os.path.join(root, f"_{_CURRENT}.{int(batch_id)}.tmp")
+    with open(tmp, "w", encoding="utf-8") as f:
+        f.write(new_version)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(root, _CURRENT))  # atomic on POSIX
+
+    # best-effort GC of superseded versions (crash here is harmless)
+    if prev_version is not None and prev_version != new_version:
+        shutil.rmtree(os.path.join(root, prev_version), ignore_errors=True)
     return True
+
+
+def _ckpt_query_id(checkpoint_location: str) -> str | None:
+    """The streaming query id persisted in the checkpoint's metadata
+    file — stable across restarts from the same checkpoint, regenerated
+    when the checkpoint is reset. None if unreadable (no identity check
+    then; non-local checkpoint stores would need an FS client here)."""
+    try:
+        with open(
+            os.path.join(_local(checkpoint_location), "metadata"), encoding="utf-8"
+        ) as f:
+            return json.load(f).get("id")
+    except (OSError, ValueError):
+        return None
 
 
 def maintain_hourly_rollup(
@@ -94,13 +207,15 @@ def maintain_hourly_rollup(
     """Start a foreachBatch query folding each micro-batch's hour
     partials into the parquet state table at ``state_path``. Returns
     the StreamingQuery (caller awaits termination)."""
+    ckpt = state_path + "_ckpt"
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
-        fold_batch(spark, state_path, batch_df, batch_id)
+        # read per batch: the metadata file exists once the query runs
+        fold_batch(spark, state_path, batch_df, batch_id, _ckpt_query_id(ckpt))
 
     return (
         events_stream.writeStream.foreachBatch(fold)
-        .option("checkpointLocation", state_path + "_ckpt")
+        .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
     )
@@ -113,7 +228,10 @@ def rollup_hierarchy_from_state(
     partials — the serving-side read. Output matches
     ``events_rollup_distinct_sketch``-style columns:
     (grain, bucket_start, n_events, total_value, approx_users)."""
-    level = spark.read.parquet(state_path).drop("last_batch_id")
+    state = read_state(spark, state_path)
+    if state is None:
+        raise FileNotFoundError(f"no rollup state at {state_path}")
+    level = state.drop("last_batch_id", "ckpt_id")
     out = None
     for g in grains:
         if g != grains[0]:

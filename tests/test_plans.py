@@ -185,3 +185,26 @@ def test_knn_similarity_join_hoists_norms(spark, sf_dir):
     # projection per side — the un-hoisted form showed three folds PER
     # PAIR (dot + both norms recomputed for every corpus×query pair)
     assert plan.count("aggregate(") == 3
+
+
+def test_library_knn_hoists_norms(spark, sf_dir):
+    """The composable API (operators.similarity.knn_exact / knn_lsh),
+    not just the registered queries, must pay exactly ONE fold per
+    candidate pair: the dot product sits above the join, both norms
+    are projected once per row below it. The un-hoisted cosine()
+    recomputed both norms per pair (3 folds on the quadratic stage)."""
+    from pyspark.sql import functions as F
+
+    from rag_lakehouse_spark.operators.similarity import knn_exact, knn_lsh
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    corpus = emb.select("vec_id", "embedding")
+    queries = emb.limit(5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    for df in (knn_exact(corpus, queries), knn_lsh(corpus, queries)):
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        lines = plan.splitlines()
+        join_idx = next(i for i, line in enumerate(lines) if "Join" in line)
+        above = "\n".join(lines[:join_idx])
+        assert above.count("aggregate(") == 1

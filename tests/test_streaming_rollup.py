@@ -68,7 +68,7 @@ def test_fold_batch_replay_is_idempotent(spark, events_dir, tmp_path_factory):
     """foreachBatch is at-least-once: a batch re-delivered after a
     failure between the state overwrite and the checkpoint commit must
     NOT double-count. fold_batch skips ids <= the stored watermark."""
-    from rag_lakehouse_spark.streaming.rollup_sink import fold_batch
+    from rag_lakehouse_spark.streaming.rollup_sink import fold_batch, read_state
 
     state = str(tmp_path_factory.mktemp("rollup_replay")) + "/hourly"
     raw = spark.read.parquet(events_dir)
@@ -77,17 +77,73 @@ def test_fold_batch_replay_is_idempotent(spark, events_dir, tmp_path_factory):
     assert fold_batch(spark, state, b0, 0) is True
     snap = sorted(
         (r.bucket_start, r.n_events, str(r.total_value))
-        for r in spark.read.parquet(state).collect()
+        for r in read_state(spark, state).collect()
     )
     # replay of the same batch id: skipped, state byte-identical
     assert fold_batch(spark, state, b0, 0) is False
     assert snap == sorted(
         (r.bucket_start, r.n_events, str(r.total_value))
-        for r in spark.read.parquet(state).collect()
+        for r in read_state(spark, state).collect()
     )
     # next id folds; totals equal the one-shot aggregate over all rows
     assert fold_batch(spark, state, b1, 1) is True
-    got_n = spark.read.parquet(state).agg(F.sum("n_events")).first()[0]
+    got_n = read_state(spark, state).agg(F.sum("n_events")).first()[0]
+    assert got_n == raw.count()
+
+
+def test_fold_batch_rejects_reset_checkpoint(spark, events_dir, tmp_path_factory):
+    """A reset checkpoint restarts batch ids at 0 against surviving
+    state; the stored watermark would then silently skip every batch.
+    The ckpt identity stored in the state must fail the fold loudly."""
+    import pytest as _pytest
+
+    from rag_lakehouse_spark.streaming.rollup_sink import fold_batch
+
+    state = str(tmp_path_factory.mktemp("rollup_reset")) + "/hourly"
+    raw = spark.read.parquet(events_dir)
+    b0 = raw.limit(300)
+
+    assert fold_batch(spark, state, b0, 0, ckpt_id="query-A") is True
+    assert fold_batch(spark, state, b0, 1, ckpt_id="query-A") is True
+    # same checkpoint replays → watermark dedup still works
+    assert fold_batch(spark, state, b0, 1, ckpt_id="query-A") is False
+    # reset checkpoint (new query id, ids restart at 0) → loud failure,
+    # NOT a silent watermark skip
+    with _pytest.raises(ValueError, match="identity mismatch"):
+        fold_batch(spark, state, b0, 0, ckpt_id="query-B")
+
+
+def test_crash_mid_write_preserves_state(spark, events_dir, tmp_path_factory):
+    """An interrupted state write must never corrupt readable state:
+    the new version dir lands beside the old one and only the atomic
+    CURRENT pointer flip publishes it. Simulate the crash outcome — a
+    half-written version dir with no pointer flip — and verify reads
+    still serve the old version and the retried fold succeeds."""
+    import os
+
+    from rag_lakehouse_spark.streaming.rollup_sink import fold_batch, read_state
+
+    state = str(tmp_path_factory.mktemp("rollup_crash")) + "/hourly"
+    raw = spark.read.parquet(events_dir)
+    b0, b1 = raw.limit(400), raw.subtract(raw.limit(400))
+
+    assert fold_batch(spark, state, b0, 0) is True
+    before = sorted(
+        (r.bucket_start, r.n_events) for r in read_state(spark, state).collect()
+    )
+
+    # crash mid-write of batch 1: partial v1 dir exists, pointer not flipped
+    os.makedirs(os.path.join(state, "v1"), exist_ok=True)
+    with open(os.path.join(state, "v1", "part-00000.parquet"), "wb") as f:
+        f.write(b"torn half-written parquet")
+    assert (
+        sorted((r.bucket_start, r.n_events) for r in read_state(spark, state).collect())
+        == before
+    ), "reads must keep serving the last committed version"
+
+    # the replayed batch overwrites the torn dir and commits
+    assert fold_batch(spark, state, b1, 1) is True
+    got_n = read_state(spark, state).agg(F.sum("n_events")).first()[0]
     assert got_n == raw.count()
 
 
