@@ -58,57 +58,52 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # checked queries are exactly registry positions 0-49). Every query is
 # green against the local DuckDB oracle replica, but the brief's bar is
 # a DRIVER row per operator — so each round the front of the registry
-# is rotated to the queries that still lack one. Round 4 front-loads
-# the 23 r3-new queries no driver sample has ever covered (11 TPC-H
-# completions, range join, rollup pair, corpus governance, iterative
-# graph algorithms, map/variant scalars, IVF-PQ), then the queries new
-# or oracle-upgraded this round, then green sentinels — one per
-# already-verified family — to catch regressions. COVERAGE.md records
-# which queries each round's sample has and hasn't externally checked.
+# is rotated. All 123 queries have been driver-checked at least once
+# across rounds 1-5; round 6 front-loads every query whose
+# implementation, oracle, or underlying library path changed this
+# round (NTZ loader fix, map_funcs fix, SimHash rewrite, kNN norm
+# hoists, trained IVF-PQ row, versioned rollup state), then green
+# sentinels — one per already-verified family — to catch regressions.
+# COVERAGE.md records which queries each round's sample has and hasn't
+# externally checked.
 _PRIORITY: tuple[str, ...] = (
-    # -- never driver-checked (new in r3): highest value first --
+    # -- r6 rotation: queries whose implementation, oracle, or
+    #    underlying library path CHANGED this round — each needs a
+    #    fresh driver row --
+    "map_funcs_events",             # r4/r5 driver error fixed (array -> joined string)
+    "events_incident_window_join",  # NTZ-normalized events loader path
+    "events_rollup_hour_only",      # versioned-pointer rollup state sink
+    "events_hypertable_rollup",     # rollup family sentinel
+    "events_rollup_distinct_sketch",
+    "dedup_simhash",                # explode+agg rewrite
+    "knn_vectorized_ranks",         # shared dot dialect + zero-norm guard in oracle
+    "ann_recall_report",            # + trained IVF-PQ row; exercises knn_exact/lsh/ivf/kmeans/pq
+    "ann_ivf_pq_topk",              # _assign_cells scoring change
+    "media_features_pipeline",      # knn_exact norm hoist consumer
+    "embed_and_search",             # knn_exact norm hoist consumer
+    "events_asof_purchase",         # events loader consumers (NTZ path)
+    "events_sessionize",
+    # -- green sentinels: one per verified family (regression canaries) --
+    "q1_pricing_summary",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
     "q6_forecast_revenue",
-    "q8_market_share",
     "q9_product_type_profit",
     "q11_important_part_values",
     "q13_order_count_distribution",
     "q15_top_supplier",
     "q16_supplier_part_counts",
-    "q17_small_quantity_revenue",
     "q19_disjunctive_revenue",
-    "q20_dominant_share_suppliers",
     "q22_idle_rich_customers",
-    "events_incident_window_join",
-    "events_hypertable_rollup",
-    "events_rollup_distinct_sketch",
-    "corpus_decontaminate",
-    "text_pii_redact",
-    "corpus_clean_pipeline",
-    "dup_components_exact",
-    "graph_pagerank_influencers",
-    "recursive_cte_reach",
-    "map_funcs_events",
-    "variant_json_events",
-    "ann_ivf_pq_topk",
-    # -- new / oracle-upgraded in r4: first driver exposure --
-    "events_rollup_hour_only",
-    "knn_vectorized_ranks",
-    # -- green sentinels: one per verified family (regression canaries) --
-    "q1_pricing_summary",
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
     "grouping_sets_revenue",
     "exact_percentiles_by_type",
     "window_range_frame_spend",
     "window_ignore_nulls_nav",
-    "events_asof_purchase",
     "salted_join_hot_events",
     "events_sliding_windows",
-    "events_sessionize",
     "dedup_minhash_lsh",
     "dedup_exact_docs",
     "dedup_ngram_jaccard",
-    "dedup_simhash",
     "knn_similarity_join",
     "knn_topk_exact",
     "ann_srp_lsh_topk",
@@ -119,6 +114,13 @@ _PRIORITY: tuple[str, ...] = (
     "chunk_fixed_docs",
     "xpath_multi_fallback",
     "text_quality_score",
+    "corpus_decontaminate",
+    "text_pii_redact",
+    "corpus_clean_pipeline",
+    "dup_components_exact",
+    "graph_pagerank_influencers",
+    "recursive_cte_reach",
+    "variant_json_events",
 )
 
 
