@@ -76,6 +76,7 @@ def tune_session(spark: SparkSession) -> SparkSession:
     try:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
         spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
         spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
     except Exception:
         pass  # conf may be static in some deployments; semantics confs above are what matter

@@ -131,3 +131,19 @@ def test_time_rollup_sketch_distinct_accuracy_and_cascade(spark, sf_dir):
     }
     assert cascaded == direct
     rolled.unpersist()
+
+
+def test_events_loader_normalizes_ts_to_timestamp(spark, sf_dir):
+    """The loader's contract: whatever the parquet reader resolves the
+    TIMESTAMP(NANOS) column to in this environment (raw nanos long, or
+    TIMESTAMP_NTZ under some reader configs), load_table hands
+    downstream operators a plain TIMESTAMP — unix_micros/window/
+    session_window all require it (the r5 TIMESTAMP_NTZ break)."""
+    from pyspark.sql import types as T
+
+    ts_type = load_table(spark, sf_dir, "events").schema["ts"].dataType
+    assert isinstance(ts_type, T.TimestampType), ts_type
+    # and epoch_micros is total over a NTZ column regardless
+    ntz = spark.sql("SELECT TIMESTAMP_NTZ '2024-01-02 03:04:05.123456' AS t")
+    micros = ntz.select(epoch_micros(F.col("t")).alias("us")).first()[0]
+    assert micros == 1704164645123456  # UTC session tz pinned
