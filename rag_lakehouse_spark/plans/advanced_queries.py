@@ -591,6 +591,16 @@ def recursive_cte_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the engine unrolls the recursion into bounded join rounds
     (hops < 2 caps the depth); each round is an equi-join on node id —
     the same shape the explicit loop produces, minus the driver-side
-    control flow."""
+    control flow. Path COUNTING materializes one row per path, so the
+    intermediate row count grows with graph density (measured 1.04 M
+    path rows at sf0.1 — just past Spark's 1 M recursion guardrail,
+    raised here; caught by the r6 sf0.1 insurance harness run). The
+    guardrail exists because path enumeration is inherently
+    combinatorial: at true 100 TB density the aggregated-frontier
+    formulation (per-level (node, n_paths) aggregation,
+    operators/graph.py) is the scale path — this query is the
+    declarative bounded-depth twin, not the frontier replacement."""
     register_views(spark, sf_dir)
+    # sf0.1's 2-hop path set (1.04 M rows) exceeds the 1 M default.
+    spark.conf.set("spark.sql.cteRecursionRowLimit", str(100_000_000))
     return spark.sql(_RECURSIVE_BFS_SQL)
