@@ -23,6 +23,8 @@ ordering, which is what PageRank is for, is insensitive).
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -61,3 +63,45 @@ def integer_pagerank(
             .localCheckpoint(eager=True)  # truncate per-round lineage
         )
     return ranks
+
+
+def bounded_path_counts(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+) -> DataFrame:
+    """Bounded-depth BFS path counting in aggregated-frontier form:
+    from ``seeds`` (one row per start node) over directed ``edges``,
+    return (node, hops, n_paths) where ``hops`` is the minimum walk
+    length ≤ ``max_hops`` reaching the node and ``n_paths`` the total
+    number of distinct walks of any length ≤ ``max_hops`` ending there.
+
+    Identical answer to the recursive-CTE formulation that materializes
+    one row per walk (``WITH RECURSIVE reach ... GROUP BY node``), but
+    every intermediate is aggregated per level: level k holds one row
+    per reachable node with the count of length-k walks, so row counts
+    are bounded by |nodes| per level instead of growing combinatorially
+    with graph density. Each level is one node-keyed equi-join plus one
+    map-side-combining sum; lineage is checkpoint-truncated per level.
+    This is the 100 TB-scale path the recursive CTE cannot take."""
+    e = edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"))
+    level = seeds.select(
+        F.col(node).alias("node"), F.lit(1).cast("long").alias("n_paths")
+    )
+    levels = [level.withColumn("hops", F.lit(0))]
+    for k in range(1, max_hops + 1):
+        level = (
+            level.join(e, F.col("node") == F.col("e_src"))
+            .groupBy(F.col("e_dst").alias("node"))
+            .agg(F.sum("n_paths").alias("n_paths"))
+            .localCheckpoint(eager=True)  # truncate per-level lineage
+        )
+        levels.append(level.withColumn("hops", F.lit(k)))
+    all_levels = reduce(DataFrame.unionByName, levels)
+    return all_levels.groupBy("node").agg(
+        F.min("hops").cast("int").alias("hops"),
+        F.sum("n_paths").alias("n_paths"),
+    )

@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from rag_lakehouse_spark.functions import vector as VEC
 from rag_lakehouse_spark.operators.asof import asof_join_backward
+from rag_lakehouse_spark.operators.graph import bounded_path_counts
 from rag_lakehouse_spark.plans.registry import register
 from rag_lakehouse_spark.sources.tables import load_table, register_views
 
@@ -575,32 +576,54 @@ FROM reach GROUP BY node
 """
 
 
+def _reach_inputs(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Bidirected customer↔supplier edge set and the NATION_18 supplier
+    seed nodes shared by the registered frontier query and the pytest
+    recursive-SQL twin."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    e0 = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    seeds = (
+        s.join(F.broadcast(n.filter(F.col("n_name") == "NATION_18")),
+               F.col("n_nationkey") == F.col("s_nationkey"))
+        .select((F.col("s_suppkey") * 2 + 1).alias("node"))
+    )
+    return edges, seeds
+
+
 @register(
     "recursive_cte_reach",
     oracle=_RECURSIVE_BFS_SQL,
     tags=("recursive-cte", "graph", "sql"),
 )
 def recursive_cte_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recursive CTE (new in Spark 4): bounded BFS over the bidirected
-    customer↔supplier graph from one nation's suppliers — per node the
-    minimum hop count (≤2) and the number of distinct paths reaching
-    it. Spark executes the IDENTICAL SQL text the DuckDB oracle runs —
-    the declarative twin of the hand-iterated power-iteration/label-
-    propagation operators in operators.graph / operators.clusters.
+    """Bounded BFS over the bidirected customer↔supplier graph from one
+    nation's suppliers — per node the minimum hop count (≤2) and the
+    number of distinct paths reaching it.
 
-    Scale: the engine unrolls the recursion into bounded join rounds
-    (hops < 2 caps the depth); each round is an equi-join on node id —
-    the same shape the explicit loop produces, minus the driver-side
-    control flow. Path COUNTING materializes one row per path, so the
-    intermediate row count grows with graph density (measured 1.04 M
-    path rows at sf0.1 — just past Spark's 1 M recursion guardrail,
-    raised here; caught by the r6 sf0.1 insurance harness run). The
-    guardrail exists because path enumeration is inherently
-    combinatorial: at true 100 TB density the aggregated-frontier
-    formulation (per-level (node, n_paths) aggregation,
-    operators/graph.py) is the scale path — this query is the
-    declarative bounded-depth twin, not the frontier replacement."""
-    register_views(spark, sf_dir)
-    # sf0.1's 2-hop path set (1.04 M rows) exceeds the 1 M default.
-    spark.conf.set("spark.sql.cteRecursionRowLimit", str(100_000_000))
-    return spark.sql(_RECURSIVE_BFS_SQL)
+    Registered plan: aggregated-frontier path counting
+    (operators.graph.bounded_path_counts) — per level one (node,
+    n_paths) row per reachable node, so intermediates are bounded by
+    |nodes| regardless of graph density. The recursive-CTE twin
+    (_RECURSIVE_BFS_SQL, which Spark 4 can also execute directly)
+    materializes one row per WALK — measured 1.04 M rows at sf0.1,
+    already past Spark's 1 M recursion guardrail, and combinatorial in
+    density from there — so it serves as the DuckDB oracle and a
+    bounded-scale pytest check (tests/test_clusters.py), not as the
+    registered plan. Same answer, by construction: the CTE's final
+    GROUP BY node collapses exactly the per-walk rows the frontier
+    never expands."""
+    edges, seeds = _reach_inputs(spark, sf_dir)
+    return bounded_path_counts(edges, seeds, max_hops=2)

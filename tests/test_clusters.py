@@ -51,3 +51,42 @@ def test_integer_pagerank_star_graph(spark):
     assert abs(total - 5 * SCALE) / (5 * SCALE) < 1e-9
     again = {r.node: r.rank for r in integer_pagerank(df, iterations=5).collect()}
     assert again == ranks
+
+
+def test_bounded_path_counts_planted_graph(spark):
+    from rag_lakehouse_spark.operators.graph import bounded_path_counts
+
+    # seeds {0}; diamond 0->1, 0->2, 1->3, 2->3 plus spur 3->4.
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 3), (2, 3), (3, 4)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(0,)], "node long")
+    out = {
+        r.node: (r.hops, r.n_paths)
+        for r in bounded_path_counts(edges, seeds, max_hops=2).collect()
+    }
+    # walks of length ≤2 from 0: [] (0), [1], [2], [1,3], [2,3]
+    assert out == {0: (0, 1), 1: (1, 1), 2: (1, 1), 3: (2, 2)}
+
+
+def test_recursive_cte_twin_matches_frontier(spark, sf_dir):
+    """Bounded-scale check that the literal recursive-SQL twin (one row
+    per walk — the formulation the registered query deliberately does
+    NOT use at scale) produces the identical (node, hops, n_paths) set
+    as the aggregated-frontier plan."""
+    from rag_lakehouse_spark.plans.advanced_queries import (
+        _RECURSIVE_BFS_SQL,
+        recursive_cte_reach,
+    )
+    from rag_lakehouse_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    literal = {
+        (r.node, r.hops, r.n_paths) for r in spark.sql(_RECURSIVE_BFS_SQL).collect()
+    }
+    frontier = {
+        (r.node, r.hops, r.n_paths)
+        for r in recursive_cte_reach(spark, sf_dir).collect()
+    }
+    assert literal == frontier
+    assert len(frontier) > 0
