@@ -38,6 +38,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 
 from pyspark.errors import AnalysisException
@@ -104,7 +105,21 @@ def read_state(spark: SparkSession, state_path: str) -> DataFrame | None:
     if v is not None:
         return spark.read.parquet(os.path.join(state_path, v))
     try:
-        return spark.read.parquet(state_path)
+        entries = os.listdir(_local(state_path))
+    except OSError:
+        entries = None
+    if entries is not None and all(
+        re.fullmatch(r"v\d+", e) or e.endswith(".tmp") or e == _CURRENT
+        for e in entries
+    ):
+        # Versioned layout with no committed pointer: a crash between
+        # the very first v0 write and the first CURRENT flip leaves
+        # only uncommitted v*/tmp entries (or an empty dir). Committed
+        # state is pointer-or-nothing — never flat-read an uncommitted
+        # version dir as if it were folded history.
+        return None
+    try:
+        return spark.read.parquet(state_path)  # legacy flat layout
     except AnalysisException as e:
         if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
             return None
@@ -148,7 +163,10 @@ def fold_batch(
     prev_version = _version_dir(state_path)
     if prev is not None:
         if ckpt_id is not None and "ckpt_id" in prev.columns:
-            stored = prev.select("ckpt_id").first()[0]
+            # a zero-row state (all-empty batches so far) has no ckpt_id
+            # row to check — first() is None, not a Row
+            row = prev.select("ckpt_id").first()
+            stored = row[0] if row is not None else None
             if stored is not None and stored != ckpt_id:
                 raise ValueError(
                     f"checkpoint/state identity mismatch at {state_path}: "

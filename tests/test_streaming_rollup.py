@@ -147,6 +147,45 @@ def test_crash_mid_write_preserves_state(spark, events_dir, tmp_path_factory):
     assert got_n == raw.count()
 
 
+def test_crash_before_first_pointer_flip_reads_empty(spark, events_dir, tmp_path_factory):
+    """The FIRST-batch crash window: v0 written (possibly torn) but the
+    CURRENT pointer never flipped. There is no committed state, so reads
+    must report 'no state yet' — not flat-read the uncommitted v0 as if
+    it were folded history — and the replayed batch 0 must fold."""
+    import os
+
+    from rag_lakehouse_spark.streaming.rollup_sink import fold_batch, read_state
+
+    state = str(tmp_path_factory.mktemp("rollup_firstcrash")) + "/hourly"
+    os.makedirs(os.path.join(state, "v0"))
+    with open(os.path.join(state, "v0", "part-00000.parquet"), "wb") as f:
+        f.write(b"torn half-written parquet")
+    with open(os.path.join(state, "_CURRENT.0.tmp"), "w", encoding="utf-8") as f:
+        f.write("v0")  # crash also possible between tmp write and rename
+
+    assert read_state(spark, state) is None
+
+    raw = spark.read.parquet(events_dir)
+    assert fold_batch(spark, state, raw.limit(200), 0) is True
+    assert read_state(spark, state).agg(F.sum("n_events")).first()[0] == 200
+
+
+def test_fold_after_empty_batch_state(spark, events_dir, tmp_path_factory):
+    """An all-empty first micro-batch folds to a ZERO-ROW state table.
+    The checkpoint-identity guard must treat that as 'no identity yet'
+    (first() is None), not TypeError on every subsequent fold."""
+    from rag_lakehouse_spark.streaming.rollup_sink import fold_batch, read_state
+
+    state = str(tmp_path_factory.mktemp("rollup_emptybatch")) + "/hourly"
+    raw = spark.read.parquet(events_dir)
+
+    assert fold_batch(spark, state, raw.limit(0), 0, ckpt_id="query-A") is True
+    assert read_state(spark, state).count() == 0
+    # the fold that used to wedge with TypeError:
+    assert fold_batch(spark, state, raw.limit(250), 1, ckpt_id="query-A") is True
+    assert read_state(spark, state).agg(F.sum("n_events")).first()[0] == 250
+
+
 def test_read_state_raises_on_non_missing_errors(spark, tmp_path_factory):
     """Only path-not-found means 'no state yet'; a corrupt state table
     must fail loud, not silently reset history to empty."""
