@@ -31,8 +31,13 @@ def l2_norm(a: Column | str) -> Column:
 
 
 def cosine(a: Column | str, b: Column | str) -> Column:
-    """Cosine similarity (not distance): dot / (|a| * |b|)."""
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    """Cosine similarity (not distance): dot / (|a| * |b|ₙ + 1e-24).
+
+    The +1e-24 zero-norm guard keeps an all-zero vector's score at 0.0
+    instead of NULL/NaN; for any real norm product (≥ ~1e-8) the add is
+    below one double ulp, so scores are bit-unchanged. duckdb_cosine
+    applies the IDENTICAL guard — the twins stay hash-equal."""
+    return dot(a, b) / (l2_norm(a) * l2_norm(b) + F.lit(1e-24))
 
 
 def l2_distance(a: Column | str, b: Column | str) -> Column:
@@ -54,7 +59,8 @@ def duckdb_dot(a: str, b: str) -> str:
 
 
 def duckdb_cosine(a: str, b: str) -> str:
+    # zero-norm guard mirrors cosine() above — same value, same bits
     return (
         f"({duckdb_dot(a, b)} / "
-        f"(sqrt({duckdb_dot(a, a)}) * sqrt({duckdb_dot(b, b)})))"
+        f"(sqrt({duckdb_dot(a, a)}) * sqrt({duckdb_dot(b, b)}) + 1e-24))"
     )

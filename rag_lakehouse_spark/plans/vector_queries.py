@@ -23,8 +23,11 @@ _COS_AB = VEC.duckdb_cosine("a.embedding", "b.embedding")
 # Norm-hoisted oracle building block: every vector query below projects
 # sqrt(dot(e,e)) ONCE per side before the join/score so the per-pair work
 # is a single dot fold — the same factoring the Spark plans use. The
-# arithmetic (dot / (norm_a * norm_b)) is unchanged, so scores stay
-# bit-identical to the unfactored cosine.
+# arithmetic (dot / (norm_a * norm_b + 1e-24)) is unchanged, so scores
+# stay bit-identical to the unfactored cosine; the 1e-24 zero-norm guard
+# (applied to BOTH twins, like functions.vector.cosine/duckdb_cosine) is
+# below one ulp of any real norm product and only defines the score (0.0,
+# not NULL) for an all-zero embedding.
 _E_NORMED = (
     "SELECT vec_id, label, embedding, "
     f"sqrt({VEC.duckdb_dot('embedding', 'embedding')}) AS nrm "
@@ -43,7 +46,7 @@ def _normed(e: DataFrame) -> DataFrame:
     WITH e AS ({_E_NORMED})
     SELECT b.vec_id,
            b.label,
-           {VEC.duckdb_dot("b.embedding", "a.embedding")} / (b.nrm * a.nrm) AS score
+           {VEC.duckdb_dot("b.embedding", "a.embedding")} / (b.nrm * a.nrm + 1e-24) AS score
     FROM e a, e b
     WHERE a.vec_id = 0 AND b.vec_id <> 0
     ORDER BY score DESC, b.vec_id
@@ -72,7 +75,7 @@ def knn_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             "label",
-            (VEC.dot("embedding", "q_emb") / (F.col("nrm") * F.col("q_nrm"))).alias("score"),
+            (VEC.dot("embedding", "q_emb") / (F.col("nrm") * F.col("q_nrm") + F.lit(1e-24))).alias("score"),
         )
         .orderBy(F.desc("score"), F.asc("vec_id"))
         .limit(10)
@@ -80,7 +83,7 @@ def knn_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _DOT_BA_OVER_NORMS = (
-    f"{VEC.duckdb_dot('b.embedding', 'a.embedding')} / (b.nrm * a.nrm)"
+    f"{VEC.duckdb_dot('b.embedding', 'a.embedding')} / (b.nrm * a.nrm + 1e-24)"
 )
 
 
@@ -124,7 +127,7 @@ def knn_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            (VEC.dot("embedding", "q_emb") / (F.col("nrm") * F.col("q_nrm"))).alias("score"),
+            (VEC.dot("embedding", "q_emb") / (F.col("nrm") * F.col("q_nrm") + F.lit(1e-24))).alias("score"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
@@ -132,7 +135,7 @@ def knn_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _DOT_AB_OVER_NORMS = (
-    f"{VEC.duckdb_dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm)"
+    f"{VEC.duckdb_dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm + 1e-24)"
 )
 
 
@@ -158,7 +161,7 @@ def embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = e.alias("a")
     b = e.alias("b")
     score = VEC.dot(F.col("a.embedding"), F.col("b.embedding")) / (
-        F.col("a.nrm") * F.col("b.nrm")
+        F.col("a.nrm") * F.col("b.nrm") + F.lit(1e-24)
     )
     return (
         a.join(
@@ -201,7 +204,7 @@ def _srp_planes() -> list[list[float]]:
     return _random_hyperplanes(dim=64, n_planes=4, seed=42)
 
 
-_SRP_SCORE = f"{VEC.duckdb_dot('c.embedding', 'q.embedding')} / (c.nrm * q.nrm)"
+_SRP_SCORE = f"{VEC.duckdb_dot('c.embedding', 'q.embedding')} / (c.nrm * q.nrm + 1e-24)"
 
 
 @register(
@@ -258,7 +261,7 @@ def ann_srp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
             "bucket",
-            (VEC.dot("embedding", "q_emb") / (F.col("nrm") * F.col("q_nrm"))).alias("score"),
+            (VEC.dot("embedding", "q_emb") / (F.col("nrm") * F.col("q_nrm") + F.lit(1e-24))).alias("score"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
