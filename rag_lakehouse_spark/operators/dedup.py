@@ -276,6 +276,13 @@ def simhash_docs(
     Near-dups differ in few bits → block/join on rotated prefixes or
     compare via ``bit_count(sh_a ^ sh_b)`` (hamming) on candidates.
 
+    Contract: ``id_col`` must be unique per document — the vote
+    aggregation groups by it, so duplicate ids silently merge into one
+    combined-vote fingerprint row (one output row per distinct id, not
+    per input row). NULL/empty ``text_col`` normalizes to the single
+    empty token: such docs get n_tokens=1 and the empty-string-hash
+    fingerprint, identical for all of them.
+
     Shape: tokens EXPLODE to (id, xxhash64(token)) rows, the 64 bit
     votes are 64 conditional-SUM aggregation buffers, and the
     fingerprint packs from the vote columns in a scalar projection —

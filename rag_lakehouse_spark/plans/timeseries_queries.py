@@ -143,6 +143,7 @@ def events_rollup_hour_only(spark: SparkSession, sf_dir: str) -> DataFrame:
     (buckets × groups, thousands of rows); raw history is never
     re-scanned. Serving reads are a scan of the tiny state table."""
     import os
+    import shutil
     import tempfile
 
     from rag_lakehouse_spark.streaming.rollup_sink import (
@@ -154,29 +155,35 @@ def events_rollup_hour_only(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rewritten source files as new and re-fold them onto old state,
     # and a DETERMINISTIC dir rmtree'd at entry races concurrent
     # invocations (two sessions deleting each other's live state).
-    # mkdtemp gives each invocation its own namespace; the handful of
-    # orphaned KBs go with the OS tempdir.
+    # mkdtemp gives each invocation its own namespace; the dir (a full
+    # events copy + checkpoint + state — tens of MB at sf0.1) is
+    # rmtree'd below once the tiny hour-grain result is materialized.
     base = tempfile.mkdtemp(prefix="rls_rollup_stream_")
-    src = os.path.join(base, "events")
-    (
-        load_table(spark, sf_dir, "events")
-        .select("ts", "user_id", "value")
-        .repartition(4)
-        .write.mode("overwrite")
-        .parquet(src)
-    )
-    stream = (
-        spark.readStream.schema(spark.read.parquet(src).schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-    )
-    state = os.path.join(base, "hourly")
-    maintain_hourly_rollup(spark, stream, state).awaitTermination()
-    return read_state(spark, state).select(
-        F.date_format("bucket_start", "yyyy-MM-dd HH:mm:ss").alias("bucket_start"),
-        F.col("n_events").cast("bigint").alias("n_events"),
-        F.col("total_value").cast("double").alias("total_value"),
-    )
+    try:
+        src = os.path.join(base, "events")
+        (
+            load_table(spark, sf_dir, "events")
+            .select("ts", "user_id", "value")
+            .repartition(4)
+            .write.mode("overwrite")
+            .parquet(src)
+        )
+        stream = (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        state = os.path.join(base, "hourly")
+        maintain_hourly_rollup(spark, stream, state).awaitTermination()
+        # eager checkpoint (buckets × groups rows) detaches the result
+        # from the temp parquet so the dir can be deleted immediately
+        return read_state(spark, state).select(
+            F.date_format("bucket_start", "yyyy-MM-dd HH:mm:ss").alias("bucket_start"),
+            F.col("n_events").cast("bigint").alias("n_events"),
+            F.col("total_value").cast("double").alias("total_value"),
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
 
 
 @register("events_rollup_distinct_sketch", oracle=None, tags=("events", "rollup", "sketch"))
