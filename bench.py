@@ -49,6 +49,7 @@ HEADLINE = (
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_simhash_pairs",
     "knn_similarity_join",
     "knn_vectorized_topk",
     "events_asof_purchase",
@@ -77,6 +78,7 @@ def main() -> None:
             "dedup_minhash_lsh",
             "dedup_ngram_jaccard",
             "dedup_simhash",
+            "dedup_simhash_pairs",
             "knn_vectorized_topk",
         ):
             if name in qs:

@@ -159,6 +159,22 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_docs(d, text_col="text", id_col="doc_id")
 
 
+@register("dedup_simhash_pairs", oracle=None, tags=("dedup", "neardup", "simhash"))
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup PAIRS: the blocking join the fingerprints exist
+    for — pigeonhole 16-bit segment equi-join generates candidates,
+    bit_count hamming verifies ≤3 on candidates only (never all pairs).
+    Registered (and benched) separately from ``dedup_simhash`` because
+    the join stage is the part that can regress independently of the
+    fingerprint aggregation — the MinHash history (a 25× slowdown
+    caught only by bench) argues every dedup join stage needs its own
+    canary."""
+    from rag_lakehouse_spark.operators.dedup import simhash_near_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    return simhash_near_pairs(d, text_col="text", id_col="doc_id", max_hamming=3)
+
+
 @register(
     "rag_batch_retrieve",
     oracle=f"""
