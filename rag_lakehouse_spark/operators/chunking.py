@@ -69,9 +69,12 @@ def chunk_sentences(
 ) -> DataFrame:
     """Sentence-boundary chunking, expression-only: split on
     [.!?]+whitespace, then greedily pack consecutive sentences into
-    chunks of ≤ max_chars via a running-length fold."""
+    chunks of ≤ max_chars via a running-length fold. Sentences with no
+    non-whitespace content are dropped — under UNICODE whitespace
+    ((?U)\\S), not Spark's ASCII-space trim(): a sentence of only
+    U+00A0 is empty, so every emitted chunk has real content."""
     sents = F.filter(
-        F.split(F.col(text_col), r"(?<=[.!?])\s+"), lambda s: F.length(F.trim(s)) > 0
+        F.split(F.col(text_col), r"(?<=[.!?])\s+"), lambda s: s.rlike(r"(?U)\S")
     )
     # Greedy packing with aggregate: state = array of chunks; append the
     # sentence to the last chunk if it fits, else start a new chunk.
