@@ -58,69 +58,70 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # checked queries are exactly registry positions 0-49). Every query is
 # green against the local DuckDB oracle replica, but the brief's bar is
 # a DRIVER row per operator — so each round the front of the registry
-# is rotated. All 123 queries have been driver-checked at least once
-# across rounds 1-5; round 6 front-loads every query whose
-# implementation, oracle, or underlying library path changed this
-# round (NTZ loader fix, map_funcs fix, SimHash rewrite, kNN norm
-# hoists, trained IVF-PQ row, versioned rollup state), then green
-# sentinels — one per already-verified family — to catch regressions.
-# COVERAGE.md records which queries each round's sample has and hasn't
-# externally checked.
+# is rotated. All queries have been driver-checked at least once across
+# rounds 1-6 (zero standing failures); round 7 front-loads (a) every
+# query whose implementation, oracle, or library path changed this
+# round, then (b) the 37 oldest-vintage queries — last driver-checked
+# in round 2 — so no query's most recent external row ages past two
+# rotation cycles. The r2/r3-vintage backlog (70 queries) exceeds one
+# 50-slot sample; the 3 remaining r2 rows plus the r3 cohort are next
+# in line for r8. COVERAGE.md records the per-round sample log.
 _PRIORITY: tuple[str, ...] = (
-    # -- r6 rotation: queries whose implementation, oracle, or
-    #    underlying library path CHANGED this round — each needs a
-    #    fresh driver row --
-    "map_funcs_events",             # r4/r5 driver error fixed (array -> joined string)
-    "events_incident_window_join",  # NTZ-normalized events loader path
-    "events_rollup_hour_only",      # versioned-pointer rollup state sink
-    "events_hypertable_rollup",     # rollup family sentinel
-    "events_rollup_distinct_sketch",
-    "dedup_simhash",                # explode+agg rewrite
-    "knn_vectorized_ranks",         # shared dot dialect + zero-norm guard in oracle
-    "ann_recall_report",            # + trained IVF-PQ row; exercises knn_exact/lsh/ivf/kmeans/pq
-    "ann_ivf_pq_topk",              # _assign_cells scoring change
-    "media_features_pipeline",      # knn_exact norm hoist consumer
-    "embed_and_search",             # knn_exact norm hoist consumer
-    "events_asof_purchase",         # events loader consumers (NTZ path)
-    "events_sessionize",
-    # -- green sentinels: one per verified family (regression canaries) --
-    "q1_pricing_summary",
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q6_forecast_revenue",
-    "q9_product_type_profit",
-    "q11_important_part_values",
-    "q13_order_count_distribution",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q19_disjunctive_revenue",
-    "q22_idle_rich_customers",
-    "grouping_sets_revenue",
-    "exact_percentiles_by_type",
-    "window_range_frame_spend",
-    "window_ignore_nulls_nav",
-    "salted_join_hot_events",
-    "events_sliding_windows",
-    "dedup_minhash_lsh",
-    "dedup_exact_docs",
-    "dedup_ngram_jaccard",
-    "knn_similarity_join",
-    "knn_topk_exact",
-    "ann_srp_lsh_topk",
-    "medallion_silver_pipeline",
-    "udtf_sentence_stats",
-    "rag_retrieve_context",
+    # -- r7 rotation part (a): changed this round --
+    "recursive_cte_reach",        # aggregated-frontier rewrite
+    "dedup_simhash_pairs",        # NEW: segment-join canary (checkpointed fingerprints)
+    "events_rollup_hour_only",    # sink empty-state/pointerless-dir guards + tmp cleanup
+    "knn_topk_exact",             # zero-norm guard in oracle+plan
+    "knn_similarity_join",        # zero-norm guard
+    "embedding_near_pairs",       # zero-norm guard (also r2-vintage)
+    "ann_srp_lsh_topk",           # zero-norm guard
+    "rag_retrieve_context",       # VEC.cosine/duckdb_cosine guard consumers
     "rag_attribution_guard",
-    "chunk_fixed_docs",
-    "xpath_multi_fallback",
-    "text_quality_score",
-    "corpus_decontaminate",
-    "text_pii_redact",
-    "corpus_clean_pipeline",
-    "dup_components_exact",
-    "graph_pagerank_influencers",
-    "recursive_cte_reach",
-    "variant_json_events",
+    "rag_batch_retrieve",
+    "embed_and_search",
+    "ann_recall_report",          # IVF-PQ recall dial (m/n_probe row)
+    "ann_ivf_pq_topk",
+    # -- r7 rotation part (b): oldest driver rows (r2 vintage) --
+    "agg_global_stats",
+    "group_rollup_nation",
+    "group_cube_orders",
+    "pivot_priority_by_status",
+    "q5_nation_revenue",
+    "join_left_order_counts",
+    "join_anti_idle_customers",
+    "join_semi_active_suppliers",
+    "join_full_outer_daily",
+    "join_cross_region_status",
+    "join_nonequi_price_band",
+    "filter_predicates",
+    "project_cast_null_repair",
+    "string_scalar_funcs",
+    "date_scalar_funcs",
+    "math_scalar_funcs",
+    "topk_orders",
+    "setop_intersect_except",
+    "distinct_segments",
+    "window_rank_top_orders",
+    "window_running_spend",
+    "window_lag_lead_orders",
+    "window_ntile_share",
+    "events_tumbling_hourly",
+    "events_session_window_builtin",
+    "events_json_props",
+    "events_dedup_first",
+    "events_user_activity",
+    "events_click_purchase_funnel",
+    "text_token_stats",
+    "text_lang_id",
+    "text_fingerprint",
+    "text_bpe_token_count",
+    "text_rolling_hash",
+    "binary_content_stats",
+    "sample_stratified_docs",
+    "embedding_label_stats",
+    # deferred to r8 (still r2-vintage): metadata_stamped_docs
+    # (rows-only nondeterministic), events_hour_profile,
+    # docs_by_lang_source — plus the whole r3 cohort.
 )
 
 
