@@ -29,10 +29,23 @@ def connected_components(
     max_iterations: int = 10,
 ) -> DataFrame:
     """(id_a, id_b) undirected edges → (node, component) where
-    component is the smallest node id in the connected component."""
+    component is the smallest node id in the connected component.
+
+    The bidirected edge set is built with ONE pass over ``pairs`` (an
+    explode of both orientations), not a self-union — two references
+    to the pairs plan would recompute its producer (often a full
+    near-dup pipeline) once per orientation; see the self-join
+    materialization rule in docs/SCALE.md."""
     edges = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(id_a).alias("src"), F.col(id_b).alias("dst")),
+                    F.struct(F.col(id_b).alias("src"), F.col(id_a).alias("dst")),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
         .distinct()
         .localCheckpoint()
     )

@@ -42,9 +42,18 @@ def integer_pagerank(
     (damping 0.85, teleport 0.15, scaled by 10^12). Nodes must all
     have out-degree ≥ 1 (feed a bidirected edge set, as the registered
     query does, or handle dangling mass upstream)."""
-    e = edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst")).distinct()
-    deg = e.groupBy(F.col("e_src").alias("deg_src")).agg(
-        F.count(F.lit(1)).alias("out_deg")
+    # materialize the edge set and degree table once: both are consumed
+    # every iteration, and without the barrier each round would re-run
+    # the caller's edge-construction plan (docs/SCALE.md self-join rule)
+    e = (
+        edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        e.groupBy(F.col("e_src").alias("deg_src"))
+        .agg(F.count(F.lit(1)).alias("out_deg"))
+        .localCheckpoint(eager=True)
     )
     ranks = deg.select(F.col("deg_src").alias("node"), F.lit(SCALE).alias("rank"))
     for _ in range(iterations):
@@ -87,7 +96,11 @@ def bounded_path_counts(
     with graph density. Each level is one node-keyed equi-join plus one
     map-side-combining sum; lineage is checkpoint-truncated per level.
     This is the 100 TB-scale path the recursive CTE cannot take."""
-    e = edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"))
+    # consumed once per level — materialize so the caller's
+    # edge-construction plan runs once, not max_hops times
+    e = edges.select(
+        F.col(src).alias("e_src"), F.col(dst).alias("e_dst")
+    ).localCheckpoint(eager=True)
     level = seeds.select(
         F.col(node).alias("node"), F.lit(1).cast("long").alias("n_paths")
     )

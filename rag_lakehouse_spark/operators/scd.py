@@ -49,7 +49,10 @@ def scd2_apply(
     # when it reappears in updates — anti-joining the full table would
     # silently drop it (its closed history rows would mask it).
     new_keys = upd.join(cur_open, key, "left_anti").select(key)
-    affected = changed_keys.union(new_keys).distinct()
+    # four consumers below (two semis, one anti, one semi) — materialize
+    # the tiny touched-key set once instead of re-running the
+    # change-detect joins per consumer (docs/SCALE.md self-join rule)
+    affected = changed_keys.union(new_keys).distinct().localCheckpoint(eager=True)
 
     # close the superseded current versions
     closed = (

@@ -305,7 +305,16 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
     corpus = e.filter(F.col("vec_id") >= 20)
-    exact = knn_exact(corpus, q, k=10).select("query_id", "neighbor_id")
+    # One join per method consumes `exact`; without a barrier the
+    # brute-force scan re-runs per method (self-join recompute rule,
+    # docs/SCALE.md). The checkpoint is queries×k id pairs — tiny.
+    # `trained` needs none: kmeans_centroids returns driver-side
+    # literals (training already ran eagerly inside the call).
+    exact = (
+        knn_exact(corpus, q, k=10)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True)
+    )
     trained = kmeans_centroids(corpus, n_cells=128, n_iters=3)
     reports = []
     for method, approx in (
@@ -561,15 +570,25 @@ def graph_pagerank_influencers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
-    e0 = (
+    # bidirect in one pass over the join (explode both orientations)
+    # instead of a self-union re-running the distinct per direction
+    edges = (
         o.join(li, o.o_orderkey == li.l_orderkey)
         .select(
-            (F.col("o_custkey") * 2).alias("src"),
-            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
         )
         .distinct()
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("c").alias("src"), F.col("s").alias("dst")),
+                    F.struct(F.col("s").alias("src"), F.col("c").alias("dst")),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
     )
-    edges = e0.unionByName(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     ranks = integer_pagerank(edges, iterations=3)
     return ranks.orderBy(F.desc("rank"), F.asc("node")).limit(20)
 
@@ -603,16 +622,25 @@ def _reach_inputs(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFram
     li = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
-    e0 = (
+    # bidirect with ONE pass over the join (explode both orientations),
+    # not a self-union that would recompute the orders⋈lineitem
+    # distinct once per direction (docs/SCALE.md self-join rule)
+    edges = (
         o.join(li, o.o_orderkey == li.l_orderkey)
         .select(
-            (F.col("o_custkey") * 2).alias("src"),
-            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
         )
         .distinct()
-    )
-    edges = e0.unionByName(
-        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("c").alias("src"), F.col("s").alias("dst")),
+                    F.struct(F.col("s").alias("src"), F.col("c").alias("dst")),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
     )
     seeds = (
         s.join(F.broadcast(n.filter(F.col("n_name") == "NATION_18")),
