@@ -235,6 +235,21 @@ def minhash_lsh_pairs(
     # a plain persist() lives in the CacheManager until an explicit
     # unpersist and would accumulate across calls in a long session.
     cands = lsh_candidate_pairs(sigs, id_col, num_hashes, bands).localCheckpoint(eager=True)
+    return exact_jaccard_verify(df, cands, text_col, id_col, shingle_k, threshold)
+
+
+def exact_jaccard_verify(
+    df: DataFrame,
+    cands: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact-Jaccard verification of (id_a, id_b) candidate pairs
+    against the distinct k-gram sets of the source docs → confirmed
+    (id_a, id_b, jaccard ≥ threshold). ``cands`` should already be
+    materialized (it is consumed twice: id extraction + final join)."""
     # No .distinct() — a left-semi probe side tolerates duplicate keys,
     # and dropping it saves a whole shuffle stage.
     cand_ids = cands.select(F.explode(F.array("id_a", "id_b")).alias(id_col))

@@ -175,6 +175,70 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_pairs(d, text_col="text", id_col="doc_id", max_hamming=3)
 
 
+# ---------------------------------------------------------------------------
+# Portable-hash twins of the probabilistic dedup family — the SAME
+# pipeline shapes over a hash DuckDB reproduces bit-for-bit (md5 hex →
+# 60-bit int + overflow-safe affine permutations), so MinHash-LSH and
+# SimHash get full external value-hash verification instead of the
+# rows-only checks the xxhash64 throughput path is limited to. See
+# operators/dedup_portable.py for the hash construction.
+# ---------------------------------------------------------------------------
+
+from rag_lakehouse_spark.operators.dedup_portable import (  # noqa: E402
+    portable_minhash_oracle,
+    portable_minhash_pairs,
+    portable_simhash,
+    portable_simhash_oracle,
+    portable_simhash_pairs,
+    portable_simhash_pairs_oracle,
+)
+
+
+@register(
+    "dedup_minhash_portable",
+    oracle=portable_minhash_oracle("documents", shingle_k=8),
+    tags=("dedup", "neardup", "minhash", "portable"),
+)
+def dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs over the portable affine hash family
+    (24 hashes × 8 bands × 3 rows ≙ the 0.5-Jaccard S-curve of the
+    64×16×4 xxhash64 pipeline), verified by exact Jaccard ≥ 0.5 —
+    hash-green against a DuckDB oracle that replicates the ENTIRE
+    pipeline: shingle → min-hash → band keys → candidate join →
+    verification. The xxhash64 variant (``dedup_minhash_lsh``) remains
+    the benchmarked throughput path; this twin proves the machinery."""
+    d = load_table(spark, sf_dir, "documents")
+    return portable_minhash_pairs(
+        d, text_col="text", id_col="doc_id", shingle_k=8, threshold=0.5
+    )
+
+
+@register(
+    "dedup_simhash_portable",
+    oracle=portable_simhash_oracle("documents"),
+    tags=("dedup", "neardup", "simhash", "portable"),
+)
+def dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit portable SimHash fingerprints (token base60 hashes →
+    ±1 vote sums per bit → packed int64) — hash-green against DuckDB
+    computing the identical fingerprint. Twin of ``dedup_simhash``."""
+    d = load_table(spark, sf_dir, "documents")
+    return portable_simhash(d, text_col="text", id_col="doc_id")
+
+
+@register(
+    "dedup_simhash_pairs_portable",
+    oracle=portable_simhash_pairs_oracle("documents", max_hamming=3),
+    tags=("dedup", "neardup", "simhash", "portable"),
+)
+def dedup_simhash_pairs_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable SimHash near-pairs: 15-bit pigeonhole segment equi-join
+    + bit_count(xor) hamming ≤ 3 verify — the blocking JOIN stage,
+    hash-green against DuckDB. Twin of ``dedup_simhash_pairs``."""
+    d = load_table(spark, sf_dir, "documents")
+    return portable_simhash_pairs(d, text_col="text", id_col="doc_id", max_hamming=3)
+
+
 @register(
     "rag_batch_retrieve",
     oracle=f"""

@@ -68,6 +68,9 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # in line for r8. COVERAGE.md records the per-round sample log.
 _PRIORITY: tuple[str, ...] = (
     # -- r7 rotation part (a): changed this round --
+    "dedup_minhash_portable",     # NEW: portable-hash MinHash-LSH (first oracled row for the family)
+    "dedup_simhash_portable",     # NEW: portable-hash SimHash fingerprints
+    "dedup_simhash_pairs_portable",  # NEW: portable-hash segment join + hamming verify
     "recursive_cte_reach",        # aggregated-frontier rewrite
     "dedup_simhash_pairs",        # NEW: segment-join canary (checkpointed fingerprints)
     "events_rollup_hour_only",    # sink empty-state/pointerless-dir guards + tmp cleanup
@@ -116,12 +119,11 @@ _PRIORITY: tuple[str, ...] = (
     "text_fingerprint",
     "text_bpe_token_count",
     "text_rolling_hash",
-    "binary_content_stats",
-    "sample_stratified_docs",
-    "embedding_label_stats",
-    # deferred to r8 (still r2-vintage): metadata_stamped_docs
-    # (rows-only nondeterministic), events_hour_profile,
-    # docs_by_lang_source — plus the whole r3 cohort.
+    # deferred to r8 (still r2-vintage): binary_content_stats,
+    # sample_stratified_docs, embedding_label_stats (bumped by the
+    # three new portable-dedup rows), metadata_stamped_docs (rows-only
+    # nondeterministic), events_hour_profile, docs_by_lang_source —
+    # plus the whole r3 cohort.
 )
 
 

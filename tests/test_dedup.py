@@ -130,3 +130,69 @@ def test_exact_dedup_keeps_min_id(spark):
     kept = sorted(r.doc_id for r in exact_dedup(df).collect())
     # normalization folds case/punct/whitespace → 10 and 3 collide, 3 wins
     assert kept == [3, 7]
+
+
+# ---------------------------------------------------------------------------
+# Portable-hash twins (operators.dedup_portable): same behavioral
+# contracts as the xxhash64 family, plus cross-engine recall sanity.
+# The bit-exact DuckDB equivalence is covered per-query by
+# tests/test_oracle.py; these lock the dedup SEMANTICS.
+# ---------------------------------------------------------------------------
+
+
+def test_portable_minhash_finds_exact_and_near_pairs(docs):
+    from rag_lakehouse_spark.operators.dedup_portable import portable_minhash_pairs
+
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in portable_minhash_pairs(docs, threshold=0.3).collect()
+    }
+    assert pairs[(1, 2)] == pytest.approx(1.0)
+    assert (1, 3) in pairs and pairs[(1, 3)] > 0.5
+    assert (1, 4) not in pairs
+
+
+def test_portable_minhash_recall_on_high_jaccard_corpus(spark, sf_dir):
+    """Every corpus pair the exact n-gram Jaccard query scores >= 0.9
+    must be caught by the portable MinHash-LSH banding (miss prob at
+    J=0.9 is (1-0.9^3)^8 ~ 3e-5 per pair; seeds are fixed, so this is
+    deterministic, not flaky)."""
+    from rag_lakehouse_spark.plans.text_queries import dedup_ngram_jaccard
+    from rag_lakehouse_spark.plans.pipeline_queries import dedup_minhash_portable
+
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in dedup_ngram_jaccard(spark, sf_dir).filter("jaccard >= 0.9").collect()
+    }
+    found = {
+        (r.id_a, r.id_b) for r in dedup_minhash_portable(spark, sf_dir).collect()
+    }
+    assert exact <= found
+
+
+def test_portable_simhash_identity_and_distance(docs):
+    from rag_lakehouse_spark.operators.dedup_portable import (
+        SIMHASH_BITS,
+        portable_simhash,
+    )
+
+    rows = portable_simhash(docs).collect()
+    sh = {r.doc_id: r.simhash for r in rows}
+    assert all(0 <= v < 2**SIMHASH_BITS for v in sh.values())
+    assert sh[1] == sh[2]
+    ham_near = bin(sh[1] ^ sh[3]).count("1")
+    ham_far = bin(sh[1] ^ sh[4]).count("1")
+    assert ham_near < ham_far
+    n_tok = {r.doc_id: r.n_tokens for r in rows}
+    assert n_tok[1] == 17
+
+
+def test_portable_simhash_pairs_finds_identical_docs(docs):
+    from rag_lakehouse_spark.operators.dedup_portable import portable_simhash_pairs
+
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in portable_simhash_pairs(docs, max_hamming=3).collect()
+    }
+    assert pairs[(1, 2)] == 0  # identical text → hamming 0
+    assert (1, 4) not in pairs  # unrelated content blocked out
