@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from rag_lakehouse_spark.functions import text as TX
 from rag_lakehouse_spark.functions import vector as VEC
 from rag_lakehouse_spark.operators.chunking import chunk_fixed
 from rag_lakehouse_spark.operators.dedup import minhash_lsh_pairs, simhash_docs
@@ -237,6 +238,66 @@ def dedup_simhash_pairs_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-green against DuckDB. Twin of ``dedup_simhash_pairs``."""
     d = load_table(spark, sf_dir, "documents")
     return portable_simhash_pairs(d, text_col="text", id_col="doc_id", max_hamming=3)
+
+
+@register(
+    "dedup_incremental_stream",
+    oracle=f"""
+    SELECT {TX.duckdb_fingerprint('text')} AS fingerprint,
+           MIN(doc_id) AS canonical_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+    tags=("dedup", "exact", "streaming"),
+)
+def dedup_incremental_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING-maintained exact-dedup index, hash-checked against
+    the batch oracle: documents replay through an availableNow file
+    stream (maxFilesPerTrigger=1 over a 4-file copy, so ≥4
+    micro-batches each fold content fingerprints into the stored index
+    via ``streaming.dedup_sink.maintain_dedup_index``), then the index
+    reads back as a batch DataFrame. MIN(canonical) and SUM(copies) are
+    mergeable, so batch boundaries cannot change the result — the
+    incremental fold must equal the one-shot hash-groupBy the oracle
+    runs (and ``dedup_exact_docs`` computes in batch).
+
+    Scale: each fold touches one micro-batch plus the index (one row
+    per distinct content); history is never re-scanned; the shuffle
+    carries 32-byte fingerprints, never text."""
+    import os
+    import shutil
+    import tempfile
+
+    from rag_lakehouse_spark.streaming.dedup_sink import (
+        maintain_dedup_index,
+        read_dedup_index,
+    )
+
+    # mkdtemp per invocation + rmtree in finally — same isolation and
+    # leak rationale as events_rollup_hour_only.
+    base = tempfile.mkdtemp(prefix="rls_dedup_stream_")
+    try:
+        src = os.path.join(base, "documents")
+        (
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id", "text")
+            .repartition(4)
+            .write.mode("overwrite")
+            .parquet(src)
+        )
+        stream = (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        state = os.path.join(base, "dedup_index")
+        maintain_dedup_index(spark, stream, state).awaitTermination()
+        # eager checkpoint (one row per distinct content) detaches the
+        # result from the temp parquet so the dir can be deleted now
+        return read_dedup_index(spark, state).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
 
 
 @register(

@@ -136,8 +136,18 @@ def fold_batch(
     batch_df: DataFrame,
     batch_id: int,
     ckpt_id: str | None = None,
+    partial_fn=_batch_partials,
+    merge_fn=_merge,
 ) -> bool:
-    """Fold one micro-batch's hour partials into the state table.
+    """Fold one micro-batch's partials into the state table.
+
+    ``partial_fn(batch_df)`` aggregates a micro-batch to the mergeable
+    partial schema and ``merge_fn(prev, partial)`` folds partials
+    together; the defaults maintain the hourly rollup. Other mergeable
+    aggregations (e.g. the streaming dedup index in
+    ``streaming.dedup_sink``) pass their own pair — the versioning,
+    idempotency, and checkpoint-identity machinery below is shared.
+
     Idempotent under foreachBatch's at-least-once contract: the state
     carries the last applied ``batch_id``, and a batch replayed after a
     failure between the state pointer flip and the checkpoint commit is
@@ -180,8 +190,12 @@ def fold_batch(
         if applied is not None and applied >= batch_id:
             return False
         prev = prev.drop("last_batch_id", "ckpt_id")
-    partial = _batch_partials(batch_df)
-    merged = _merge(prev, partial) if prev is not None else _merge(partial.limit(0), partial)
+    partial = partial_fn(batch_df)
+    merged = (
+        merge_fn(prev, partial)
+        if prev is not None
+        else merge_fn(partial.limit(0), partial)
+    )
     merged = merged.withColumn(
         "last_batch_id", F.lit(int(batch_id)).cast("bigint")
     ).withColumn("ckpt_id", F.lit(ckpt_id).cast("string"))

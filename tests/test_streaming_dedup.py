@@ -1,0 +1,101 @@
+"""Streaming incremental dedup index == batch exact dedup.
+
+Documents replay through an availableNow file stream one file per
+trigger; each micro-batch folds content fingerprints into the stored
+index. The maintained index must equal the one-shot hash-groupBy over
+all rows (MIN canonical and SUM copies are mergeable, so batch
+boundaries cannot matter), and serving-side classification must see
+cross-batch history. The versioning/idempotency machinery itself is
+locked by tests/test_streaming_rollup.py — these tests cover the dedup
+partials and the serving read.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rag_lakehouse_spark.functions import text as TX
+from rag_lakehouse_spark.sources.tables import load_table
+from rag_lakehouse_spark.streaming.dedup_sink import (
+    _batch_fingerprints,
+    _merge_fingerprints,
+    flag_against_index,
+    maintain_dedup_index,
+    read_dedup_index,
+)
+from rag_lakehouse_spark.streaming.rollup_sink import fold_batch
+
+
+@pytest.fixture(scope="module")
+def docs_dir(spark, sf_dir, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("docs_dedup_stream"))
+    # 4 files → 4 micro-batches under maxFilesPerTrigger=1
+    load_table(spark, sf_dir, "documents").select("doc_id", "text").repartition(
+        4
+    ).write.mode("overwrite").parquet(out)
+    return out
+
+
+def test_incremental_index_matches_batch_dedup(spark, docs_dir, tmp_path_factory):
+    state = str(tmp_path_factory.mktemp("dedup_state")) + "/index"
+    stream = (
+        spark.readStream.schema(spark.read.parquet(docs_dir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_dir)
+    )
+    q = maintain_dedup_index(spark, stream, state)
+    q.awaitTermination()
+    assert q.lastProgress is not None and q.lastProgress["batchId"] >= 3
+
+    got = {
+        r.fingerprint: (r.canonical_doc_id, r.n_copies)
+        for r in read_dedup_index(spark, state).collect()
+    }
+    want = {
+        r.fingerprint: (r.canonical_doc_id, r.n_copies)
+        for r in spark.read.parquet(docs_dir)
+        .select(TX.fingerprint("text").alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
+def test_cross_batch_duplicate_gets_historical_canonical(spark, tmp_path_factory):
+    """A doc arriving in a LATER batch whose content already exists in
+    the index must fold into the historical fingerprint row, keeping
+    the earlier (smaller) canonical id — online dedup against history,
+    not per-batch dedup."""
+    state = str(tmp_path_factory.mktemp("dedup_fold")) + "/index"
+    b0 = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta")], "doc_id long, text string"
+    )
+    b1 = spark.createDataFrame(
+        [(9, "alpha beta"), (10, "epsilon zeta")], "doc_id long, text string"
+    )
+    for i, b in enumerate([b0, b1]):
+        assert fold_batch(
+            spark, state, b, i,
+            partial_fn=_batch_fingerprints, merge_fn=_merge_fingerprints,
+        )
+    idx = {
+        r.canonical_doc_id: r.n_copies
+        for r in read_dedup_index(spark, state).collect()
+    }
+    assert idx == {1: 2, 2: 1, 10: 1}  # doc 9 folded under canonical 1
+
+    incoming = spark.createDataFrame(
+        [(42, "ALPHA---beta"), (43, "brand new content")],
+        "doc_id long, text string",
+    )
+    flags = {
+        r.doc_id: (r.is_duplicate, r.canonical_doc_id)
+        for r in flag_against_index(spark, state, incoming).collect()
+    }
+    # normalization folds case/punct → 42 duplicates history, 43 is novel
+    assert flags == {42: (True, 1), 43: (False, 43)}
