@@ -164,8 +164,11 @@ def portable_minhash_pairs(
     return exact_jaccard_verify(df, cands, text_col, id_col, shingle_k, threshold)
 
 
-def portable_minhash_oracle(table: str = "documents", shingle_k: int = 8) -> str:
-    """DuckDB SQL computing ``portable_minhash_pairs`` bit-for-bit."""
+def _portable_minhash_ctes(table: str, shingle_k: int) -> str:
+    """The WITH-body (no leading ``WITH``) replicating
+    ``portable_minhash_pairs`` up to a ``verified(id_a, id_b, jaccard)``
+    CTE — shared by the pairs oracle and the end-to-end canonicals
+    oracle (which appends recursive component CTEs)."""
     from rag_lakehouse_spark.functions.text import duckdb_char_shingles
 
     min_cols = ",\n             ".join(
@@ -181,8 +184,7 @@ def portable_minhash_oracle(table: str = "documents", shingle_k: int = 8) -> str
         )
         for j in range(BANDS)
     )
-    return f"""
-    WITH sh AS (
+    return f"""sh AS (
       SELECT doc_id, unnest({duckdb_char_shingles('text', shingle_k)}) AS shingle
       FROM {table}
     ),
@@ -206,13 +208,49 @@ def portable_minhash_oracle(table: str = "documents", shingle_k: int = 8) -> str
       JOIN sh a ON a.doc_id = c.id_a
       JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
       GROUP BY c.id_a, c.id_b
-    )
-    SELECT id_a, id_b,
-           CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard
-    FROM common
-    JOIN sized sa ON sa.doc_id = id_a
-    JOIN sized sb ON sb.doc_id = id_b
-    WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+    ),
+    verified AS (
+      SELECT id_a, id_b,
+             CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+      FROM common
+      JOIN sized sa ON sa.doc_id = id_a
+      JOIN sized sb ON sb.doc_id = id_b
+      WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+    )"""
+
+
+def portable_minhash_oracle(table: str = "documents", shingle_k: int = 8) -> str:
+    """DuckDB SQL computing ``portable_minhash_pairs`` bit-for-bit."""
+    return f"""
+    WITH {_portable_minhash_ctes(table, shingle_k)}
+    SELECT id_a, id_b, jaccard FROM verified
+    """
+
+
+def portable_canonicals_oracle(table: str = "documents", shingle_k: int = 8) -> str:
+    """DuckDB SQL for the END-TO-END dedup decision over the portable
+    MinHash-LSH edge set: verified pairs → connected components
+    (recursive reachability fixpoint, min label) → every doc labeled
+    (cluster_id, is_canonical), singletons self-canonical — the twin of
+    ``clusters.dedup_cluster_canonicals`` over
+    ``portable_minhash_pairs`` edges."""
+    return f"""
+    WITH RECURSIVE {_portable_minhash_ctes(table, shingle_k)},
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM verified
+      UNION
+      SELECT id_b AS a, id_a AS b FROM verified
+    ),
+    reach AS (
+      SELECT a AS node, a AS r FROM edges
+      UNION
+      SELECT e.b AS node, reach.r AS r FROM reach JOIN edges e ON e.a = reach.node
+    ),
+    comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node)
+    SELECT d.doc_id,
+           COALESCE(component, d.doc_id) AS cluster_id,
+           d.doc_id = COALESCE(component, d.doc_id) AS is_canonical
+    FROM {table} d LEFT JOIN comp ON comp.node = d.doc_id
     """
 
 

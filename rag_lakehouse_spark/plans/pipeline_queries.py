@@ -186,6 +186,7 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 from rag_lakehouse_spark.operators.dedup_portable import (  # noqa: E402
+    portable_canonicals_oracle,
     portable_minhash_oracle,
     portable_minhash_pairs,
     portable_simhash,
@@ -238,6 +239,29 @@ def dedup_simhash_pairs_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-green against DuckDB. Twin of ``dedup_simhash_pairs``."""
     d = load_table(spark, sf_dir, "documents")
     return portable_simhash_pairs(d, text_col="text", id_col="doc_id", max_hamming=3)
+
+
+@register(
+    "dedup_canonicals_portable",
+    oracle=portable_canonicals_oracle("documents", shingle_k=8),
+    tags=("dedup", "cluster", "iterative", "portable"),
+)
+def dedup_canonicals_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END dedup decision over the portable MinHash-LSH edge
+    set: near-dup pairs → connected components (iterative min-label
+    propagation) → every doc labeled (cluster_id, is_canonical) — the
+    full keep/drop pipeline, hash-green against a DuckDB oracle that
+    replicates candidate banding, Jaccard verification, AND the
+    component fixpoint (recursive CTE). Completes the oracled coverage
+    of the dedup family: `dedup_cluster_canonicals` (xxhash64 edges)
+    stays rows-only, `dup_components_exact` verifies components over
+    the n-gram edge set; this row verifies them over the actual LSH
+    candidate generation."""
+    from rag_lakehouse_spark.operators.clusters import dedup_cluster_canonicals
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = portable_minhash_pairs(d, text_col="text", id_col="doc_id", threshold=0.5)
+    return dedup_cluster_canonicals(d, pairs, id_col="doc_id")
 
 
 @register(

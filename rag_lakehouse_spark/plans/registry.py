@@ -72,6 +72,7 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_minhash_portable",     # NEW: portable-hash MinHash-LSH (first oracled row for the family)
     "dedup_simhash_portable",     # NEW: portable-hash SimHash fingerprints
     "dedup_simhash_pairs_portable",  # NEW: portable-hash segment join + hamming verify
+    "dedup_canonicals_portable",  # NEW: end-to-end LSH→components→canonical decision
     "recursive_cte_reach",        # aggregated-frontier rewrite
     "dedup_simhash_pairs",        # NEW: segment-join canary (checkpointed fingerprints)
     "events_rollup_hour_only",    # sink empty-state/pointerless-dir guards + tmp cleanup
@@ -118,9 +119,8 @@ _PRIORITY: tuple[str, ...] = (
     "text_token_stats",
     "text_lang_id",
     "text_fingerprint",
-    "text_bpe_token_count",
-    # deferred to r8 (still r2-vintage): text_rolling_hash,
-    # binary_content_stats,
+    # deferred to r8 (still r2-vintage): text_bpe_token_count,
+    # text_rolling_hash, binary_content_stats,
     # sample_stratified_docs, embedding_label_stats (bumped by the
     # three new portable-dedup rows), metadata_stamped_docs (rows-only
     # nondeterministic), events_hour_profile, docs_by_lang_source —

@@ -118,10 +118,12 @@ def flag_against_index(
     idx = read_dedup_index(spark, state_path)
     fp = incoming.withColumn("__fp", TX.fingerprint("text"))
     joined = fp.join(idx, fp["__fp"] == idx["fingerprint"], "left")
+    # qualified refs throughout: an ``incoming`` that already carries a
+    # fingerprint/canonical_doc_id column must not capture the index's
     return joined.select(
         *[incoming[c] for c in incoming.columns],
-        F.col("fingerprint").isNotNull().alias("is_duplicate"),
-        F.coalesce(F.col("canonical_doc_id"), F.col("doc_id")).alias(
+        idx["fingerprint"].isNotNull().alias("is_duplicate"),
+        F.coalesce(idx["canonical_doc_id"], incoming["doc_id"]).alias(
             "canonical_doc_id"
         ),
     )
