@@ -50,6 +50,7 @@ HEADLINE = (
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_simhash_pairs",
+    "dedup_incremental_stream",
     "knn_similarity_join",
     "knn_vectorized_topk",
     "events_asof_purchase",
@@ -79,6 +80,7 @@ def main() -> None:
             "dedup_ngram_jaccard",
             "dedup_simhash",
             "dedup_simhash_pairs",
+            "dedup_incremental_stream",
             "knn_vectorized_topk",
         ):
             if name in qs:

@@ -106,6 +106,15 @@ def read_state(spark: SparkSession, state_path: str) -> DataFrame | None:
         return spark.read.parquet(os.path.join(state_path, v))
     try:
         entries = os.listdir(_local(state_path))
+    except FileNotFoundError:
+        if state_path.startswith("file:") or "://" not in state_path:
+            # Local layout (the module's contract) with no state root at
+            # all: unambiguously first-batch. Returning here instead of
+            # falling through to the flat parquet read avoids Spark
+            # logging a scary (but handled) FileNotFoundException inside
+            # every streaming query's first micro-batch.
+            return None
+        entries = None
     except OSError:
         entries = None
     if entries is not None and all(
