@@ -97,22 +97,20 @@ def duckdb_affine60(h: str, a: int, b: int) -> str:
     )
 
 
-def portable_minhash_pairs(
+def portable_band_keys(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_k: int = 8,
-    threshold: float = 0.5,
 ) -> DataFrame:
-    """MinHash-LSH near-dup pairs over the portable hash family:
-    positions-explode 8-gram shingles → base60 → 24 affine min-agg
-    buffers → 8 string band keys → band equi-join candidates → exact
-    Jaccard ≥ threshold. Returns (id_a, id_b, jaccard).
-
-    Same plan shape as ``dedup.minhash_lsh_pairs`` (see its docstring
-    for why explode→agg beats stacked HOF folds and why candidates are
-    checkpointed); only the hash primitive differs.
-    """
+    """(id, band_idx, band_key) LSH postings over the portable hash
+    family: positions-explode k-gram shingles → base60 → NUM_HASHES
+    affine min-agg buffers → BANDS string band keys. The banding stage
+    shared by ``portable_minhash_pairs`` (batch self-join) and the
+    streaming postings sink (``streaming.dedup_sink``, which maintains
+    these rows as state so signatures are computed once per doc ever).
+    Not materialized here — a self-joining consumer must add its own
+    barrier (see the self-join materialization rule in docs/SCALE.md)."""
     norm = normalized_relation(df, text_col, id_col)
     n_pos = F.length("__norm") - (shingle_k - 1)
     # MIN is duplicate-insensitive → position substrings (with repeats)
@@ -145,9 +143,46 @@ def portable_minhash_pairs(
         )
         for j in range(BANDS)
     ]
-    banded = mins.select(
+    return mins.select(
         F.col(id_col), F.posexplode(F.array(*band_keys)).alias("band_idx", "band_key")
-    ).localCheckpoint(eager=True)  # barrier: both self-join sides read it
+    )
+
+
+def portable_minhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs over the portable hash family:
+    band-key postings (``portable_band_keys``) → band equi-join
+    candidates → exact Jaccard ≥ threshold. Returns
+    (id_a, id_b, jaccard).
+
+    Same plan shape as ``dedup.minhash_lsh_pairs`` (see its docstring
+    for why explode→agg beats stacked HOF folds and why candidates are
+    checkpointed); only the hash primitive differs.
+    """
+    banded = portable_band_keys(df, text_col, id_col, shingle_k).localCheckpoint(
+        eager=True
+    )  # barrier: both self-join sides read it
+    return pairs_from_band_keys(df, banded, text_col, id_col, shingle_k, threshold)
+
+
+def pairs_from_band_keys(
+    df: DataFrame,
+    banded: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """(id, band_idx, band_key) postings (already materialized — state
+    table or checkpoint) → band equi-join candidates → exact Jaccard
+    verify against the corpus ``df``. The read side of the streaming
+    postings index shares this with the batch pipeline, so maintained
+    postings yield bit-identical pairs to the one-shot computation."""
     a = banded.alias("a")
     b = banded.alias("b")
     cands = (

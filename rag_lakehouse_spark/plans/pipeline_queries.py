@@ -325,6 +325,53 @@ def dedup_incremental_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_minhash_incremental",
+    oracle=portable_minhash_oracle("documents", shingle_k=8),
+    tags=("dedup", "neardup", "minhash", "streaming", "portable"),
+)
+def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-dup pairs from a STREAMING-maintained MinHash postings
+    index: documents replay through an availableNow file stream (4
+    files, ≥4 micro-batches), each batch folding its LSH band-key
+    postings into versioned state — signatures computed once per doc
+    ever, the way production dedup amortizes at 100 TB — then pairs
+    derive from the maintained index (band self-join + exact-Jaccard
+    verify on candidates). Because the postings equal the one-shot
+    banding rows, the result is bit-identical to
+    ``dedup_minhash_portable``, so the SAME DuckDB oracle hash-checks
+    the incremental path end to end."""
+    import os
+    import shutil
+    import tempfile
+
+    from rag_lakehouse_spark.streaming.dedup_sink import (
+        maintain_minhash_postings,
+        near_pairs_from_postings,
+    )
+
+    base = tempfile.mkdtemp(prefix="rls_minhash_stream_")
+    try:
+        src = os.path.join(base, "documents")
+        d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        d.repartition(4).write.mode("overwrite").parquet(src)
+        stream = (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        state = os.path.join(base, "minhash_postings")
+        maintain_minhash_postings(spark, stream, state).awaitTermination()
+        # verify against the ORIGINAL table (not the temp copy) so the
+        # result detaches from the temp dir; the pair list is tiny —
+        # checkpoint it and delete the dir
+        return near_pairs_from_postings(
+            spark, state, d, threshold=0.5
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+@register(
     "rag_batch_retrieve",
     oracle=f"""
     WITH scored AS (

@@ -68,7 +68,8 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # in line for r8. COVERAGE.md records the per-round sample log.
 _PRIORITY: tuple[str, ...] = (
     # -- r7 rotation part (a): changed this round --
-    "dedup_incremental_stream",   # NEW: streaming dedup index vs batch oracle
+    "dedup_incremental_stream",   # NEW: streaming exact-dedup index vs batch oracle
+    "dedup_minhash_incremental",  # NEW: streaming MinHash postings index vs batch oracle
     "dedup_minhash_portable",     # NEW: portable-hash MinHash-LSH (first oracled row for the family)
     "dedup_simhash_portable",     # NEW: portable-hash SimHash fingerprints
     "dedup_simhash_pairs_portable",  # NEW: portable-hash segment join + hamming verify
@@ -118,9 +119,8 @@ _PRIORITY: tuple[str, ...] = (
     "events_click_purchase_funnel",
     "text_token_stats",
     "text_lang_id",
-    "text_fingerprint",
-    # deferred to r8 (still r2-vintage): text_bpe_token_count,
-    # text_rolling_hash, binary_content_stats,
+    # deferred to r8 (still r2-vintage): text_fingerprint,
+    # text_bpe_token_count, text_rolling_hash, binary_content_stats,
     # sample_stratified_docs, embedding_label_stats (bumped by the
     # three new portable-dedup rows), metadata_stamped_docs (rows-only
     # nondeterministic), events_hour_profile, docs_by_lang_source —

@@ -59,13 +59,49 @@ def get_spark(app_name: str = "rag_lakehouse_spark", **extra_conf: str) -> Spark
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    _ship_package(spark)
     return spark
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make ``rag_lakehouse_spark`` importable inside Python WORKERS
+    regardless of the driver's working directory: zip the package once
+    per process and ``addPyFile`` it. Pandas-UDF closures (embedding,
+    multimodal) pickle module-level functions BY REFERENCE, so the
+    worker must import the package — the driver's ``sys.path`` patch
+    does not propagate to workers, and a driver launched outside the
+    repo dir would otherwise fail with ModuleNotFoundError only on the
+    UDF queries. On a real cluster this is exactly how the package
+    ships (addPyFile / --py-files)."""
+    sc = spark.sparkContext
+    if getattr(sc, "_rls_pyfile_shipped", False):
+        return
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"rag_lakehouse_spark_pyfiles_{os.getpid()}.zip"
+    )
+    if not os.path.exists(zpath):
+        tmp = zpath + ".tmp"
+        with zipfile.ZipFile(tmp, "w") as z:
+            for root, _, files in os.walk(pkg_dir):
+                for f in sorted(files):
+                    if f.endswith(".py"):
+                        full = os.path.join(root, f)
+                        rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                        z.write(full, rel)
+        os.replace(tmp, zpath)
+    sc.addPyFile(zpath)
+    sc._rls_pyfile_shipped = True
 
 
 def tune_session(spark: SparkSession) -> SparkSession:
     """Apply the runtime-settable engine confs to an externally created
     session (the driver harness builds its own SparkSession; static confs
     like driver memory cannot change here, but SQL semantics can)."""
+    _ship_package(spark)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.ansi.enabled", "false")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

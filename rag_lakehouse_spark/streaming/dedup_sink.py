@@ -1,6 +1,7 @@
-"""Streaming incremental dedup index — online exact dedup against the
-full ingestion history, the streaming twin of
-``plans.text_queries.dedup_exact_docs``.
+"""Streaming incremental dedup indexes — online dedup against the full
+ingestion history: an EXACT fingerprint index (streaming twin of
+``plans.text_queries.dedup_exact_docs``) and a NEAR-dup MinHash
+postings index (streaming twin of the LSH banding stage).
 
 A training-data pipeline ingests continuously; batch re-dedup of the
 whole corpus per increment is O(history) every time. Instead each
@@ -104,6 +105,81 @@ def read_dedup_index(spark: SparkSession, state_path: str) -> DataFrame:
     if state is None:
         raise FileNotFoundError(f"no dedup index at {state_path}")
     return state.select("fingerprint", "canonical_doc_id", "n_copies")
+
+
+def _batch_band_keys(df: DataFrame) -> DataFrame:
+    """Micro-batch → LSH band-key postings (doc_id, band_idx,
+    band_key) over the portable hash family. The expensive part of
+    near-dup detection — shingling + signature aggregation — runs
+    exactly once per document, at ingest."""
+    from rag_lakehouse_spark.operators.dedup_portable import portable_band_keys
+
+    return portable_band_keys(df, text_col="text", id_col="doc_id")
+
+
+def _merge_band_keys(prev: DataFrame, batch: DataFrame) -> DataFrame:
+    # A file stream partitions rows disjointly across batches, so the
+    # union is exact (no groupBy needed); replays are dropped by the
+    # fold watermark before reaching this merge.
+    return prev.unionByName(batch)
+
+
+def maintain_minhash_postings(
+    spark: SparkSession, docs_stream: DataFrame, state_path: str
+):
+    """Start a foreachBatch query folding each micro-batch's MinHash
+    band-key postings into the index at ``state_path`` — the
+    incremental half of near-dup detection: signatures are computed
+    once per doc ever; new docs join against stored postings instead of
+    re-shingling history. Returns the StreamingQuery."""
+    ckpt = state_path + "_ckpt"
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        fold_batch(
+            spark,
+            state_path,
+            batch_df,
+            batch_id,
+            _ckpt_query_id(ckpt),
+            partial_fn=_batch_band_keys,
+            merge_fn=_merge_band_keys,
+        )
+
+    return (
+        docs_stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def near_pairs_from_postings(
+    spark: SparkSession,
+    state_path: str,
+    corpus: DataFrame,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs from the maintained postings index: band
+    equi-join over the state table → exact-Jaccard verify against the
+    corpus (candidates only). Because the postings are exactly
+    ``portable_band_keys`` rows, the result is bit-identical to the
+    one-shot ``portable_minhash_pairs`` over the same corpus — which is
+    what lets the incremental index be driver-oracled by the same SQL.
+
+    Scale: the self-join input is the postings table (docs × BANDS
+    short rows, no text); verification re-shingles only candidate
+    docs. The corpus scan for verification is semi-join-pruned."""
+    from rag_lakehouse_spark.operators.dedup_portable import pairs_from_band_keys
+
+    state = read_state(spark, state_path)
+    if state is None:
+        raise FileNotFoundError(f"no postings index at {state_path}")
+    banded = state.select("doc_id", "band_idx", "band_key").localCheckpoint(
+        eager=True
+    )  # barrier: both self-join sides read it
+    return pairs_from_band_keys(
+        corpus, banded, text_col="text", id_col="doc_id", threshold=threshold
+    )
 
 
 def flag_against_index(

@@ -99,3 +99,45 @@ def test_cross_batch_duplicate_gets_historical_canonical(spark, tmp_path_factory
     }
     # normalization folds case/punct → 42 duplicates history, 43 is novel
     assert flags == {42: (True, 1), 43: (False, 43)}
+
+
+def test_incremental_postings_pairs_equal_batch_pairs(spark, tmp_path_factory):
+    """Postings folded across two batches must yield the same verified
+    near-dup pairs as the one-shot portable MinHash pipeline over the
+    combined corpus — the maintained index is just the banding rows."""
+    from rag_lakehouse_spark.operators.dedup_portable import portable_minhash_pairs
+    from rag_lakehouse_spark.streaming.dedup_sink import (
+        _batch_band_keys,
+        _merge_band_keys,
+        near_pairs_from_postings,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far away "
+        "into the deep dark woods tonight while stars shine overhead"
+    )
+    b0 = spark.createDataFrame(
+        [(1, base), (2, "completely unrelated text about query optimizers and shuffles in distributed engines")],
+        "doc_id long, text string",
+    )
+    b1 = spark.createDataFrame(
+        [(9, base.replace("tonight", "today"))],  # near-dup of doc 1, later batch
+        "doc_id long, text string",
+    )
+    state = str(tmp_path_factory.mktemp("postings")) + "/index"
+    for i, b in enumerate([b0, b1]):
+        assert fold_batch(
+            spark, state, b, i,
+            partial_fn=_batch_band_keys, merge_fn=_merge_band_keys,
+        )
+    corpus = b0.unionByName(b1)
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in near_pairs_from_postings(spark, state, corpus, threshold=0.3).collect()
+    }
+    want = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in portable_minhash_pairs(corpus, threshold=0.3).collect()
+    }
+    assert got == want
+    assert (1, 9) in got  # the cross-batch near-dup is found
