@@ -333,11 +333,33 @@ def knn_ivf(
     # Assign corpus rows to nearest centroid: max_by aggregation — the
     # shuffle carries one row per corpus vector, not the ×n_cells
     # expansion a window argmax would move (see _assign_cells).
-    assigned = (
-        _assign_cells(corpus, centroids_df, corpus_id, corpus_vec)
-        .select(corpus_id, corpus_vec, "cell_id")
-        .withColumn("__nrm_c", l2_norm(F.col(corpus_vec)))
+    assigned = _assign_cells(corpus, centroids_df, corpus_id, corpus_vec).select(
+        corpus_id, corpus_vec, "cell_id"
     )
+    return ivf_search(
+        assigned, queries, centroids_df, k, n_probe,
+        corpus_id, corpus_vec, query_id, query_vec,
+    )
+
+
+def ivf_search(
+    assigned: DataFrame,
+    queries: DataFrame,
+    centroids_df: DataFrame,
+    k: int = 3,
+    n_probe: int = 4,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "q_emb",
+) -> DataFrame:
+    """The probe+score half of IVF-flat over an ALREADY-ASSIGNED corpus
+    ``(corpus_id, corpus_vec, cell_id)`` — the seam that lets a
+    maintained assignment table (``streaming.vector_sink``) serve the
+    same search as the one-shot ``knn_ivf``: identical expressions, so
+    identical floats, so identical results given identical assignments.
+    """
+    assigned = assigned.withColumn("__nrm_c", l2_norm(F.col(corpus_vec)))
 
     # Queries probe their n_probe nearest cells. Ranking uses
     # dot / centroid_norm: the query's own norm is constant within its

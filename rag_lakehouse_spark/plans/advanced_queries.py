@@ -364,6 +364,67 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+@register(
+    "ann_ivf_incremental", oracle=None, tags=("vector", "ann", "ivf", "streaming")
+)
+def ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate k-NN served from a STREAMING-maintained IVF index:
+    corpus embeddings replay through an availableNow file stream (4
+    files, ≥4 micro-batches), each batch folding its nearest-centroid
+    assignments — against a frozen deterministic quantizer — into
+    versioned state; queries then probe the maintained table via the
+    same ``ivf_search`` the batch path uses. Per-vector assignment cost
+    is paid once ever, the way a production vector index absorbs
+    continuous ingest. Rows-only (ANN family has no SQL oracle);
+    tests/test_streaming_vector.py asserts the result is IDENTICAL to
+    the one-shot ``knn_ivf`` at the same quantizer — same expressions,
+    same floats, same rows."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window as W
+
+    from rag_lakehouse_spark.streaming.vector_sink import (
+        knn_from_vector_index,
+        maintain_vector_index,
+    )
+
+    n_cells = 16
+    e = load_table(spark, sf_dir, "embeddings")
+    corpus = e.filter(F.col("vec_id") >= 20).select("vec_id", "embedding")
+    q = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    # The frozen quantizer: the same deterministic stratified sample
+    # knn_ivf defaults to (first vector of every id%n_cells stratum).
+    w_strat = W.partitionBy(F.col("vec_id") % n_cells).orderBy("vec_id")
+    centroids = (
+        corpus.withColumn("__rn", F.row_number().over(w_strat))
+        .filter(F.col("__rn") == 1)
+        .select(
+            (F.col("vec_id") % n_cells).alias("cell_id"),
+            F.col("embedding").alias("centroid"),
+        )
+    )
+    base = tempfile.mkdtemp(prefix="rls_ivf_stream_")
+    try:
+        src = os.path.join(base, "embeddings")
+        corpus.repartition(4).write.mode("overwrite").parquet(src)
+        stream = (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        state = os.path.join(base, "ivf_index")
+        maintain_vector_index(spark, stream, state, centroids).awaitTermination()
+        return knn_from_vector_index(
+            spark, state, q, centroids, k=10, n_probe=4
+        ).localCheckpoint(eager=True)  # detach from the temp dir before rmtree
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 @register("knn_vectorized_topk", oracle=None, tags=("vector", "knn", "pandas"))
 def knn_vectorized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vectorized (NumPy BLAS) brute-force top-3 for 20 query vectors —
