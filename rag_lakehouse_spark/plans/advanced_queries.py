@@ -370,9 +370,11 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate k-NN served from a STREAMING-maintained IVF index:
     corpus embeddings replay through an availableNow file stream (4
-    files, ≥4 micro-batches), each batch folding its nearest-centroid
-    assignments — against a frozen deterministic quantizer — into
-    versioned state; queries then probe the maintained table via the
+    files, ≥4 micro-batches), each batch appending its nearest-centroid
+    assignments — against a frozen deterministic quantizer — as an
+    immutable O(batch) delta (streaming.append_state; never a rewrite
+    of the corpus-sized index); queries then probe the maintained
+    table via the
     same ``ivf_search`` the batch path uses. Per-vector assignment cost
     is paid once ever, the way a production vector index absorbs
     continuous ingest. Rows-only (ANN family has no SQL oracle);

@@ -332,9 +332,11 @@ def dedup_incremental_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NEAR-dup pairs from a STREAMING-maintained MinHash postings
     index: documents replay through an availableNow file stream (4
-    files, ≥4 micro-batches), each batch folding its LSH band-key
-    postings into versioned state — signatures computed once per doc
-    ever, the way production dedup amortizes at 100 TB — then pairs
+    files, ≥4 micro-batches), each batch appending its LSH band-key
+    postings as an immutable O(batch) delta (streaming.append_state) —
+    signatures computed once per doc ever and the corpus-sized index
+    never rewritten, the way production dedup amortizes at 100 TB —
+    then pairs
     derive from the maintained index (band self-join + exact-Jaccard
     verify on candidates). Because the postings equal the one-shot
     banding rows, the result is bit-identical to

@@ -117,32 +117,29 @@ def _batch_band_keys(df: DataFrame) -> DataFrame:
     return portable_band_keys(df, text_col="text", id_col="doc_id")
 
 
-def _merge_band_keys(prev: DataFrame, batch: DataFrame) -> DataFrame:
-    # A file stream partitions rows disjointly across batches, so the
-    # union is exact (no groupBy needed); replays are dropped by the
-    # fold watermark before reaching this merge.
-    return prev.unionByName(batch)
-
-
 def maintain_minhash_postings(
     spark: SparkSession, docs_stream: DataFrame, state_path: str
 ):
-    """Start a foreachBatch query folding each micro-batch's MinHash
-    band-key postings into the index at ``state_path`` — the
+    """Start a foreachBatch query APPENDING each micro-batch's MinHash
+    band-key postings as an immutable delta under ``state_path`` — the
     incremental half of near-dup detection: signatures are computed
     once per doc ever; new docs join against stored postings instead of
-    re-shingling history. Returns the StreamingQuery."""
+    re-shingling history. Returns the StreamingQuery.
+
+    Append-only (``streaming.append_state``), not fold-rewrite: the
+    postings merge is pure union (batches partition docs disjointly),
+    and the index grows with the corpus — a fold that read+rewrote the
+    whole index would pay O(index) I/O per micro-batch where the delta
+    append pays O(batch). ``compact_state`` bounds file-count growth
+    offline."""
+    from rag_lakehouse_spark.streaming.append_state import append_delta
+
     ckpt = state_path + "_ckpt"
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
-        fold_batch(
-            spark,
-            state_path,
-            batch_df,
-            batch_id,
+        append_delta(
+            spark, state_path, _batch_band_keys(batch_df), batch_id,
             _ckpt_query_id(ckpt),
-            partial_fn=_batch_band_keys,
-            merge_fn=_merge_band_keys,
         )
 
     return (
@@ -170,8 +167,9 @@ def near_pairs_from_postings(
     short rows, no text); verification re-shingles only candidate
     docs. The corpus scan for verification is semi-join-pruned."""
     from rag_lakehouse_spark.operators.dedup_portable import pairs_from_band_keys
+    from rag_lakehouse_spark.streaming.append_state import read_deltas
 
-    state = read_state(spark, state_path)
+    state = read_deltas(spark, state_path)
     if state is None:
         raise FileNotFoundError(f"no postings index at {state_path}")
     banded = state.select("doc_id", "band_idx", "band_key").localCheckpoint(

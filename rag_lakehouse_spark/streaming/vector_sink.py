@@ -5,9 +5,10 @@ half of ``operators.similarity.knn_ivf``.
 The expensive per-vector work of an IVF index — nearest-centroid
 assignment — happens exactly once per vector, at ingest: each
 micro-batch assigns its vectors against a FROZEN coarse quantizer and
-folds ``(vec_id, embedding, cell_id)`` rows into versioned state
-(``streaming.rollup_sink.fold_batch`` machinery: two-phase commit,
-idempotency watermark, checkpoint-identity guard). Serving reads run
+appends ``(vec_id, embedding, cell_id)`` rows as an immutable delta
+(``streaming.append_state``: O(batch) I/O per fold — never a rewrite
+of the corpus-sized index — idempotent per-batch dirs, a checkpoint-
+identity guard, offline compaction). Serving reads run
 ``operators.similarity.ivf_search`` over the maintained table —
 identical expressions to the batch path, so identical floats and
 identical results given identical assignments (locked by
@@ -21,7 +22,7 @@ fold. Assignments are per-row pure functions of (vector, centroids), so
 arrival order and batch boundaries cannot change the maintained table.
 
 Scale: per-increment cost is one micro-batch × n_cells dot products
-plus the state rewrite; search touches n_probe/n_cells of the data. At
+plus one delta write; search touches n_probe/n_cells of the data. At
 cluster scale the state table is a Delta/Iceberg table partitioned by
 cell_id, which also makes the search join partition-pruned.
 """
@@ -31,11 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from rag_lakehouse_spark.operators.similarity import _assign_cells, ivf_search
-from rag_lakehouse_spark.streaming.rollup_sink import (
-    _ckpt_query_id,
-    fold_batch,
-    read_state,
-)
+from rag_lakehouse_spark.streaming.rollup_sink import _ckpt_query_id
 
 
 def maintain_vector_index(
@@ -50,31 +47,22 @@ def maintain_vector_index(
     nearest-centroid assignments into the index at ``state_path``.
     ``centroids_df`` (cell_id, centroid) is the frozen quantizer.
     Returns the StreamingQuery (caller awaits termination)."""
+    from rag_lakehouse_spark.streaming.append_state import append_delta
+
     ckpt = state_path + "_ckpt"
     # Materialize the (tiny) quantizer once — every fold closure reads
     # it, and a lazy plan would re-derive it per micro-batch.
     frozen = centroids_df.localCheckpoint(eager=True)
 
-    def _assign(batch_df: DataFrame) -> DataFrame:
-        return _assign_cells(batch_df, frozen, vec_id, vec_col).select(
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        assigned = _assign_cells(batch_df, frozen, vec_id, vec_col).select(
             vec_id, vec_col, "cell_id"
         )
-
-    def _merge(prev: DataFrame, batch: DataFrame) -> DataFrame:
-        # file streams partition rows disjointly; replays are dropped
-        # by the fold watermark — union is exact
-        return prev.unionByName(batch)
-
-    def fold(batch_df: DataFrame, batch_id: int) -> None:
-        fold_batch(
-            spark,
-            state_path,
-            batch_df,
-            batch_id,
-            _ckpt_query_id(ckpt),
-            partial_fn=_assign,
-            merge_fn=_merge,
-        )
+        # append-only deltas (streaming.append_state): assignments merge
+        # by pure union and the index grows with the corpus — a
+        # fold-rewrite would pay O(index) I/O per batch; the delta
+        # append pays O(batch). compact_state bounds file count offline.
+        append_delta(spark, state_path, assigned, batch_id, _ckpt_query_id(ckpt))
 
     return (
         emb_stream.writeStream.foreachBatch(fold)
@@ -92,7 +80,9 @@ def read_vector_index(
 ) -> DataFrame:
     """The maintained index as a batch DataFrame:
     (vec_id, embedding, cell_id)."""
-    state = read_state(spark, state_path)
+    from rag_lakehouse_spark.streaming.append_state import read_deltas
+
+    state = read_deltas(spark, state_path)
     if state is None:
         raise FileNotFoundError(f"no vector index at {state_path}")
     return state.select(vec_id, vec_col, "cell_id")

@@ -106,9 +106,9 @@ def test_incremental_postings_pairs_equal_batch_pairs(spark, tmp_path_factory):
     near-dup pairs as the one-shot portable MinHash pipeline over the
     combined corpus — the maintained index is just the banding rows."""
     from rag_lakehouse_spark.operators.dedup_portable import portable_minhash_pairs
+    from rag_lakehouse_spark.streaming.append_state import append_delta
     from rag_lakehouse_spark.streaming.dedup_sink import (
         _batch_band_keys,
-        _merge_band_keys,
         near_pairs_from_postings,
     )
 
@@ -126,10 +126,7 @@ def test_incremental_postings_pairs_equal_batch_pairs(spark, tmp_path_factory):
     )
     state = str(tmp_path_factory.mktemp("postings")) + "/index"
     for i, b in enumerate([b0, b1]):
-        assert fold_batch(
-            spark, state, b, i,
-            partial_fn=_batch_band_keys, merge_fn=_merge_band_keys,
-        )
+        assert append_delta(spark, state, _batch_band_keys(b), i)
     corpus = b0.unionByName(b1)
     got = {
         (r.id_a, r.id_b): r.jaccard
