@@ -363,6 +363,13 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         state = os.path.join(base, "minhash_postings")
         maintain_minhash_postings(spark, stream, state).awaitTermination()
+        # Offline compaction between ingest and serve: merges the ≥4
+        # per-batch deltas into one compact dir. The hash check below
+        # therefore ALSO verifies that compaction is row-preserving —
+        # the oracle doesn't know or care which layout it reads.
+        from rag_lakehouse_spark.streaming.append_state import compact_state
+
+        compact_state(spark, state)
         # verify against the ORIGINAL table (not the temp copy) so the
         # result detaches from the temp dir; the pair list is tiny —
         # checkpoint it and delete the dir

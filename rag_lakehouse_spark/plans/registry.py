@@ -58,14 +58,14 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # checked queries are exactly registry positions 0-49). Every query is
 # green against the local DuckDB oracle replica, but the brief's bar is
 # a DRIVER row per operator — so each round the front of the registry
-# is rotated. All queries have been driver-checked at least once across
-# rounds 1-6 (zero standing failures); round 7 front-loads (a) every
-# query whose implementation, oracle, or library path changed this
-# round, then (b) the 37 oldest-vintage queries — last driver-checked
-# in round 2 — so no query's most recent external row ages past two
-# rotation cycles. The r2/r3-vintage backlog (70 queries) exceeds one
-# 50-slot sample; the 3 remaining r2 rows plus the r3 cohort are next
-# in line for r8. COVERAGE.md records the per-round sample log.
+# is rotated. All pre-r7 queries have been driver-checked at least
+# once across rounds 1-6 (zero standing failures); round 7 front-loads
+# (a) the 20 queries new or changed this round — the 7 new
+# portable-dedup / streaming-index queries plus the r7 fix/guard
+# consumers — then (b) the 30 oldest-vintage queries, last
+# driver-checked in round 2. The remaining r2 rows plus the r3 cohort
+# are next in line for r8. COVERAGE.md records the per-round sample
+# log.
 _PRIORITY: tuple[str, ...] = (
     # -- r7 rotation part (a): changed this round --
     "dedup_incremental_stream",   # NEW: streaming exact-dedup index vs batch oracle
