@@ -103,6 +103,147 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_repetition_stats",
+    oracle=r"""
+    WITH lines AS (
+      SELECT doc_id, trim(l) AS l
+      FROM (SELECT doc_id,
+                   unnest(regexp_split_to_array(coalesce(text, ''), '\n')) AS l
+            FROM documents)
+      WHERE trim(l) <> ''
+    ),
+    line_stats AS (
+      SELECT doc_id, COUNT(*) AS n_lines, COUNT(DISTINCT l) AS n_dl
+      FROM lines GROUP BY doc_id
+    ),
+    toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(coalesce(text, ''))),
+                                               '\s+'), t -> t <> '') AS t
+      FROM documents
+    ),
+    bigr AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(t) - 1),
+                                   i -> t[i] || ' ' || t[i+1])) AS bg
+      FROM toks
+    ),
+    bc AS (SELECT doc_id, bg, COUNT(*) AS c FROM bigr GROUP BY doc_id, bg),
+    bi_stats AS (
+      SELECT doc_id,
+             CAST(SUM(c) AS BIGINT) AS total,
+             CAST(MAX(c) AS BIGINT) AS top,
+             CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup
+      FROM bc GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(n_lines, 0) AS n_lines,
+           CASE WHEN COALESCE(n_lines, 0) = 0 THEN 0.0
+                ELSE CAST(n_lines - n_dl AS DOUBLE) / n_lines END AS dup_line_frac,
+           CASE WHEN COALESCE(total, 0) = 0 THEN 0.0
+                ELSE CAST(top AS DOUBLE) / total END AS top_bigram_frac,
+           CASE WHEN COALESCE(total, 0) = 0 THEN 0.0
+                ELSE CAST(dup AS DOUBLE) / total END AS dup_bigram_frac,
+           (CASE WHEN COALESCE(n_lines, 0) = 0 THEN 0.0
+                 ELSE CAST(n_lines - n_dl AS DOUBLE) / n_lines END) <= 0.30
+           AND
+           (CASE WHEN COALESCE(total, 0) = 0 THEN 0.0
+                 ELSE CAST(top AS DOUBLE) / total END) <= 0.18
+             AS passes_repetition
+    FROM documents d
+    LEFT JOIN line_stats USING (doc_id)
+    LEFT JOIN bi_stats USING (doc_id)
+    """,
+    tags=("text", "quality", "repetition"),
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals — the quality dimension the
+    char-class ratios (``text_quality_score``) cannot see: boilerplate
+    and machine-generated text repeat lines and n-grams at rates clean
+    prose never does. Per doc: duplicate-line fraction, most-frequent
+    word-bigram occurrence fraction, and the fraction of bigram
+    occurrences belonging to any repeated bigram, plus a pass/fail gate
+    at the (nominal) Gopher thresholds dup_line ≤ 0.30 /
+    top_bigram ≤ 0.18.
+
+    Scale: two explode→groupBy passes (lines, bigrams) — shuffle keys
+    are (doc, line) and (doc, bigram), map-side combined; no Python.
+    """
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    txt = F.coalesce(F.col("text"), F.lit(""))
+
+    lines = (
+        d.select("doc_id", F.explode(F.split(txt, "\n")).alias("__l"))
+        .select("doc_id", F.trim("__l").alias("__l"))
+        .filter(F.col("__l") != "")
+    )
+    line_stats = lines.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.countDistinct("__l").alias("n_dl"),
+    )
+
+    toks = d.select(
+        "doc_id",
+        F.filter(
+            F.split(F.trim(F.lower(txt)), r"\s+"), lambda t: t != F.lit("")
+        ).alias("__t"),
+    )
+    n_t = F.size("__t")
+    # sequence(1, 0) infers step -1 in Spark (yields [1, 0]) — docs
+    # with <2 tokens are filtered BEFORE the explode, same rows as the
+    # oracle's empty generate_series.
+    bigr = (
+        toks.filter(n_t >= 2)
+        .select(
+            "doc_id",
+            F.col("__t"),
+            F.explode(F.sequence(F.lit(1), n_t - 1)).alias("__i"),
+        )
+        .select(
+            "doc_id",
+            F.concat(
+                F.element_at("__t", F.col("__i")),
+                F.lit(" "),
+                F.element_at("__t", F.col("__i") + 1),
+            ).alias("__bg"),
+        )
+    )
+    bc = bigr.groupBy("doc_id", "__bg").agg(F.count(F.lit(1)).alias("__c"))
+    bi_stats = bc.groupBy("doc_id").agg(
+        F.sum("__c").alias("total"),
+        F.max("__c").alias("top"),
+        F.sum(F.when(F.col("__c") > 1, F.col("__c")).otherwise(0)).alias("dup"),
+    )
+
+    out = (
+        d.select("doc_id")
+        .join(line_stats, "doc_id", "left")
+        .join(bi_stats, "doc_id", "left")
+    )
+    n_lines = F.coalesce(F.col("n_lines"), F.lit(0))
+    dup_line_frac = F.when(n_lines == 0, F.lit(0.0)).otherwise(
+        (n_lines - F.col("n_dl")).cast("double") / n_lines
+    )
+    total = F.coalesce(F.col("total"), F.lit(0))
+    top_bigram_frac = F.when(total == 0, F.lit(0.0)).otherwise(
+        F.col("top").cast("double") / total
+    )
+    dup_bigram_frac = F.when(total == 0, F.lit(0.0)).otherwise(
+        F.col("dup").cast("double") / total
+    )
+    return out.select(
+        "doc_id",
+        n_lines.alias("n_lines"),
+        dup_line_frac.alias("dup_line_frac"),
+        top_bigram_frac.alias("top_bigram_frac"),
+        dup_bigram_frac.alias("dup_bigram_frac"),
+        ((dup_line_frac <= 0.30) & (top_bigram_frac <= 0.18)).alias(
+            "passes_repetition"
+        ),
+    )
+
+
 def _lang_score_spark(toks, markers):
     return F.size(F.filter(toks, lambda t: t.isin(*markers)))
 

@@ -136,19 +136,36 @@ def append_delta(
     return True
 
 
-def read_deltas(spark: SparkSession, state_path: str) -> DataFrame | None:
+def read_deltas(
+    spark: SparkSession, state_path: str, as_of: int | None = None
+) -> DataFrame | None:
     """Union of the committed compact dir (if any) and every committed
     delta above the watermark — the full maintained state. None iff
-    nothing committed yet."""
+    nothing committed yet.
+
+    ``as_of`` gives snapshot reads: only deltas with batch id ≤ as_of
+    (immutable dirs ⇒ the exact state after that batch committed).
+    Raises when ``as_of`` predates the compaction watermark — those
+    deltas were merged and deleted; keeping every historical snapshot
+    readable is a RETENTION policy (what Delta/Iceberg time travel
+    configures), not something a compacting index can promise."""
     root = _local(state_path)
+    wm, compact_name = _compact_info(root)
+    if as_of is not None and as_of < wm:
+        raise ValueError(
+            f"cannot read {state_path} as of batch {as_of}: deltas up to "
+            f"batch {wm} were compacted away. Snapshot retention beyond "
+            "the compaction watermark needs a transactional table format."
+        )
     paths = []
-    _, compact_name = _compact_info(root)
     if compact_name is not None and os.path.exists(
         os.path.join(root, compact_name, "_SUCCESS")
     ):
         paths.append(os.path.join(state_path, compact_name))
     paths.extend(
-        os.path.join(state_path, os.path.basename(d)) for _, d in _committed_deltas(root)
+        os.path.join(state_path, os.path.basename(d))
+        for bid, d in _committed_deltas(root)
+        if as_of is None or bid <= as_of
     )
     if not paths:
         return None

@@ -97,3 +97,18 @@ def test_crash_before_compaction_marker_leaves_old_state(spark, tmp_path_factory
     assert _rows(spark, state) == before
     assert not os.path.exists(os.path.join(state, "d0"))
     shutil.rmtree(state, ignore_errors=True)
+
+
+def test_as_of_snapshot_reads(spark, tmp_path_factory):
+    state = str(tmp_path_factory.mktemp("asof")) + "/idx"
+    for i in range(3):
+        append_delta(spark, state, _mk(spark, [(i, f"v{i}")]), i)
+    df0 = read_deltas(spark, state, as_of=0)
+    assert sorted((r.k, r.v) for r in df0.collect()) == [(0, "v0")]
+    df1 = read_deltas(spark, state, as_of=1)
+    assert sorted((r.k, r.v) for r in df1.collect()) == [(0, "v0"), (1, "v1")]
+    # compaction destroys pre-watermark snapshots — loudly, not wrongly
+    compact_state(spark, state)
+    with pytest.raises(ValueError, match="compacted away"):
+        read_deltas(spark, state, as_of=1)
+    assert _rows(spark, state) == [(0, "v0"), (1, "v1"), (2, "v2")]
