@@ -72,6 +72,7 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_minhash_incremental",  # NEW: streaming MinHash postings index vs batch oracle
     "ann_ivf_incremental",        # NEW: streaming IVF assignment index (rows-only; pytest == batch)
     "text_repetition_stats",      # NEW: Gopher repetition signals (dup lines / top bigram)
+    "corpus_pack_sequences",      # NEW: sequence packing (concat-and-chunk, per-source windows)
     "dedup_minhash_portable",     # NEW: portable-hash MinHash-LSH (first oracled row for the family)
     "dedup_simhash_portable",     # NEW: portable-hash SimHash fingerprints
     "dedup_simhash_pairs_portable",  # NEW: portable-hash segment join + hamming verify
@@ -118,8 +119,8 @@ _PRIORITY: tuple[str, ...] = (
     "events_json_props",
     "events_dedup_first",
     "events_user_activity",
-    "events_click_purchase_funnel",
-    # deferred to r8 (still r2-vintage): text_token_stats,
+    # deferred to r8 (still r2-vintage): events_click_purchase_funnel,
+    # text_token_stats,
     # text_lang_id, text_fingerprint,
     # text_bpe_token_count, text_rolling_hash, binary_content_stats,
     # sample_stratified_docs, embedding_label_stats (bumped by the

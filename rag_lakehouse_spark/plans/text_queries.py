@@ -244,6 +244,77 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "corpus_pack_sequences",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, source,
+             len(list_filter(regexp_split_to_array(trim(lower(coalesce(text, ''))),
+                                                   '\s+'), x -> x <> '')) AS n_tok
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, source, n_tok,
+             CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS seq_offset  -- SUM would widen to HUGEINT (oracle-rule)
+      FROM t
+    )
+    SELECT doc_id, source, n_tok, seq_offset,
+           CAST(seq_offset // 2048 AS BIGINT) AS start_bin,
+           CAST((seq_offset + greatest(n_tok - 1, 0)) // 2048 AS BIGINT) AS end_bin,
+           CAST((seq_offset + greatest(n_tok - 1, 0)) // 2048
+                - seq_offset // 2048 + 1 AS BIGINT) AS n_bins
+    FROM c
+    """,
+    tags=("corpus", "packing", "window"),
+)
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (concat-and-chunk): assign every document a
+    token offset and the 2048-token training-sequence bins it spans,
+    packing contiguously in doc_id order WITHIN each source — the
+    standard pretraining-data step that turns a document corpus into
+    fixed-length training sequences (documents may straddle bin
+    boundaries; ``n_bins`` counts the spans).
+
+    Scale: the prefix-sum window partitions by ``source``, so packing
+    parallelizes across sources and no global ordering is ever
+    materialized — at 100 TB a single global sequence order would
+    serialize the corpus through one task for zero training benefit
+    (sample order is shuffled downstream anyway). Pure window +
+    integer arithmetic, no Python.
+    """
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(
+        F.filter(
+            F.split(F.trim(F.lower(F.coalesce(F.col("text"), F.lit("")))), r"\s+"),
+            lambda x: x != F.lit(""),
+        )
+    )
+    w = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    c = d.select("doc_id", "source", n_tok.alias("n_tok")).withColumn(
+        "seq_offset", F.coalesce(F.sum("n_tok").over(w), F.lit(0)).cast("bigint")
+    )
+    last_tok = F.col("seq_offset") + F.greatest(F.col("n_tok") - 1, F.lit(0))
+    start_bin = F.expr("seq_offset DIV 2048")
+    end_bin = (last_tok - (last_tok % 2048)) / 2048
+    return c.select(
+        "doc_id",
+        "source",
+        "n_tok",
+        "seq_offset",
+        start_bin.alias("start_bin"),
+        end_bin.cast("bigint").alias("end_bin"),
+        (end_bin.cast("bigint") - start_bin + 1).alias("n_bins"),
+    )
+
+
 def _lang_score_spark(toks, markers):
     return F.size(F.filter(toks, lambda t: t.isin(*markers)))
 
