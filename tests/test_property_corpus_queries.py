@@ -1,0 +1,72 @@
+"""End-to-end hypothesis fuzz for the newest oracled text queries
+(`text_repetition_stats`, `corpus_pack_sequences`): generate a small
+documents table — biased toward repeated lines/tokens, empty and
+whitespace-only docs, unicode — write it as parquet, and demand the
+registered Spark plan and its DuckDB oracle agree exactly. Fixture
+corpora never contain the nasty shapes (the sub-k shingle lesson);
+generated ones do.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from rag_lakehouse_spark.plans import registry
+from tests.oracle_harness import compare
+
+registry._load_all()
+
+_WORDS = ["aa", "bb", "cc", "aa aa", "x", "日本", "ü"]
+_line = st.one_of(
+    st.sampled_from(["", "  ", "aa bb", "aa aa aa", "bb cc aa bb cc"]),
+    st.lists(st.sampled_from(_WORDS), max_size=5).map(" ".join),
+    st.text(max_size=20).filter(lambda s: "\x00" not in s),
+)
+_doc = st.one_of(
+    st.none(),
+    st.lists(_line, max_size=6).map("\n".join),
+)
+_docs = st.lists(_doc, min_size=1, max_size=6)
+
+_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+
+def _run(spark, tmp_path, docs, query_name):
+    rows = [
+        (i, t, "en", f"src{i % 2}", len(t) if t else 0)
+        for i, t in enumerate(docs)
+    ]
+    sf_dir = str(tmp_path)
+    # load_table reads {sf_dir}/documents.parquet — a directory of that
+    # name works for Spark's reader; DuckDB globs inside it
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE OR REPLACE VIEW documents AS "
+        f"SELECT * FROM '{sf_dir}/documents.parquet/*.parquet'"
+    )
+    q = registry.QUERIES[query_name]
+    return compare(query_name, q.fn(spark, sf_dir), con, q.oracle)
+
+
+@settings(**_SETTINGS)
+@given(docs=_docs)
+@pytest.mark.parametrize("name", ["text_repetition_stats", "corpus_pack_sequences"])
+def test_text_query_matches_oracle_on_generated_corpus(
+    spark, tmp_path, name, docs
+):
+    problems = _run(spark, tmp_path, docs, name)
+    assert not problems, problems
