@@ -47,13 +47,24 @@ def duckdb_normalized(text: str) -> str:
     return f"trim(lower(regexp_replace({text}, '[^A-Za-z0-9]+', ' ', 'g')))"
 
 
+# Spark regexes are java.util.regex, DuckDB's are RE2 — and their \s
+# DISAGREE on U+000B (vertical tab: inside Java's \s, outside RE2's),
+# so a '\s+' tokenizer silently splits differently across engines
+# (found by the generated-corpus fuzz in
+# tests/test_property_corpus_queries.py, doc '0\x0b0'). Every
+# cross-engine tokenizer splits on this EXPLICIT class instead —
+# identical byte-for-byte in both engines.
+WS = r"[ \t\n\x0B\f\r]+"
+DUCKDB_WS = "[ \\t\\n\\x0B\\f\\r]+"
+
+
 def tokens(text: Column | str) -> Column:
     """Whitespace tokens of the trimmed text (no empty tokens)."""
-    return F.split(F.trim(_c(text)), r"\s+")
+    return F.split(F.trim(_c(text)), WS)
 
 
 def duckdb_tokens(text: str) -> str:
-    return f"regexp_split_to_array(trim({text}), '\\s+')"
+    return f"regexp_split_to_array(trim({text}), '{DUCKDB_WS}')"
 
 
 def fingerprint(text: Column | str) -> Column:

@@ -72,7 +72,7 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 def predict_lang(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Append marker-stopword language prediction (pred_lang)."""
-    tok = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    tok = F.split(F.trim(F.lower(F.col(text_col))), TX.WS)
 
     def _marker_filter(markers: tuple[str, ...]):
         # factory keeps the lambda at arity 1 (a default arg would make

@@ -10,6 +10,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from rag_lakehouse_spark.functions import vector as VEC
+from rag_lakehouse_spark.functions.text import WS as _WS
 from rag_lakehouse_spark.operators.asof import asof_join_backward
 from rag_lakehouse_spark.operators.graph import bounded_path_counts
 from rag_lakehouse_spark.plans.registry import register
@@ -211,7 +212,7 @@ def subquery_above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "array_funcs_tokens",
     oracle="""
     WITH toks AS (
-      SELECT doc_id, list_sort(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS tok
+      SELECT doc_id, list_sort(list_distinct(regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+'))) AS tok
       FROM documents WHERE doc_id < 100
     )
     SELECT doc_id,
@@ -228,7 +229,7 @@ def array_funcs_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array-function surface: distinct, sort, slice, join, contains,
     element_at (1-based and last)."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    tok = F.array_sort(F.array_distinct(F.split(F.trim("text"), r"\s+")))
+    tok = F.array_sort(F.array_distinct(F.split(F.trim("text"), _WS)))
     return d.select(
         "doc_id",
         F.size(tok).alias("n_distinct_tokens"),

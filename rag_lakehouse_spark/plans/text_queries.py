@@ -120,7 +120,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks AS (
       SELECT doc_id,
              list_filter(regexp_split_to_array(trim(lower(coalesce(text, ''))),
-                                               '\s+'), t -> t <> '') AS t
+                                               '[ \t\n\x0B\f\r]+'), t -> t <> '') AS t
       FROM documents
     ),
     bigr AS (
@@ -186,7 +186,7 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select(
         "doc_id",
         F.filter(
-            F.split(F.trim(F.lower(txt)), r"\s+"), lambda t: t != F.lit("")
+            F.split(F.trim(F.lower(txt)), TX.WS), lambda t: t != F.lit("")
         ).alias("__t"),
     )
     n_t = F.size("__t")
@@ -250,7 +250,7 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH t AS (
       SELECT doc_id, source,
              len(list_filter(regexp_split_to_array(trim(lower(coalesce(text, ''))),
-                                                   '\s+'), x -> x <> '')) AS n_tok
+                                                   '[ \t\n\x0B\f\r]+'), x -> x <> '')) AS n_tok
       FROM documents
     ),
     c AS (
@@ -289,7 +289,7 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     n_tok = F.size(
         F.filter(
-            F.split(F.trim(F.lower(F.coalesce(F.col("text"), F.lit("")))), r"\s+"),
+            F.split(F.trim(F.lower(F.coalesce(F.col("text"), F.lit("")))), TX.WS),
             lambda x: x != F.lit(""),
         )
     )
@@ -323,7 +323,7 @@ def _lang_score_spark(toks, markers):
     "text_lang_id",
     oracle="""
     WITH toks AS (
-      SELECT doc_id, lang, regexp_split_to_array(trim(lower(text)), '\\s+') AS tok
+      SELECT doc_id, lang, regexp_split_to_array(trim(lower(text)), '[ \t\n\x0B\f\r]+') AS tok
       FROM documents
     ),
     scores AS (
@@ -349,7 +349,7 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate language by marker-token hits, argmax with a fixed
     priority order for ties. Pure map — no shuffle."""
     d = load_table(spark, sf_dir, "documents")
-    tok = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    tok = F.split(F.trim(F.lower(F.col("text"))), TX.WS)
     scores = d.select(
         "doc_id",
         F.col("lang").alias("labeled_lang"),
@@ -514,10 +514,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_bpe_token_count",
     oracle="""
     SELECT doc_id,
-           len(regexp_extract_all(lower(text), '([a-z]+|[0-9]+|[^a-z0-9[:space:]])', 1))
+           len(regexp_extract_all(lower(coalesce(text, '')),
+                                  '([a-z]+|[0-9]+|[^a-z0-9[:space:]])', 1))
              AS n_bpe_tokens,
-           len(regexp_extract_all(lower(text), '([a-z]+)', 1)) AS n_word_tokens,
-           len(regexp_extract_all(lower(text), '([0-9]+)', 1)) AS n_number_tokens
+           len(regexp_extract_all(lower(coalesce(text, '')), '([a-z]+)', 1))
+             AS n_word_tokens,
+           len(regexp_extract_all(lower(coalesce(text, '')), '([0-9]+)', 1))
+             AS n_number_tokens
     FROM documents
     """,
     tags=("text", "tokenize", "bpe"),
@@ -528,7 +531,10 @@ def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     which RE2 (DuckDB) doesn't support). The token-count estimator a
     data pipeline uses for budget accounting."""
     d = load_table(spark, sf_dir, "documents")
-    low = F.lower(F.col("text"))
+    # coalesce on BOTH twins: Spark size(NULL array) and DuckDB
+    # len(NULL list) disagree (-1/NULL vs NULL) — found by the
+    # generated-corpus fuzz with a NULL-text document
+    low = F.lower(F.coalesce(F.col("text"), F.lit("")))
     return d.select(
         "doc_id",
         F.size(

@@ -64,7 +64,19 @@ def _run(spark, tmp_path, docs, query_name):
 
 @settings(**_SETTINGS)
 @given(docs=_docs)
-@pytest.mark.parametrize("name", ["text_repetition_stats", "corpus_pack_sequences"])
+@pytest.mark.parametrize(
+    "name",
+    [
+        "text_repetition_stats",
+        "corpus_pack_sequences",
+        "text_quality_score",
+        "text_bpe_token_count",
+        "dedup_exact_docs",
+        "sample_stratified_docs",
+        "text_fingerprint",
+        "dedup_ngram_jaccard",
+    ],
+)
 def test_text_query_matches_oracle_on_generated_corpus(
     spark, tmp_path, name, docs
 ):
