@@ -25,7 +25,7 @@ _STOP_LIST = ", ".join(f"'{w}'" for w in TX.STOPWORDS_EN)
     oracle=f"""
     WITH toks AS (
       SELECT doc_id, lang, n_chars,
-             {TX.duckdb_tokens('text')} AS tok
+             {TX.duckdb_tokens("coalesce(text, '')")} AS tok
       FROM documents
     )
     SELECT doc_id, lang,
@@ -46,7 +46,9 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     all; the array ops are codegen'd, no Python.
     """
     d = load_table(spark, sf_dir, "documents")
-    tok = TX.tokens("text")
+    # coalesce on BOTH twins: Spark size(NULL)=-1 vs DuckDB len(NULL)=
+    # NULL for NULL-text docs (generated-corpus fuzz)
+    tok = TX.tokens(F.coalesce(F.col("text"), F.lit("")))
     n_tok = F.size(tok)
     return d.select(
         "doc_id",
@@ -323,7 +325,9 @@ def _lang_score_spark(toks, markers):
     "text_lang_id",
     oracle="""
     WITH toks AS (
-      SELECT doc_id, lang, regexp_split_to_array(trim(lower(text)), '[ \t\n\x0B\f\r]+') AS tok
+      SELECT doc_id, lang,
+             regexp_split_to_array(trim(lower(coalesce(text, ''))),
+                                   '[ \t\n\x0B\f\r]+') AS tok
       FROM documents
     ),
     scores AS (
@@ -349,7 +353,7 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate language by marker-token hits, argmax with a fixed
     priority order for ties. Pure map — no shuffle."""
     d = load_table(spark, sf_dir, "documents")
-    tok = F.split(F.trim(F.lower(F.col("text"))), TX.WS)
+    tok = F.split(F.trim(F.lower(F.coalesce(F.col("text"), F.lit("")))), TX.WS)
     scores = d.select(
         "doc_id",
         F.col("lang").alias("labeled_lang"),

@@ -75,6 +75,10 @@ def _run(spark, tmp_path, docs, query_name):
         "sample_stratified_docs",
         "text_fingerprint",
         "dedup_ngram_jaccard",
+        "text_token_stats",
+        "text_lang_id",
+        "chunk_fixed_docs",
+        "dedup_simhash_portable",
     ],
 )
 def test_text_query_matches_oracle_on_generated_corpus(
