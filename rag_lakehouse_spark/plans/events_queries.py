@@ -158,12 +158,22 @@ def events_session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame
 @register(
     "events_json_props",
     oracle="""
+    WITH j AS (
+      -- json_valid guard: DuckDB's json_extract RAISES on malformed
+      -- JSON where Spark's get_json_object returns NULL (generated-
+      -- events fuzz, props='not json'); the guard makes the oracle
+      -- total without changing its value on valid JSON
+      SELECT event_type,
+             CASE WHEN props IS NOT NULL AND json_valid(props)
+                  THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+             END AS k
+      FROM events
+    )
     SELECT event_type,
            COUNT(*) AS n_events,
-           CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
-             / COUNT(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS avg_k,
-           MAX(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
-    FROM events
+           CAST(SUM(k) AS DOUBLE) / COUNT(k) AS avg_k,
+           MAX(k) AS max_k
+    FROM j
     GROUP BY event_type
     """,
     tags=("events", "json"),

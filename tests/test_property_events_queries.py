@@ -1,0 +1,118 @@
+"""End-to-end hypothesis fuzz for the events-only oracled queries:
+generate an events table stressing the shapes the fixture generator
+never emits — exact hour/window boundary instants, same-instant ties
+within and across users, NULL users/values/props, malformed JSON —
+write it as parquet, and demand the registered Spark plan and its
+DuckDB oracle agree exactly. (Same harness shape as
+tests/test_property_corpus_queries.py.)
+
+Values are exact quarters (k/4) so the decimal-cast exactness contract
+of the oracles holds by construction, and timestamps are whole
+microseconds (the loader/oracle precision contract).
+"""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime, timezone
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from rag_lakehouse_spark.plans import registry
+from tests.oracle_harness import compare
+
+registry._load_all()
+
+_BASE = datetime(2024, 3, 1, 0, 0, 0, tzinfo=timezone.utc)
+
+# offsets in seconds from _BASE: exact hour marks, one-microsecond
+# neighbours, session-gap edges (sessionize uses 30-min gaps), ties
+_offsets = st.one_of(
+    st.sampled_from(
+        [0, 1, 3599, 3600, 3601, 7200, 1799, 1800, 1801, 5400, 86399]
+    ),
+    st.integers(min_value=0, max_value=2 * 86400),
+)
+_event_type = st.sampled_from(["click", "view", "purchase", "scroll"])
+_props = st.sampled_from(
+    [
+        None,
+        "{}",
+        '{"page": "home", "ms": 12}',
+        '{"page": "cart", "ms": 7, "ref": "ad"}',
+        "not json",
+        '{"nested": {"a": 1}}',
+    ]
+)
+_event = st.tuples(
+    _offsets,
+    st.one_of(st.none(), st.integers(min_value=0, max_value=2)),  # user_id
+    _event_type,
+    st.one_of(st.none(), st.integers(min_value=-400, max_value=400).map(lambda v: v / 4)),
+    _props,
+)
+_events = st.lists(_event, min_size=1, max_size=12)
+
+_SETTINGS = dict(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+# map_funcs_events / variant_json_events are deliberately NOT fuzzed:
+# their oracles are fixture-CONTRACT oracles (the docstrings say so —
+# they state the expected values directly, derivable only under the
+# fixture's props invariants, because DuckDB has no map/variant types
+# to recompute them generally). Fuzzing them would test the fixture
+# contract, not cross-engine semantics.
+QUERIES = [
+    "events_tumbling_hourly",
+    "events_sessionize",
+    "events_dedup_first",
+    "events_user_activity",
+    "events_hour_profile",
+    "events_json_props",
+]
+
+
+def _run(spark, tmp_path, events, query_name):
+    rows = [
+        (
+            i,
+            datetime.fromtimestamp(_BASE.timestamp() + off, tz=timezone.utc)
+            .replace(tzinfo=None),  # naive UTC — session tz is pinned UTC
+            uid,
+            et,
+            val,
+            props,
+        )
+        for i, (off, uid, et, val, props) in enumerate(events)
+    ]
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(sf_dir, "events.parquet")
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE OR REPLACE VIEW events AS "
+        f"SELECT * FROM '{sf_dir}/events.parquet/*.parquet'"
+    )
+    q = registry.QUERIES[query_name]
+    return compare(query_name, q.fn(spark, sf_dir), con, q.oracle)
+
+
+@settings(**_SETTINGS)
+@given(events=_events)
+@pytest.mark.parametrize("name", QUERIES)
+def test_events_query_matches_oracle_on_generated_events(
+    spark, tmp_path, name, events
+):
+    problems = _run(spark, tmp_path, events, name)
+    assert not problems, problems
