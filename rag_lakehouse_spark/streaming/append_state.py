@@ -187,15 +187,21 @@ def compact_state(spark: SparkSession, state_path: str) -> int:
     deltas = _committed_deltas(root)
     if not deltas:
         return 0
-    _, old_compact = _compact_info(root)
     merged = read_deltas(spark, state_path)
     new_id = deltas[-1][0]
     new_name = f"compact_v{new_id}"
     merged.write.mode("overwrite").parquet(os.path.join(state_path, new_name))
     _write_marker(root, _COMPACT_MARKER, f"{new_id} {new_name}")
-    # best-effort GC of superseded inputs (crash here is harmless)
-    if old_compact is not None and old_compact != new_name:
-        shutil.rmtree(os.path.join(root, old_compact), ignore_errors=True)
+    # best-effort GC of superseded inputs (crash here is harmless):
+    # every compact_v* except the just-committed one — this also
+    # collects ORPHANS from earlier compactions that crashed after
+    # writing their dir but before the marker flip
+    for e in os.listdir(root):
+        if (
+            re.fullmatch(r"compact_v\d+", e)
+            and e != new_name
+        ):
+            shutil.rmtree(os.path.join(root, e), ignore_errors=True)
     for _, d in deltas:
         shutil.rmtree(d, ignore_errors=True)
     return len(deltas)

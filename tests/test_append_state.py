@@ -112,3 +112,20 @@ def test_as_of_snapshot_reads(spark, tmp_path_factory):
     with pytest.raises(ValueError, match="compacted away"):
         read_deltas(spark, state, as_of=1)
     assert _rows(spark, state) == [(0, "v0"), (1, "v1"), (2, "v2")]
+
+
+def test_compaction_collects_orphan_compact_dirs(spark, tmp_path_factory):
+    """A compaction that crashed after writing its dir but before the
+    marker flip leaves an uncommitted orphan; the NEXT successful
+    compaction must garbage-collect it."""
+    state = str(tmp_path_factory.mktemp("orphan")) + "/idx"
+    append_delta(spark, state, _mk(spark, [(0, "v0")]), 0)
+    # orphan from a crashed compaction attempt
+    _mk(spark, [(0, "v0")]).write.mode("overwrite").parquet(
+        os.path.join(state, "compact_v0")
+    )
+    append_delta(spark, state, _mk(spark, [(1, "v1")]), 1)
+    assert compact_state(spark, state) == 2
+    assert _rows(spark, state) == [(0, "v0"), (1, "v1")]
+    assert not os.path.exists(os.path.join(state, "compact_v0"))
+    assert os.path.exists(os.path.join(state, "compact_v1"))
