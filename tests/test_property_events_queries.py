@@ -75,6 +75,8 @@ QUERIES = [
     "events_user_activity",
     "events_hour_profile",
     "events_json_props",
+    "window_ignore_nulls_nav",
+    "events_sliding_windows",
 ]
 
 
