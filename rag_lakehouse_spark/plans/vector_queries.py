@@ -297,3 +297,91 @@ def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(norm_dec).cast("double").alias("total_norm"),
         (F.sum(norm_dec).cast("double") / F.count(F.lit(1))).alias("avg_norm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup: embedding-cosine near-dup pairs → connected components →
+# end-to-end keep/drop decision (SemDeDup, Abbas et al. 2023, arXiv
+# 2303.09540: dedup by cosine similarity inside embedding-space clusters).
+# ---------------------------------------------------------------------------
+
+# 0.35 is tuned to the synthetic near-isotropic embeddings (max within-
+# label cosine ≈ 0.47 at sf≤0.1): high enough to be a real decision
+# boundary, low enough that clusters actually form at every test scale
+# (14 / 26 / 391 edges at sf0.001/0.01/0.1). With real-model embeddings
+# this is the SemDeDup epsilon dial.
+SEM_DEDUP_THRESHOLD = 0.35
+
+
+@register(
+    "dedup_semantic_canonicals",
+    oracle=f"""
+    WITH RECURSIVE e AS ({_E_NORMED}),
+    verified AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM e a, e b
+      WHERE a.vec_id < b.vec_id AND a.label = b.label
+        AND {_DOT_AB_OVER_NORMS} >= {SEM_DEDUP_THRESHOLD}
+    ),
+    edges AS (
+      SELECT vec_a AS a, vec_b AS b FROM verified
+      UNION
+      SELECT vec_b AS a, vec_a AS b FROM verified
+    ),
+    reach AS (
+      SELECT a AS node, a AS r FROM edges
+      UNION
+      SELECT e2.b AS node, reach.r AS r FROM reach JOIN edges e2 ON e2.a = reach.node
+    ),
+    comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node)
+    SELECT v.vec_id,
+           COALESCE(comp.component, v.vec_id) AS cluster_id,
+           v.vec_id = COALESCE(comp.component, v.vec_id) AS is_canonical
+    FROM embeddings v LEFT JOIN comp ON comp.node = v.vec_id
+    """,
+    tags=("vector", "dedup", "semantic", "components"),
+)
+def dedup_semantic_canonicals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style END-TO-END semantic dedup decision: cosine
+    near-pairs inside each label block → connected components → every
+    vector labeled (cluster_id, is_canonical), singletons self-canonical.
+    The embedding-space counterpart of ``dedup_canonicals_portable``
+    (lexical MinHash edges), oracled the same way: the pair CTE chain
+    plus the recursive reachability fixpoint.
+
+    Scale: the label blocking is the stand-in for SemDeDup's k-means
+    cluster blocking — at 100 TB, substitute ``operators.similarity``
+    k-means cell ids for ``label`` (same plan: equi-join inside cells,
+    never all-pairs); norms are hoisted below the join; component
+    resolution is the iterative min-label loop with per-round
+    checkpoints (``operators.clusters``), bounded by near-dup cliques'
+    tiny diameter.
+    """
+    from rag_lakehouse_spark.operators.clusters import dedup_cluster_canonicals
+
+    e = _normed(load_table(spark, sf_dir, "embeddings"))
+    a = e.alias("a")
+    b = e.alias("b")
+    score = VEC.dot(F.col("a.embedding"), F.col("b.embedding")) / (
+        F.col("a.nrm") * F.col("b.nrm") + F.lit(1e-24)
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.vec_id") < F.col("b.vec_id")) & (F.col("a.label") == F.col("b.label")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            score.alias("score"),
+        )
+        .filter(F.col("score") >= SEM_DEDUP_THRESHOLD)
+        .localCheckpoint(eager=True)  # barrier: components read edges twice per round
+    )
+    return dedup_cluster_canonicals(
+        load_table(spark, sf_dir, "embeddings"),
+        pairs,
+        id_col="vec_id",
+        id_a="vec_a",
+        id_b="vec_b",
+    )
