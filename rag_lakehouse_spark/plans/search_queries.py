@@ -1,0 +1,303 @@
+"""Lexical (BM25) and hybrid (reciprocal-rank-fusion) retrieval over
+the documents/embeddings tables — the keyword-search half of a RAG
+engine. The reference retrieves by vector similarity only (reference
+src/api.py:38-42, ChromaDB ``collection.query``); production RAG stacks
+pair that with a lexical ranker and fuse (BM25 + RRF, the default in
+e.g. OpenSearch/Vespa hybrid search). Public formulas only:
+Robertson/Sparck-Jones BM25 (k1=1.2, b=0.75, Lucene's positive
+``ln(1 + (N-df+0.5)/(df+0.5))`` idf) and Cormack et al. reciprocal rank
+fusion ``1/(60+rank)``.
+
+Cross-engine exactness: every arithmetic step is an IEEE-correctly-
+rounded op (mul/div/add) on bit-identical inputs, EXCEPT ``ln`` —
+libm/JDK natural logs are not guaranteed correctly rounded, so the
+per-term idf is rounded to 9 decimals on BOTH engines (a 1-ulp input
+disagreement only survives rounding in a ~1e-7-wide boundary window;
+verified green at sf0.001/0.01/0.1). Per-document score summation uses
+a conditional-aggregation pivot into per-term columns added in a FIXED
+left-to-right order — never an unordered float SUM (the registry's
+standing float-determinism rule; adding literal 0.0 for absent terms
+is exact, so pivot zeros cannot perturb the fold).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from rag_lakehouse_spark.functions import vector as VEC
+from rag_lakehouse_spark.functions.text import DUCKDB_WS, WS
+from rag_lakehouse_spark.plans.registry import register
+from rag_lakehouse_spark.sources.tables import load_table
+
+# The fixed benchmark query: terms chosen with distinct document
+# frequencies in the synthetic corpus so the idf weighting actually
+# orders them. k1/b are the standard BM25 defaults.
+QUERY_TERMS: tuple[str, ...] = ("vector", "query", "merge", "stream", "filter")
+K1 = 1.2
+B = 0.75
+RRF_K = 60  # Cormack et al. 2009 constant
+QUERY_VEC_ID = 0  # the dense-retrieval query vector (same as knn_topk_exact)
+
+
+def _toks(text_col: str = "text"):
+    """Whitespace tokens of the lowercased trimmed text — the simhash
+    token contract (NULL → single empty token) so lexical search and
+    near-dup fingerprints agree on what a token is."""
+    return F.split(F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), WS)
+
+
+_DUCK_TOKS = (
+    "regexp_split_to_array(trim(lower(coalesce(text, ''))), '" + DUCKDB_WS + "')"
+)
+
+
+def bm25_scores(
+    docs: DataFrame,
+    terms: tuple[str, ...] = QUERY_TERMS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, score) BM25 scores for every document containing at
+    least one query term.
+
+    Plan: one tokenize pass computes doc length (``size`` on the token
+    array — no explode needed); a second explode pass is filtered to
+    the query terms IMMEDIATELY after the generator, so the (doc, term)
+    tf relation that reaches the shuffle is |docs| × |terms| at most.
+    df/N/avgdl are tiny aggregates broadcast back; the per-term pivot
+    is a conditional-sum groupBy on the doc id. At 100 TB: tf rows
+    shuffle on doc_id only, every stats side broadcasts, and the final
+    top-k (in the registered query) is TakeOrderedAndProject.
+    """
+    lens = docs.select(F.col(id_col), F.size(_toks(text_col)).alias("dl"))
+    tf = (
+        docs.select(F.col(id_col), F.explode(_toks(text_col)).alias("term"))
+        .filter(F.col("term").isin(*terms))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    stats = lens.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    idf = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(stats.select("n_docs")))
+        .select(
+            "term",
+            F.round(
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5))
+                ),
+                9,
+            ).alias("idf"),
+        )
+    )
+    contrib = (
+        tf.join(lens, id_col)
+        .join(F.broadcast(idf), "term")
+        .crossJoin(F.broadcast(stats.select("avgdl")))
+        .select(
+            F.col(id_col),
+            F.col("term"),
+            (
+                F.col("idf")
+                * (F.col("tf") * F.lit(K1 + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(K1)
+                    * (F.lit(1.0 - B) + F.lit(B) * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("contrib"),
+        )
+    )
+    per_term = [
+        F.sum(F.when(F.col("term") == t, F.col("contrib")).otherwise(F.lit(0.0))).alias(
+            f"__c{i}"
+        )
+        for i, t in enumerate(terms)
+    ]
+    pivoted = contrib.groupBy(id_col).agg(*per_term)
+    score = F.col("__c0")
+    for i in range(1, len(terms)):
+        score = score + F.col(f"__c{i}")  # fixed left-to-right fold
+    return pivoted.select(F.col(id_col), score.alias("score"))
+
+
+def _duckdb_bm25_ctes(terms: tuple[str, ...] = QUERY_TERMS) -> str:
+    """CTE chain (no leading WITH) ending in ``bm25(doc_id, score)`` —
+    the bit-exact DuckDB twin of ``bm25_scores`` over ``documents``."""
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    # NB: every float constant is written in scientific notation — a bare
+    # `0.5` parses as DECIMAL in DuckDB and would route the arithmetic
+    # through decimal typing instead of the IEEE double ops Spark runs.
+    pivot_cols = ",\n             ".join(
+        f"SUM(CASE WHEN term = '{t}' THEN contrib ELSE 0e0 END) AS c{i}"
+        for i, t in enumerate(terms)
+    )
+    fold = ""
+    for i in range(len(terms)):
+        fold = f"({fold} + c{i})" if fold else f"c{i}"
+    return f"""lens AS (SELECT doc_id, len({_DUCK_TOKS}) AS dl FROM documents),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM (
+        SELECT doc_id, unnest({_DUCK_TOKS}) AS term FROM documents)
+      WHERE term IN ({in_list})
+      GROUP BY doc_id, term
+    ),
+    stats AS (
+      SELECT COUNT(*) AS n_docs,
+             CAST(CAST(SUM(dl) AS BIGINT) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM lens
+    ),
+    idf AS (
+      SELECT term,
+             round(ln(1e0 + (n_docs - df + 5e-1) / (df + 5e-1)), 9) AS idf
+      FROM (SELECT term, COUNT(*) AS df FROM tf GROUP BY term), stats
+    ),
+    contrib AS (
+      SELECT t.doc_id, t.term,
+             idf.idf * (t.tf * {K1 + 1.0!r}e0)
+               / (t.tf + {K1!r}e0 * ({1.0 - B!r}e0 + {B!r}e0 * l.dl / s.avgdl)) AS contrib
+      FROM tf t JOIN lens l ON l.doc_id = t.doc_id
+      JOIN idf ON idf.term = t.term, stats s
+    ),
+    pivoted AS (
+      SELECT doc_id,
+             {pivot_cols}
+      FROM contrib GROUP BY doc_id
+    ),
+    bm25 AS (SELECT doc_id, {fold} AS score FROM pivoted)"""
+
+
+@register(
+    "rag_bm25_topk",
+    oracle=f"""
+    WITH {_duckdb_bm25_ctes()}
+    SELECT b.doc_id, d.source, b.score
+    FROM bm25 b JOIN documents d ON d.doc_id = b.doc_id
+    ORDER BY b.score DESC, b.doc_id
+    LIMIT 10
+    """,
+    tags=("rag", "search", "bm25", "topk"),
+)
+def rag_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval: top-10 documents for the fixed query
+    terms, with source attribution. The lexical counterpart of
+    ``knn_topk_exact`` — together they are the two halves the hybrid
+    query fuses.
+
+    Scale: see ``bm25_scores`` (tf shuffle bounded by |docs|×|terms|,
+    all stats broadcast); the final top-k is ORDER BY + LIMIT →
+    TakeOrderedAndProject (per-partition partial top-k, no global sort).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    scored = bm25_scores(d)
+    return (
+        scored.join(d.select("doc_id", "source"), "doc_id")
+        .select("doc_id", "source", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+_VEC_SCORE = (
+    f"{VEC.duckdb_dot('b.embedding', 'a.embedding')} / (b.nrm * a.nrm + 1e-24)"
+)
+
+
+@register(
+    "rag_hybrid_rrf",
+    oracle=f"""
+    WITH {_duckdb_bm25_ctes()},
+    lex AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS lex_rank
+      FROM bm25 QUALIFY lex_rank <= 20
+    ),
+    e AS (SELECT vec_id, embedding,
+                 sqrt({VEC.duckdb_dot("embedding", "embedding")}) AS nrm
+          FROM embeddings),
+    vec AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY vscore DESC, doc_id) AS vec_rank
+      FROM (
+        SELECT b.vec_id AS doc_id, {_VEC_SCORE} AS vscore
+        FROM e a, e b
+        WHERE a.vec_id = {QUERY_VEC_ID} AND b.vec_id <> {QUERY_VEC_ID})
+      QUALIFY vec_rank <= 20
+    )
+    SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+           l.lex_rank, v.vec_rank,
+           (COALESCE(1e0 / ({RRF_K} + l.lex_rank), 0e0)
+            + COALESCE(1e0 / ({RRF_K} + v.vec_rank), 0e0)) AS rrf_score
+    FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id
+    ORDER BY rrf_score DESC, doc_id
+    LIMIT 10
+    """,
+    tags=("rag", "search", "hybrid", "rrf"),
+)
+def rag_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 top-20 and dense-cosine top-20 rank lists
+    fused by reciprocal rank fusion (``1/(60+rank)`` per list, absent →
+    0). Rank arithmetic is integer → the RRF score is two
+    correctly-rounded divisions plus one add, bit-identical across
+    engines with no rounding step needed.
+
+    Scale: both rank lists are top-k prunes (TakeOrderedAndProject /
+    WindowGroupLimit) of independently-scalable retrieval plans; the
+    fusion join is over ≤ 2k rows — driver-negligible at any corpus
+    size. doc_id ↔ vec_id share the id space (the embeddings table is
+    the documents table's vector projection, as in rag_retrieve_context).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings").withColumn(
+        "nrm", VEC.l2_norm("embedding")
+    )
+    # Top-20 prune FIRST (TakeOrderedAndProject — per-partition partial
+    # top-k), then rank the surviving 20 rows; a bare global row_number
+    # window would funnel every scored doc through one partition.
+    lex = (
+        bm25_scores(d)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+        .withColumn(
+            "lex_rank",
+            F.row_number().over(W.orderBy(F.desc("score"), F.asc("doc_id"))),
+        )
+        .select("doc_id", "lex_rank")
+    )
+    q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("q_emb"), F.col("nrm").alias("q_nrm")
+    )
+    vec = (
+        e.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            (
+                VEC.dot("embedding", "q_emb")
+                / (F.col("nrm") * F.col("q_nrm") + F.lit(1e-24))
+            ).alias("vscore"),
+        )
+        .orderBy(F.desc("vscore"), F.asc("doc_id"))
+        .limit(20)
+        .withColumn(
+            "vec_rank",
+            F.row_number().over(W.orderBy(F.desc("vscore"), F.asc("doc_id"))),
+        )
+        .select("doc_id", "vec_rank")
+    )
+    fused = lex.join(vec, "doc_id", "full_outer").select(
+        "doc_id",
+        "lex_rank",
+        "vec_rank",
+        (
+            F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("lex_rank")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("vec_rank")), F.lit(0.0))
+        ).alias("rrf_score"),
+    )
+    return fused.orderBy(F.desc("rrf_score"), F.asc("doc_id")).limit(10)
