@@ -180,3 +180,131 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").cast("bigint").alias("n_chars"),
         (F.sum("np").cast("double") / F.sum("n").cast("double")).alias("punct_per_char"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring (k-token window) dedup — Lee et al. 2021 span-level
+# dedup (operators/substring_dedup.py). Both queries share one DuckDB
+# CTE chain replicating windows → ownership → duplicate occurrences
+# over the portable base60 hash.
+# ---------------------------------------------------------------------------
+
+from rag_lakehouse_spark.operators.dedup_portable import duckdb_base60  # noqa: E402
+from rag_lakehouse_spark.operators.substring_dedup import (  # noqa: E402
+    DEFAULT_K,
+    dup_span_stats,
+    strip_duplicate_spans,
+)
+
+_DUCK_DEDUP_TOKS = (
+    "regexp_split_to_array(trim(lower(coalesce(text, ''))), '" + TX.DUCKDB_WS + "')"
+)
+
+
+def _duckdb_dup_window_ctes(k: int = DEFAULT_K) -> str:
+    """CTE chain (no leading WITH) ending in ``dup(doc_id, pos)`` — the
+    non-owned occurrences of globally-duplicated k-token windows."""
+    win_text = f"array_to_string(toks[pos:pos+{k - 1}], ' ')"
+    return f"""base AS (
+      SELECT doc_id, {_DUCK_DEDUP_TOKS} AS toks FROM documents
+    ),
+    wins AS (
+      SELECT doc_id, pos, {duckdb_base60(win_text)} AS whash
+      FROM (SELECT doc_id, toks,
+                   unnest(generate_series(1, len(toks) - {k - 1})) AS pos
+            FROM base WHERE len(toks) >= {k})
+    ),
+    occ AS (SELECT whash, COUNT(*) AS cnt, MIN(doc_id) AS odoc
+            FROM wins GROUP BY whash),
+    own AS (SELECT w.whash, o.cnt, o.odoc, MIN(w.pos) AS opos
+            FROM wins w JOIN occ o ON o.whash = w.whash AND w.doc_id = o.odoc
+            GROUP BY w.whash, o.cnt, o.odoc),
+    dup AS (SELECT w.doc_id, w.pos
+            FROM wins w JOIN own o ON o.whash = w.whash
+            WHERE o.cnt > 1 AND NOT (w.doc_id = o.odoc AND w.pos = o.opos))"""
+
+
+@register(
+    "corpus_dup_span_stats",
+    oracle=f"""
+    WITH {_duckdb_dup_window_ctes()},
+    wstats AS (SELECT doc_id, COUNT(*) AS n_windows FROM wins GROUP BY doc_id),
+    dstats AS (SELECT doc_id, COUNT(*) AS n_dup FROM dup GROUP BY doc_id)
+    SELECT d.doc_id,
+           COALESCE(w.n_windows, 0) AS n_windows,
+           COALESCE(s.n_dup, 0) AS n_dup_windows,
+           CASE WHEN COALESCE(w.n_windows, 0) = 0 THEN 0e0
+                ELSE CAST(COALESCE(s.n_dup, 0) AS DOUBLE) / w.n_windows
+           END AS dup_fraction
+    FROM documents d
+    LEFT JOIN wstats w ON w.doc_id = d.doc_id
+    LEFT JOIN dstats s ON s.doc_id = d.doc_id
+    """,
+    tags=("text", "dedup", "substring", "training-data"),
+)
+def corpus_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-span fraction: the share of k-token
+    sliding windows that are non-owned occurrences of a window seen
+    elsewhere in the corpus (first occurrence owns; Lee et al. 2021
+    exact-substring dedup, window granularity). The corpus-health
+    signal behind ``corpus_strip_dup_spans``.
+
+    Scale: windows are one codegen transform per doc; the only wide
+    exchange is the groupBy on the uniform 60-bit window hash. See
+    operators/substring_dedup.py.
+    """
+    return dup_span_stats(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "corpus_strip_dup_spans",
+    oracle=f"""
+    WITH {_duckdb_dup_window_ctes()},
+    cov AS (
+      SELECT DISTINCT doc_id, tpos FROM (
+        SELECT doc_id, unnest(generate_series(pos, pos + {DEFAULT_K - 1})) AS tpos
+        FROM dup)
+    ),
+    tokrows AS (
+      SELECT doc_id,
+             unnest(generate_series(1, len(toks))) AS tpos,
+             unnest(toks) AS tok
+      FROM base
+    ),
+    kept AS (
+      SELECT t.doc_id, t.tpos, t.tok
+      FROM tokrows t
+      LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.tpos = t.tpos
+      WHERE c.doc_id IS NULL
+    ),
+    rebuilt AS (
+      SELECT doc_id, COUNT(*) AS n_kept,
+             string_agg(tok, ' ' ORDER BY tpos) AS text_clean
+      FROM kept GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           len(b.toks) AS n_tokens,
+           len(b.toks) - COALESCE(r.n_kept, 0) AS n_removed,
+           md5(COALESCE(r.text_clean, '')) AS clean_md5
+    FROM base b LEFT JOIN rebuilt r ON r.doc_id = b.doc_id
+    """,
+    tags=("text", "dedup", "substring", "training-data"),
+)
+def corpus_strip_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actual span-level cleaning transform: every token covered by
+    a non-owned duplicate window removed, remaining tokens rejoined in
+    order; verified by md5 of the reconstructed text (scalar output —
+    the driver canonicalizer's contract — and byte-exact evidence the
+    reconstruction matches across engines).
+
+    Scale: covered positions are |dup_windows| × k rows deduplicated
+    per (doc, pos); reassembly is a per-doc sort of kept tokens —
+    bounded by document length, shuffled on the doc id.
+    """
+    out = strip_duplicate_spans(load_table(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_removed",
+        F.md5(F.col("text_clean")).alias("clean_md5"),
+    )
