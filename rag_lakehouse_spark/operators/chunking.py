@@ -72,9 +72,17 @@ def chunk_sentences(
     chunks of ≤ max_chars via a running-length fold. Sentences with no
     non-whitespace content are dropped — under UNICODE whitespace
     ((?U)\\S), not Spark's ASCII-space trim(): a sentence of only
-    U+00A0 is empty, so every emitted chunk has real content."""
+    U+00A0 is empty, so every emitted chunk has real content.
+
+    The boundary split uses the EXPLICIT ASCII whitespace class (the
+    functions.text.WS convention), not ``\\s``: Java's \\s is ASCII
+    while Python's (used by ``chunk_semantic``'s worker-side splitter)
+    is Unicode-aware, so a bare ``\\s`` would make the two chunkers
+    disagree on e.g. ``"Dot.\\u00a0Next"`` — same divergence class the
+    generated-corpus fuzz caught between Java and RE2."""
     sents = F.filter(
-        F.split(F.col(text_col), r"(?<=[.!?])\s+"), lambda s: s.rlike(r"(?U)\S")
+        F.split(F.col(text_col), r"(?<=[.!?])[ \t\n\x0B\f\r]+"),
+        lambda s: s.rlike(r"(?U)\S"),
     )
     # Greedy packing with aggregate: state = array of chunks; append the
     # sentence to the last chunk if it fits, else start a new chunk.
@@ -133,7 +141,14 @@ def chunk_semantic(
         for pdf in batches:
             rows: list[tuple] = []
             for rid, text in zip(pdf[id_col], pdf[text_col]):
-                sents = [s for s in re.split(r"(?<=[.!?])\s+", text or "") if s.strip()]
+                # Explicit ASCII boundary class — keeps this Python-side
+                # splitter identical to chunk_sentences' Java regex
+                # (Python \s is Unicode-aware, Java's is ASCII).
+                sents = [
+                    s
+                    for s in re.split(r"(?<=[.!?])[ \t\n\x0B\f\r]+", text or "")
+                    if s.strip()
+                ]
                 if len(sents) <= 1:
                     rows.append((rid, 1, text or ""))
                     continue
