@@ -21,7 +21,7 @@ from tests.oracle_harness import compare
 
 registry._load_all()
 
-_WORDS = ["aa", "bb", "cc", "aa aa", "x", "日本", "ü"]
+_WORDS = ["aa", "bb", "cc", "aa aa", "x", "日本", "ü", "vector", "merge stream"]
 _line = st.one_of(
     st.sampled_from(["", "  ", "aa bb", "aa aa aa", "bb cc aa bb cc"]),
     st.lists(st.sampled_from(_WORDS), max_size=5).map(" ".join),
@@ -79,6 +79,12 @@ def _run(spark, tmp_path, docs, query_name):
         "text_lang_id",
         "chunk_fixed_docs",
         "dedup_simhash_portable",
+        # r7-tail additions: BM25 (query terms seeded into _WORDS so tf/idf
+        # paths actually fire) and span-level dedup (repeated lines create
+        # real duplicated windows once docs reach k=15 tokens)
+        "rag_bm25_topk",
+        "corpus_dup_span_stats",
+        "corpus_strip_dup_spans",
     ],
 )
 def test_text_query_matches_oracle_on_generated_corpus(

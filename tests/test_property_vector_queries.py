@@ -53,6 +53,10 @@ QUERIES = [
     "knn_similarity_join",
     "embedding_near_pairs",
     "embedding_label_stats",
+    # end-to-end semantic dedup: duplicated vectors force score-1.0
+    # edges and multi-member components; the zero vector lands in a
+    # cluster only via the guard-defined 0.0 score (never >= threshold)
+    "dedup_semantic_canonicals",
 ]
 
 
