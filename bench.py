@@ -51,6 +51,8 @@ HEADLINE = (
     "dedup_simhash",
     "dedup_simhash_pairs",
     "dedup_incremental_stream",
+    "corpus_dup_span_stats",
+    "rag_bm25_topk",
     "knn_similarity_join",
     "knn_vectorized_topk",
     "events_asof_purchase",
@@ -81,6 +83,7 @@ def main() -> None:
             "dedup_simhash",
             "dedup_simhash_pairs",
             "dedup_incremental_stream",
+            "corpus_dup_span_stats",
             "knn_vectorized_topk",
         ):
             if name in qs:

@@ -308,3 +308,144 @@ def corpus_strip_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_removed",
         F.md5(F.col("text_clean")).alias("clean_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance selection (Xie et al. 2023, arXiv 2302.03169:
+# Data Selection for Language Models via Importance Resampling) —
+# hashed n-gram bucket models of a TARGET distribution vs the RAW pool,
+# per-document importance scores, top-k selection.
+# ---------------------------------------------------------------------------
+
+_DSIR_BUCKETS = 256
+
+
+@register(
+    "corpus_dsir_select",
+    oracle=f"""
+    WITH feats AS (
+      SELECT doc_id, lang,
+             ({duckdb_base60('feat')}) % {_DSIR_BUCKETS} AS bucket
+      FROM (
+        SELECT doc_id, lang, unnest({_DUCK_DEDUP_TOKS}) AS feat FROM documents
+        UNION ALL
+        SELECT doc_id, lang,
+               unnest(list_transform(generate_series(1, len({_DUCK_DEDUP_TOKS}) - 1),
+                      i -> array_to_string(({_DUCK_DEDUP_TOKS})[i:i+1], ' '))) AS feat
+        FROM documents
+      )
+    ),
+    bucket_stats AS (
+      SELECT bucket,
+             COUNT(*) FILTER (lang = 'en') AS t_b,
+             COUNT(*) AS r_b
+      FROM feats GROUP BY bucket
+    ),
+    totals AS (
+      SELECT CAST(SUM(t_b) AS BIGINT) AS t_total,
+             CAST(SUM(r_b) AS BIGINT) AS r_total
+      FROM bucket_stats
+    ),
+    leaning AS (
+      SELECT bucket,
+             (t_b + 1) * (r_total + {_DSIR_BUCKETS})
+               > (r_b + 1) * (t_total + {_DSIR_BUCKETS}) AS target_leaning
+      FROM bucket_stats, totals
+    ),
+    doc_scores AS (
+      SELECT f.doc_id,
+             COUNT(*) AS n_feats,
+             COUNT(*) FILTER (l.target_leaning) AS n_target_feats
+      FROM feats f JOIN leaning l ON l.bucket = f.bucket
+      GROUP BY f.doc_id
+    )
+    SELECT s.doc_id, d.lang, s.n_feats, s.n_target_feats,
+           CAST(s.n_target_feats AS DOUBLE) / s.n_feats AS importance_score
+    FROM doc_scores s JOIN documents d ON d.doc_id = s.doc_id
+    ORDER BY importance_score DESC, s.doc_id
+    LIMIT 100
+    """,
+    tags=("text", "selection", "dsir", "training-data"),
+)
+def corpus_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection: hashed n-gram features (unigrams +
+    bigrams → 256 buckets via the portable base60 hash), add-1-smoothed
+    bucket counts for the TARGET distribution (here: ``lang='en'``
+    stands in for the downstream-domain sample) vs the RAW pool (all
+    docs), then per-document importance scores and top-100 selection.
+
+    Exactness variant: full DSIR weights each feature by the bucket
+    log-likelihood ratio ``log p_target(b)/p_raw(b)``; this engine
+    scores each feature by the SIGN of that ratio — the integer
+    cross-multiplication ``(t_b+1)(R+B) > (r_b+1)(T+B)`` is the exact
+    same decision boundary with no transcendentals, so the result is
+    bit-reproducible across engines (the registry's float-determinism
+    rule; sum-of-signs replaces sum-of-magnitudes). At 100 TB the
+    integer products approach int64 limits — the production variant
+    computes the LLR in double log-space per the paper, losing only the
+    cross-engine hash check, or keeps exactness via DECIMAL(38).
+
+    Scale: features shuffle once on the 256-way bucket key for stats,
+    once on doc_id for scores; the bucket model (256 rows) broadcasts;
+    top-k is TakeOrderedAndProject. Bigrams reuse
+    ``substring_dedup.token_windows`` (k=2) — one transform pass.
+    """
+    from rag_lakehouse_spark.operators.substring_dedup import token_windows
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(
+        F.trim(F.lower(F.coalesce(F.col("text"), F.lit("")))), TX.WS
+    )
+    unigrams = d.select(
+        F.col("doc_id"), F.col("lang"), F.explode(toks).alias("feat")
+    )
+    bigrams = token_windows(d, k=2, hash_fn=lambda c: c).select(
+        "doc_id", F.col("whash").alias("feat")
+    ).join(d.select("doc_id", "lang"), "doc_id")
+    from rag_lakehouse_spark.operators.dedup_portable import base60
+
+    feats = (
+        unigrams.unionByName(bigrams.select("doc_id", "lang", "feat"))
+        .select(
+            "doc_id",
+            "lang",
+            (base60(F.col("feat")) % _DSIR_BUCKETS).alias("bucket"),
+        )
+        .localCheckpoint(eager=True)  # consumed twice: bucket stats + doc scores
+    )
+    bucket_stats = feats.groupBy("bucket").agg(
+        F.count(F.when(F.col("lang") == "en", 1)).alias("t_b"),
+        F.count(F.lit(1)).alias("r_b"),
+    )
+    totals = bucket_stats.agg(
+        F.sum("t_b").alias("t_total"), F.sum("r_b").alias("r_total")
+    )
+    leaning = bucket_stats.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        (
+            (F.col("t_b") + 1) * (F.col("r_total") + _DSIR_BUCKETS)
+            > (F.col("r_b") + 1) * (F.col("t_total") + _DSIR_BUCKETS)
+        ).alias("target_leaning"),
+    )
+    doc_scores = (
+        feats.join(F.broadcast(leaning), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.count(F.when(F.col("target_leaning"), 1)).alias("n_target_feats"),
+        )
+    )
+    return (
+        doc_scores.join(d.select("doc_id", "lang"), "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "n_feats",
+            "n_target_feats",
+            (F.col("n_target_feats").cast("double") / F.col("n_feats")).alias(
+                "importance_score"
+            ),
+        )
+        .orderBy(F.desc("importance_score"), F.asc("doc_id"))
+        .limit(100)
+    )

@@ -68,6 +68,11 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # log.
 _PRIORITY: tuple[str, ...] = (
     # -- r7 rotation part (a): changed this round --
+    "dedup_semantic_canonicals",  # NEW: SemDeDup end-to-end decision (r7 tail)
+    "rag_bm25_topk",              # NEW: BM25 lexical retrieval (r7 tail)
+    "rag_hybrid_rrf",             # NEW: BM25+dense RRF fusion (r7 tail)
+    "corpus_dup_span_stats",      # NEW: exact-substring dedup stats (r7 tail)
+    "corpus_strip_dup_spans",     # NEW: span-strip transform (r7 tail)
     "dedup_incremental_stream",   # NEW: streaming exact-dedup index vs batch oracle
     "dedup_minhash_incremental",  # NEW: streaming MinHash postings index vs batch oracle
     "ann_ivf_incremental",        # NEW: streaming IVF assignment index (rows-only; pytest == batch)
