@@ -73,6 +73,8 @@ _PRIORITY: tuple[str, ...] = (
     "rag_hybrid_rrf",             # NEW: BM25+dense RRF fusion (r7 tail)
     "corpus_dup_span_stats",      # NEW: exact-substring dedup stats (r7 tail)
     "corpus_strip_dup_spans",     # NEW: span-strip transform (r7 tail)
+    "rag_bm25_incremental",       # NEW: streaming term-postings index, shares the BM25 oracle (r7 tail)
+    "corpus_dsir_select",         # NEW: DSIR-style importance selection (r7 tail)
     "dedup_incremental_stream",   # NEW: streaming exact-dedup index vs batch oracle
     "dedup_minhash_incremental",  # NEW: streaming MinHash postings index vs batch oracle
     "ann_ivf_incremental",        # NEW: streaming IVF assignment index (rows-only; pytest == batch)

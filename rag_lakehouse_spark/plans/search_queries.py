@@ -78,6 +78,22 @@ def bm25_scores(
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
+    return bm25_from_stats(tf, lens, terms, id_col)
+
+
+def bm25_from_stats(
+    tf: DataFrame,
+    lens: DataFrame,
+    terms: tuple[str, ...] = QUERY_TERMS,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 scoring from precomputed statistics: ``tf`` =
+    (id, term, tf) for at least the query terms, ``lens`` = (id, dl)
+    for EVERY document. Shared by the one-shot ``bm25_scores`` and the
+    streaming-maintained postings index (``streaming.search_sink``) —
+    identical inputs produce bit-identical scores, which is what lets
+    the incremental path share the one-shot oracle."""
+    tf = tf.filter(F.col("term").isin(*terms))
     stats = lens.agg(
         F.count(F.lit(1)).alias("n_docs"),
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
@@ -175,15 +191,18 @@ def _duckdb_bm25_ctes(terms: tuple[str, ...] = QUERY_TERMS) -> str:
     bm25 AS (SELECT doc_id, {fold} AS score FROM pivoted)"""
 
 
-@register(
-    "rag_bm25_topk",
-    oracle=f"""
+_BM25_TOPK_ORACLE = f"""
     WITH {_duckdb_bm25_ctes()}
     SELECT b.doc_id, d.source, b.score
     FROM bm25 b JOIN documents d ON d.doc_id = b.doc_id
     ORDER BY b.score DESC, b.doc_id
     LIMIT 10
-    """,
+    """
+
+
+@register(
+    "rag_bm25_topk",
+    oracle=_BM25_TOPK_ORACLE,
     tags=("rag", "search", "bm25", "topk"),
 )
 def rag_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -301,3 +320,59 @@ def rag_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rrf_score"),
     )
     return fused.orderBy(F.desc("rrf_score"), F.asc("doc_id")).limit(10)
+
+
+@register(
+    "rag_bm25_incremental",
+    oracle=_BM25_TOPK_ORACLE,
+    tags=("rag", "search", "bm25", "streaming"),
+)
+def rag_bm25_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 served from a STREAMING-maintained term-postings
+    index: documents replay through an availableNow file stream (4
+    files, ≥4 micro-batches), each batch tokenizing only its own docs
+    and appending (doc_id, term, tf) postings as an immutable O(batch)
+    delta; an offline compaction merges the deltas; then BM25 runs from
+    the maintained state through the same ``bm25_from_stats``
+    arithmetic as the one-shot query — bit-identical scores, so this
+    row shares ``rag_bm25_topk``'s DuckDB oracle (which also makes the
+    hash check verify that compaction is row-preserving).
+
+    The pattern that lets a continuously-ingesting corpus serve lexical
+    search without re-tokenizing history — the search-family member of
+    the incremental-index story (exact dedup, MinHash postings, IVF
+    assignments, term postings).
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from rag_lakehouse_spark.streaming.append_state import compact_state
+    from rag_lakehouse_spark.streaming.search_sink import (
+        bm25_from_postings,
+        maintain_term_postings,
+    )
+
+    base = tempfile.mkdtemp(prefix="rls_bm25_stream_")
+    try:
+        src = os.path.join(base, "documents")
+        d = load_table(spark, sf_dir, "documents")
+        d.select("doc_id", "text").repartition(4).write.mode("overwrite").parquet(src)
+        stream = (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        state = os.path.join(base, "term_postings")
+        maintain_term_postings(spark, stream, state).awaitTermination()
+        compact_state(spark, state)
+        scored = bm25_from_postings(spark, state)
+        return (
+            scored.join(d.select("doc_id", "source"), "doc_id")
+            .select("doc_id", "source", "score")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(10)
+            .localCheckpoint(eager=True)  # detach from the temp state dir
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -1,0 +1,56 @@
+"""Streaming incremental term-postings index == one-shot BM25.
+
+Documents replay through an availableNow file stream one file per
+trigger; each micro-batch appends its (doc_id, term, tf) postings as an
+immutable delta. BM25 served from the maintained (and compacted) state
+must be bit-identical to the one-shot ``bm25_scores`` over the same
+corpus — batches partition docs disjointly, so the postings union
+equals the one-shot groupBy. Delta-layout crash/idempotency machinery
+is locked by tests/test_append_state.py; these tests cover the postings
+partials and the serving arithmetic.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from rag_lakehouse_spark.plans.search_queries import bm25_scores
+from rag_lakehouse_spark.sources.tables import load_table
+from rag_lakehouse_spark.streaming.append_state import compact_state
+from rag_lakehouse_spark.streaming.search_sink import (
+    bm25_from_postings,
+    maintain_term_postings,
+)
+
+
+@pytest.fixture(scope="module")
+def docs_dir(spark, sf_dir, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("docs_bm25_stream"))
+    load_table(spark, sf_dir, "documents").select("doc_id", "text").repartition(
+        4
+    ).write.mode("overwrite").parquet(out)
+    return out
+
+
+def test_incremental_bm25_matches_one_shot(spark, docs_dir, tmp_path_factory):
+    state = str(tmp_path_factory.mktemp("bm25_state")) + "/postings"
+    stream = (
+        spark.readStream.schema(spark.read.parquet(docs_dir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_dir)
+    )
+    q = maintain_term_postings(spark, stream, state)
+    q.awaitTermination()
+    assert q.lastProgress is not None and q.lastProgress["batchId"] >= 3
+
+    corpus = spark.read.parquet(docs_dir)
+    want = {r.doc_id: r.score for r in bm25_scores(corpus).collect()}
+    got = {r.doc_id: r.score for r in bm25_from_postings(spark, state).collect()}
+    assert got == want  # bit-identical doubles, not approx
+
+    # Compaction must be score-preserving too (row-preserving union).
+    compact_state(spark, state)
+    compacted = {
+        r.doc_id: r.score for r in bm25_from_postings(spark, state).collect()
+    }
+    assert compacted == want
