@@ -449,3 +449,112 @@ def corpus_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("importance_score"), F.asc("doc_id"))
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-mixture planner: token-budget → per-language deterministic
+# sampling thresholds → audited mixture. The data-driven step ABOVE
+# sample_stratified_docs (which applies fixed per-stratum rates).
+# ---------------------------------------------------------------------------
+
+# Target mixture in parts-per-thousand (integers — the plan arithmetic
+# stays exact end to end) and the token budget the mixture must fit.
+_MIX_WEIGHTS_PPT = {"en": 500, "de": 125, "fr": 125, "es": 125, "zh": 125}
+_MIX_BUDGET_TOKENS = 10_000
+_H32 = 1 << 32
+
+
+@register(
+    "corpus_mixture_plan",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             len(regexp_split_to_array(trim(lower(coalesce(text, ''))),
+                 '{TX.DUCKDB_WS}')) AS n_toks,
+             (('0x' || substr(md5(text), 1, 8))::BIGINT) AS h32
+      FROM documents
+    ),
+    lang_stats AS (
+      SELECT lang, COUNT(*) AS n_docs,
+             CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+      FROM toks GROUP BY lang
+    ),
+    planned AS (
+      SELECT lang, n_docs, n_tokens,
+             CASE lang {" ".join(f"WHEN '{k}' THEN {v}" for k, v in _MIX_WEIGHTS_PPT.items())}
+                  ELSE 0 END AS weight_ppt,
+             LEAST({_H32},
+                   ({_MIX_BUDGET_TOKENS} * (CASE lang {" ".join(f"WHEN '{k}' THEN {v}" for k, v in _MIX_WEIGHTS_PPT.items())} ELSE 0 END) * {_H32})
+                     // (1000 * n_tokens)) AS threshold
+      FROM lang_stats
+    )
+    SELECT p.lang, p.n_docs, p.n_tokens, p.weight_ppt, p.threshold,
+           COUNT(*) FILTER (t.h32 < p.threshold) AS n_sampled,
+           CAST(COALESCE(SUM(t.n_toks) FILTER (t.h32 < p.threshold), 0) AS BIGINT)
+             AS sampled_tokens
+    FROM planned p JOIN toks t ON t.lang = p.lang
+    GROUP BY p.lang, p.n_docs, p.n_tokens, p.weight_ppt, p.threshold
+    """,
+    tags=("sampling", "mixture", "training-data"),
+)
+def corpus_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture planning + deterministic execution in one pass:
+    given target language weights (parts-per-thousand) and a global
+    token budget, derive each language's hash-sampling threshold
+    ``min(2^32, budget·weight·2^32 / (1000·lang_tokens))`` — all
+    INTEGER arithmetic, so the plan is bit-reproducible — then apply it
+    via the md5-prefix rule (same doc → same decision, composable and
+    auditable; see sample_stratified_docs) and report achieved counts
+    per language. In expectation ``sampled_tokens ≈ budget·weight``;
+    languages with fewer tokens than their allocation saturate at
+    threshold 2^32 (take everything).
+
+    Scale: one tokenize+hash map pass, one groupBy(lang) for stats, a
+    5-row broadcast back, one conditional re-aggregation — no
+    all-corpus shuffle beyond the lang groupBy. The integer products
+    are bounded by budget·weight·2^32 (~2e16), independent of corpus
+    size — no overflow at any scale.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.size(
+            F.split(F.trim(F.lower(F.coalesce(F.col("text"), F.lit("")))), TX.WS)
+        ).alias("n_toks"),
+        F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("bigint").alias("h32"),
+    )
+    lang_stats = toks.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").cast("bigint").alias("n_tokens"),
+    )
+    weight = F.coalesce(
+        *[
+            F.when(F.col("lang") == k, F.lit(v))
+            for k, v in _MIX_WEIGHTS_PPT.items()
+        ],
+        F.lit(0),
+    )
+    # Threshold arithmetic must be INTEGER division end to end: the
+    # product budget·weight·2^32 (~2e16) exceeds double's exact range,
+    # so a float `/` + cast could truncate differently from DuckDB's
+    # exact `//`. Spark's `DIV` is exact int64 division, matching it.
+    planned = lang_stats.select(
+        "lang", "n_docs", "n_tokens", weight.alias("weight_ppt")
+    ).selectExpr(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        "weight_ppt",
+        f"least(CAST({_H32} AS BIGINT), "
+        f"({_MIX_BUDGET_TOKENS}L * weight_ppt * {_H32}L) DIV (1000L * n_tokens)"
+        ") AS threshold",
+    )
+    joined = toks.join(F.broadcast(planned), "lang")
+    sampled = F.when(F.col("h32") < F.col("threshold"), F.col("n_toks"))
+    return joined.groupBy(
+        "lang", "n_docs", "n_tokens", "weight_ppt", "threshold"
+    ).agg(
+        F.count(sampled).alias("n_sampled"),
+        F.coalesce(F.sum(sampled), F.lit(0)).cast("bigint").alias("sampled_tokens"),
+    )
