@@ -75,6 +75,7 @@ _PRIORITY: tuple[str, ...] = (
     "corpus_strip_dup_spans",     # NEW: span-strip transform (r7 tail)
     "rag_bm25_incremental",       # NEW: streaming term-postings index, shares the BM25 oracle (r7 tail)
     "corpus_dsir_select",         # NEW: DSIR-style importance selection (r7 tail)
+    "corpus_mixture_plan",        # NEW: token-budget mixture planner, integer-exact thresholds (r7 tail)
     "dedup_incremental_stream",   # NEW: streaming exact-dedup index vs batch oracle
     "dedup_minhash_incremental",  # NEW: streaming MinHash postings index vs batch oracle
     "ann_ivf_incremental",        # NEW: streaming IVF assignment index (rows-only; pytest == batch)

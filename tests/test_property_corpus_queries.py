@@ -85,6 +85,8 @@ def _run(spark, tmp_path, docs, query_name):
         "rag_bm25_topk",
         "corpus_dup_span_stats",
         "corpus_strip_dup_spans",
+        "corpus_dsir_select",
+        "corpus_mixture_plan",
     ],
 )
 def test_text_query_matches_oracle_on_generated_corpus(
