@@ -77,6 +77,11 @@ QUERIES = [
     "events_json_props",
     "window_ignore_nulls_nav",
     "events_sliding_windows",
+    # gap-fill: generated NULL values produce observed-but-NULL hourly
+    # sums (n>0, v NULL), the exact edge the value-based fill contract
+    # defines as a gap; single-event tables exercise the no-prev/no-next
+    # envelope NULLs
+    "events_gapfill_interpolate",
 ]
 
 

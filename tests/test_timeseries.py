@@ -147,3 +147,63 @@ def test_events_loader_normalizes_ts_to_timestamp(spark, sf_dir):
     ntz = spark.sql("SELECT TIMESTAMP_NTZ '2024-01-02 03:04:05.123456' AS t")
     micros = ntz.select(epoch_micros(F.col("t")).alias("us")).first()[0]
     assert micros == 1704164645123456  # UTC session tz pinned
+
+
+def test_gapfill_locf_and_interpolation_values(spark):
+    """Hand-computable series: hours 0,1,3,6 observed (values 10, 20,
+    NULL-sum gap at 2, 50 at 3, gaps 4-5, 80 at 6). LOCF carries the
+    previous observation; interp is time-weighted between neighbors;
+    the envelope (before first / after last observation) stays NULL."""
+    from datetime import datetime
+
+    from rag_lakehouse_spark.operators.gapfill import gapfill, time_spine
+
+    def h(i):
+        return datetime(2024, 1, 1, i, 0, 0)
+
+    raw = spark.createDataFrame(
+        [("a", h(0), 10.0), ("a", h(1), 20.0), ("a", h(3), 50.0), ("a", h(6), 80.0)],
+        "k string, ts timestamp, value double",
+    )
+    observed = raw.groupBy("k", F.date_trunc("hour", "ts").alias("bucket")).agg(
+        F.sum("value").alias("v")
+    )
+    spine = time_spine(raw, "ts", ["k"])
+    out = {
+        r["bucket"].hour: (r["locf_v"], r["interp_v"])
+        for r in gapfill(spine, observed, ["k"]).collect()
+    }
+    assert len(out) == 7
+    assert out[0] == (10.0, 10.0)
+    assert out[2] == (20.0, 35.0)          # halfway between 20 (h1) and 50 (h3)
+    assert out[4] == (50.0, 60.0)          # 1/3 of 50->80 over h3..h6
+    assert out[5] == (50.0, 70.0)
+    assert out[6] == (80.0, 80.0)
+
+
+def test_gapfill_envelope_is_null_and_null_sum_is_gap(spark):
+    """A bucket observed with an all-NULL measure is a gap for the fill
+    columns, and hours before the first / after the last non-null
+    observation get NULL locf/interp respectively."""
+    from datetime import datetime
+
+    from rag_lakehouse_spark.operators.gapfill import gapfill, time_spine
+
+    def h(i):
+        return datetime(2024, 1, 1, i, 0, 0)
+
+    raw = spark.createDataFrame(
+        [("a", h(0), None), ("a", h(1), 30.0), ("a", h(2), None)],
+        "k string, ts timestamp, value double",
+    )
+    observed = raw.groupBy("k", F.date_trunc("hour", "ts").alias("bucket")).agg(
+        F.sum("value").alias("v")
+    )
+    spine = time_spine(raw, "ts", ["k"])
+    out = {
+        r["bucket"].hour: (r["locf_v"], r["interp_v"])
+        for r in gapfill(spine, observed, ["k"]).collect()
+    }
+    assert out[0] == (None, None)          # before first observation
+    assert out[1] == (30.0, 30.0)
+    assert out[2] == (30.0, None)          # after last: locf carries, interp can't
