@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from rag_lakehouse_spark.functions import text as TX
+from rag_lakehouse_spark.functions import vector as VEC
 from rag_lakehouse_spark.plans.registry import register
 from rag_lakehouse_spark.sources.tables import load_table
 
@@ -557,4 +558,71 @@ def corpus_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.count(sampled).alias("n_sampled"),
         F.coalesce(F.sum(sampled), F.lit(0)).cast("bigint").alias("sampled_tokens"),
+    )
+
+
+# SemDeDup-style decontamination dial: p90 of the max-benchmark-cosine
+# distribution at sf0.01 (measured 0.32), so ~10% of the corpus is near
+# enough to an eval vector to be dropped.
+SEMANTIC_DECON_THRESHOLD = 0.32
+
+
+_BENCH_NRM = f"sqrt({VEC.duckdb_dot('embedding', 'embedding')})"
+
+
+@register(
+    "corpus_semantic_decontaminate",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding, {_BENCH_NRM} AS nrm FROM embeddings),
+    bench AS (SELECT * FROM e WHERE vec_id % 23 = 0),
+    corpus AS (SELECT * FROM e WHERE vec_id % 23 <> 0),
+    s AS (
+      SELECT c.vec_id,
+             MAX(({VEC.duckdb_dot('c.embedding', 'b.embedding')})
+                 / (c.nrm * b.nrm + 1e-24)) AS max_benchmark_sim
+      FROM corpus c CROSS JOIN bench b GROUP BY 1
+    )
+    SELECT d.doc_id, d.lang, d.source, s.max_benchmark_sim
+    FROM documents d JOIN s ON s.vec_id = d.doc_id
+    WHERE s.max_benchmark_sim < {{thr}}
+    """.replace("{thr}", "0.32"),
+    tags=("vector", "decontamination", "training-data"),
+)
+def corpus_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (embedding-space) benchmark decontamination — the
+    complement of ``corpus_decontaminate``'s lexical 13-gram check:
+    docs whose embedding is cosine-close to ANY held-out benchmark
+    vector (every 23rd vec_id stands in for an embedded eval suite)
+    are dropped; survivors report their max benchmark similarity.
+    Catches paraphrased/reworded eval leakage that shares no 13-gram.
+
+    Scale: the benchmark side is tiny by construction -> broadcast
+    nested-loop against the corpus, norms hoisted per side, one dot
+    fold per (corpus, bench) pair; the per-vector MAX combines
+    map-side so the only shuffle carries one row per corpus vector.
+    The doc join is a hash join on doc_id = vec_id."""
+    e = load_table(spark, sf_dir, "embeddings").withColumn(
+        "nrm", VEC.l2_norm("embedding")
+    )
+    bench = e.filter(F.col("vec_id") % 23 == 0).select(
+        F.col("embedding").alias("b_emb"), F.col("nrm").alias("b_nrm")
+    )
+    scored = (
+        e.filter(F.col("vec_id") % 23 != 0)
+        .crossJoin(F.broadcast(bench))
+        .select(
+            "vec_id",
+            (
+                VEC.dot("embedding", "b_emb")
+                / (F.col("nrm") * F.col("b_nrm") + F.lit(1e-24))
+            ).alias("s"),
+        )
+        .groupBy("vec_id")
+        .agg(F.max("s").alias("max_benchmark_sim"))
+    )
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.join(scored, d.doc_id == scored.vec_id)
+        .filter(F.col("max_benchmark_sim") < SEMANTIC_DECON_THRESHOLD)
+        .select("doc_id", "lang", "source", "max_benchmark_sim")
     )

@@ -68,6 +68,8 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # log.
 _PRIORITY: tuple[str, ...] = (
     # -- r7 rotation part (a): changed this round --
+    "events_gapfill_interpolate",  # NEW: time-spine gap fill, LOCF + interpolation (r7 tail)
+    "corpus_semantic_decontaminate",  # NEW: embedding-space decontamination (r7 tail)
     "dedup_semantic_canonicals",  # NEW: SemDeDup end-to-end decision (r7 tail)
     "rag_bm25_topk",              # NEW: BM25 lexical retrieval (r7 tail)
     "rag_hybrid_rrf",             # NEW: BM25+dense RRF fusion (r7 tail)
