@@ -626,3 +626,37 @@ def corpus_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame
         .filter(F.col("max_benchmark_sim") < SEMANTIC_DECON_THRESHOLD)
         .select("doc_id", "lang", "source", "max_benchmark_sim")
     )
+
+
+@register(
+    "corpus_shard_export",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, n_chars,
+             (('0x' || substr(md5('shard:1337:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT) AS h
+      FROM documents
+    )
+    SELECT doc_id, h % 8 AS shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS BIGINT) AS pos,
+           n_chars
+    FROM h
+    """,
+    tags=("training-data", "export", "layout"),
+)
+def corpus_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seed-reproducible sharded export plan (the order a training run
+    reads): portable-hash shard assignment + dense within-shard
+    positions, independent of partitioning and rerun-stable — training
+    provenance becomes a (snapshot, seed) pair. ``sources.layout.
+    write_sharded`` materializes this plan as shard-partitioned
+    parquet (pytest-verified byte-identical across reruns); the query
+    exposes the plan itself for the differential check.
+
+    Scale: hash is map work; one shuffle hash-partitioned on shard,
+    per-shard sorts are independent (see ``sources.layout.shard_plan``)."""
+    from rag_lakehouse_spark.sources.layout import shard_plan
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return shard_plan(d, id_col="doc_id", n_shards=8, seed=1337).select(
+        "doc_id", "shard", "pos", "n_chars"
+    )

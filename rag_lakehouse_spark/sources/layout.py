@@ -144,3 +144,60 @@ def write_zordered(
         .parquet(path)
     )
     return path
+
+
+def shard_plan(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_shards: int = 8,
+    seed: int = 1337,
+) -> DataFrame:
+    """Seed-reproducible training-export order: each row gets a shard
+    and a dense within-shard position from a portable 60-bit hash of
+    ``"shard:<seed>:<id>"``. Same (data, seed) → identical plan on any
+    engine, any partitioning, any rerun — the property a training run
+    needs to resume mid-epoch or re-derive exactly which examples a
+    checkpoint saw. Changing the seed reshuffles globally.
+
+    Scale: the hash is codegen map work; the position is one
+    row_number per shard — a single shuffle hash-partitioned on shard,
+    each shard sorting independently (pick n_shards ≥ cluster
+    parallelism; hash output is uniform so shards balance)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from rag_lakehouse_spark.operators.dedup_portable import base60
+
+    h = base60(
+        F.concat(F.lit(f"shard:{seed}:"), F.col(id_col).cast("string"))
+    )
+    w = Window.partitionBy("shard").orderBy("h", id_col)
+    return (
+        df.withColumn("h", h)
+        .withColumn("shard", F.col("h") % F.lit(n_shards))
+        .withColumn("pos", F.row_number().over(w).cast("bigint"))
+        .drop("h")
+    )
+
+
+def write_sharded(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    n_shards: int = 8,
+    seed: int = 1337,
+) -> str:
+    """Materialize the shard plan as shard-partitioned parquet, rows
+    ordered by ``pos`` within each shard file. Byte-reproducible for a
+    fixed (data, seed): re-running the export writes identical rows in
+    identical order, so training-data provenance is a (snapshot, seed)
+    pair, not a copy."""
+    planned = shard_plan(df, id_col=id_col, n_shards=n_shards, seed=seed)
+    (
+        planned.repartition("shard")
+        .sortWithinPartitions("shard", "pos")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+    return path

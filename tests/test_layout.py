@@ -140,3 +140,47 @@ def test_zorder_empty_and_negative_domains(spark, tmp_path_factory):
     read_a = scan_rows_read(back.filter(F.col("a") == -499))
     read_b = scan_rows_read(back.filter(F.col("b") == -499))
     assert read_a < 1000 and read_b < 1000, (read_a, read_b)
+
+
+def test_write_sharded_is_rerun_reproducible(spark, tmp_path):
+    """Same (data, seed) → byte-identical export across reruns and
+    input partitionings; different seed → different order. Shard dirs
+    exist and positions are dense 1..n per shard."""
+    import os
+
+    from rag_lakehouse_spark.sources.layout import shard_plan, write_sharded
+
+    df = spark.range(0, 200).selectExpr("id AS doc_id", "id * 7 AS payload")
+
+    p1 = str(tmp_path / "a")
+    p2 = str(tmp_path / "b")
+    write_sharded(df, p1, n_shards=4)
+    write_sharded(df.repartition(13), p2, n_shards=4)  # partitioning must not matter
+    r1 = sorted(spark.read.parquet(p1).collect())
+    r2 = sorted(spark.read.parquet(p2).collect())
+    assert r1 == r2
+    assert sorted(os.listdir(p1))[0].startswith("_") or any(
+        e.startswith("shard=") for e in os.listdir(p1)
+    )
+
+    plan = shard_plan(df, n_shards=4)
+    per_shard = {
+        r["shard"]: r["mx"]
+        for r in plan.groupBy("shard").agg(F.max("pos").alias("mx"),
+                                           F.count("*").alias("n"),).collect()
+    }
+    counts = {
+        r["shard"]: r["n"]
+        for r in plan.groupBy("shard").agg(F.count("*").alias("n")).collect()
+    }
+    assert per_shard == counts  # dense positions: max == count per shard
+    assert sum(counts.values()) == 200
+
+    other = shard_plan(df, n_shards=4, seed=99)
+    joined = plan.alias("a").join(
+        other.alias("b"), F.col("a.doc_id") == F.col("b.doc_id")
+    )
+    moved = joined.filter(
+        (F.col("a.shard") != F.col("b.shard")) | (F.col("a.pos") != F.col("b.pos"))
+    ).count()
+    assert moved > 100  # a new seed genuinely reshuffles
