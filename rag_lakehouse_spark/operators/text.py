@@ -96,3 +96,87 @@ def predict_lang(df: DataFrame, text_col: str = "text") -> DataFrame:
         .otherwise("es")
     )
     return df.withColumn("pred_lang", pred)
+
+
+def boilerplate_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document boilerplate detection (the C4/trafilatura line
+    rule): a trimmed non-blank line occurring in ≥ ``min_docs``
+    DISTINCT documents is boilerplate (nav bars, cookie banners,
+    license footers). Returns (line, n_docs) for the flagged lines.
+
+    Scale: one explode over line counts (linear in corpus bytes), one
+    groupBy on the line text with map-side combine; the flagged set is
+    small by definition (lines repeated across many docs collapse to
+    one group each) — broadcastable downstream."""
+    lines = (
+        df.select(
+            F.col(id_col),
+            F.explode(F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")).alias(
+                "raw_line"
+            ),
+        )
+        .select(F.col(id_col), F.trim(F.col("raw_line")).alias("line"))
+        .filter(F.col("line") != "")
+    )
+    return (
+        lines.groupBy("line")
+        .agg(F.countDistinct(id_col).cast("bigint").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def strip_boilerplate(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Remove boilerplate lines from every document, preserving the
+    original order of surviving lines (blank lines survive — they are
+    formatting, not boilerplate). Output: one row per input document
+    with ``n_lines``, ``n_stripped``, and ``cleaned`` (the re-joined
+    text; '' when everything was stripped or the text was NULL).
+
+    Scale: the boilerplate set broadcasts into an anti-join against
+    the exploded lines; the reassembly groupBy shuffles only the
+    KEPT lines keyed by doc — the one unavoidable shuffle of any
+    doc-reconstruction transform."""
+    bp = boilerplate_lines(df, id_col, text_col, min_docs).select("line")
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+        ).alias("pos", "raw_line"),
+    )
+    kept = lines.join(
+        F.broadcast(bp),
+        F.trim(F.col("raw_line")) == F.col("line"),
+        "left_anti",
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "raw_line"))),
+                lambda s: s["raw_line"],
+            ),
+            "\n",
+        ).alias("cleaned"),
+    )
+    totals = df.select(
+        F.col(id_col),
+        F.size(F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")).cast(
+            "bigint"
+        ).alias("n_lines"),
+    )
+    return totals.join(rebuilt, id_col, "left").select(
+        id_col,
+        "n_lines",
+        (F.col("n_lines") - F.coalesce(F.col("n_kept"), F.lit(0))).alias("n_stripped"),
+        F.coalesce(F.col("cleaned"), F.lit("")).alias("cleaned"),
+    )

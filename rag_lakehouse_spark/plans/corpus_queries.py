@@ -660,3 +660,50 @@ def corpus_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shard_plan(d, id_col="doc_id", n_shards=8, seed=1337).select(
         "doc_id", "shard", "pos", "n_chars"
     )
+
+
+@register(
+    "corpus_boilerplate_strip",
+    oracle="""
+    WITH l AS (
+      SELECT doc_id,
+             unnest(string_split(coalesce(text, ''), chr(10))) AS raw_line,
+             generate_subscripts(string_split(coalesce(text, ''), chr(10)), 1) AS pos
+      FROM documents
+    ), bp AS (
+      SELECT trim(raw_line) AS line FROM l WHERE trim(raw_line) <> ''
+      GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2
+    ), kept AS (
+      SELECT doc_id, pos, raw_line FROM l
+      WHERE trim(raw_line) NOT IN (SELECT line FROM bp)
+    ), reb AS (
+      SELECT doc_id, COUNT(*) AS n_kept,
+             string_agg(raw_line, chr(10) ORDER BY pos) AS cleaned
+      FROM kept GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(len(string_split(coalesce(d.text, ''), chr(10))) AS BIGINT) AS n_lines,
+           CAST(len(string_split(coalesce(d.text, ''), chr(10)))
+                - COALESCE(reb.n_kept, 0) AS BIGINT) AS n_stripped,
+           COALESCE(reb.cleaned, '') AS cleaned
+    FROM documents d LEFT JOIN reb USING (doc_id)
+    """,
+    tags=("text", "boilerplate", "training-data"),
+)
+def corpus_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/trafilatura-style cross-document boilerplate removal: any
+    trimmed line occurring in ≥2 distinct docs (nav bars, banners,
+    footers) is stripped from every document, surviving lines rejoined
+    in original order. The fixture corpus is single-line-per-doc so
+    stripping only fires on exact-dup docs there; the generated-corpus
+    fuzz (multi-line docs with shared lines) exercises the real
+    behavior — same pattern as the NULL/unicode edges elsewhere.
+
+    Scale: line explode is linear; the line-frequency groupBy combines
+    map-side; the boilerplate set broadcasts into an anti-join; only
+    KEPT lines shuffle for reassembly (see ``operators.text.
+    strip_boilerplate``)."""
+    from rag_lakehouse_spark.operators.text import strip_boilerplate
+
+    d = load_table(spark, sf_dir, "documents")
+    return strip_boilerplate(d, id_col="doc_id", text_col="text", min_docs=2)

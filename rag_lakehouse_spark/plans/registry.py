@@ -69,6 +69,8 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 _PRIORITY: tuple[str, ...] = (
     # -- r7 rotation part (a): changed this round --
     "events_gapfill_interpolate",  # NEW: time-spine gap fill, LOCF + interpolation (r7 tail)
+    "corpus_boilerplate_strip",    # NEW: cross-doc boilerplate line removal (r7 tail)
+    "corpus_shard_export",         # NEW: seed-reproducible sharded export plan (r7 tail)
     "corpus_semantic_decontaminate",  # NEW: embedding-space decontamination (r7 tail)
     "dedup_semantic_canonicals",  # NEW: SemDeDup end-to-end decision (r7 tail)
     "rag_bm25_topk",              # NEW: BM25 lexical retrieval (r7 tail)

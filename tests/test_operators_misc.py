@@ -137,3 +137,24 @@ def test_predict_lang_markers(spark):
     )
     out = {r.doc_id: r.pred_lang for r in predict_lang(df).collect()}
     assert out == {1: "en", 2: "de", 3: "fr"}
+
+
+def test_strip_boilerplate_removes_shared_lines_preserving_order(spark):
+    from rag_lakehouse_spark.operators.text import boilerplate_lines, strip_boilerplate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "COOKIE BANNER\nreal content one\n\nmore text\nCOOKIE BANNER"),
+            (2, "  COOKIE BANNER  \nunique stuff"),
+            (3, None),
+        ],
+        "doc_id long, text string",
+    )
+    bp = {r["line"]: r["n_docs"] for r in boilerplate_lines(docs).collect()}
+    assert bp == {"COOKIE BANNER": 2}  # trimmed match across docs; blank not counted
+    out = {r["doc_id"]: r for r in strip_boilerplate(docs).collect()}
+    assert out[1]["cleaned"] == "real content one\n\nmore text"  # order + blank kept
+    assert (out[1]["n_lines"], out[1]["n_stripped"]) == (5, 2)
+    assert out[2]["cleaned"] == "unique stuff"
+    assert out[3]["cleaned"] == "" and out[3]["n_lines"] == 1  # NULL text → one blank line kept
+    assert out[3]["n_stripped"] == 0

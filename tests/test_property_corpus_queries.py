@@ -87,6 +87,12 @@ def _run(spark, tmp_path, docs, query_name):
         "corpus_strip_dup_spans",
         "corpus_dsir_select",
         "corpus_mixture_plan",
+        # r7-tail: shared sampled lines ("aa bb") across generated docs
+        # fire the cross-doc boilerplate rule for real (the fixture
+        # corpus is single-line so the driver row only sees exact-dup
+        # strips); shard export fuzzes the portable-hash order
+        "corpus_boilerplate_strip",
+        "corpus_shard_export",
     ],
 )
 def test_text_query_matches_oracle_on_generated_corpus(
