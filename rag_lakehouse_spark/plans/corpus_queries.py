@@ -707,3 +707,29 @@ def corpus_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return strip_boilerplate(d, id_col="doc_id", text_col="text", min_docs=2)
+
+
+@register(
+    "corpus_bpe_merges",
+    oracle=None,  # iterative argmax loop — no SQL twin; pytest runs a
+    # pure-Python reference trainer differentially (tests/test_bpe.py)
+    tags=("text", "tokenizer", "training-data", "iterative"),
+)
+def corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer induction over the corpus: the first 24 learned
+    merge rules (rank, left, right, merged, pair_count) from iterative
+    distributed pair counting on the word-frequency table. See
+    ``operators.bpe`` for the algorithm and the scale argument (each
+    round aggregates the VOCABULARY, not the corpus; driver state is
+    one winning pair per round)."""
+    from rag_lakehouse_spark.operators.bpe import train_merges, word_counts
+
+    d = load_table(spark, sf_dir, "documents")
+    # the fixture vocabulary is tiny (dozens of types) — 4 partitions
+    # keep the 24 iteration rounds from scheduling mostly-empty tasks;
+    # at web scale leave the word table at its natural shuffle width
+    rules = train_merges(word_counts(d).repartition(4), n_merges=24)
+    return spark.createDataFrame(
+        [(r, l, rt, l + rt, c) for r, l, rt, c in rules],
+        "rank int, left string, right string, merged string, pair_count bigint",
+    )
