@@ -807,3 +807,85 @@ def dup_components_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
     return _canon(d, pairs, id_col="doc_id", id_a="doc_a", id_b="doc_b")
+
+
+@register(
+    "text_unigram_surprisal",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter({TX.duckdb_tokens("coalesce(text, '')")},
+                                t -> t <> '')) AS t
+      FROM documents
+    ), tf AS (
+      SELECT t, COUNT(*) AS cnt FROM toks GROUP BY 1
+    ), tot AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS n_total FROM tf
+    ), rar AS (
+      SELECT t, CAST(length(bin(n_total)) - length(bin(cnt)) AS BIGINT) AS bits
+      FROM tf, tot
+    ), sc AS (
+      SELECT doc_id, COUNT(*) AS n_tokens,
+             CAST(SUM(bits) AS BIGINT) AS total_bits
+      FROM toks JOIN rar USING (t) GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(sc.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(sc.total_bits, 0) AS BIGINT) AS total_bits,
+           CASE WHEN sc.n_tokens > 0
+                THEN CAST(sc.total_bits AS DOUBLE) / sc.n_tokens END AS mean_bits
+    FROM documents d LEFT JOIN sc USING (doc_id)
+    """,
+    tags=("text", "quality", "language-model", "training-data"),
+)
+def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM surprisal quality signal (the CCNet/perplexity-bucket
+    idea without a float log): each token costs
+    floor(log2(N_total)) - floor(log2(count)) bits — its corpus
+    frequency rank in powers of two — and a document scores the sum and
+    mean. Rare-gibberish docs score high, common-word docs low; the
+    bucket edges are what a perplexity-binned mixture would use.
+
+    Exactness: floor(log2(x)) is ``length(bin(x))`` on BOTH engines
+    (unpadded binary strings), so the whole score is integer arithmetic
+    — no cross-engine ulp risk anywhere except the final mean, a single
+    deterministic double division.
+
+    Scale: one token explode, one term-frequency groupBy (map-side
+    combined), the 1-row total broadcast, one equi-join back to the
+    exploded tokens (shuffle on token, AQE-skew-safe), one per-doc sum.
+    Identical shape to the BM25 scorer's tf/df pass."""
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.explode(TX.tokens(F.coalesce(F.col("text"), F.lit("")))).alias("t"),
+        )
+        .filter(F.col("t") != "")
+    )
+    tf = toks.groupBy("t").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = tf.agg(F.sum("cnt").alias("n_total"))
+    rar = tf.crossJoin(F.broadcast(tot)).select(
+        "t",
+        (F.length(F.bin("n_total")) - F.length(F.bin("cnt")))
+        .cast("bigint")
+        .alias("bits"),
+    )
+    sc = (
+        toks.join(rar, "t")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("bits").cast("bigint").alias("total_bits"),
+        )
+    )
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    return d.join(sc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_tokens"), F.lit(0)).cast("bigint").alias("n_tokens"),
+        F.coalesce(F.col("total_bits"), F.lit(0)).cast("bigint").alias("total_bits"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.col("total_bits").cast("double") / F.col("n_tokens"),
+        ).alias("mean_bits"),
+    )

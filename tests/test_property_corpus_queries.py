@@ -93,6 +93,7 @@ def _run(spark, tmp_path, docs, query_name):
         # strips); shard export fuzzes the portable-hash order
         "corpus_boilerplate_strip",
         "corpus_shard_export",
+        "text_unigram_surprisal",
     ],
 )
 def test_text_query_matches_oracle_on_generated_corpus(
