@@ -73,6 +73,7 @@ _PRIORITY: tuple[str, ...] = (
     "corpus_shard_export",         # NEW: seed-reproducible sharded export plan (r7 tail)
     "corpus_bpe_merges",           # NEW: distributed BPE trainer (rows-only; pytest vs Python reference)
     "text_unigram_surprisal",      # NEW: integer-exact unigram surprisal quality score (r7 tail)
+    "corpus_perplexity_buckets",   # NEW: CCNet head/middle/tail tertiles on exact percentile edges (r7 tail)
     "corpus_semantic_decontaminate",  # NEW: embedding-space decontamination (r7 tail)
     "dedup_semantic_canonicals",  # NEW: SemDeDup end-to-end decision (r7 tail)
     "rag_bm25_topk",              # NEW: BM25 lexical retrieval (r7 tail)

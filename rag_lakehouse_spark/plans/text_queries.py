@@ -809,10 +809,39 @@ def dup_components_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _canon(d, pairs, id_col="doc_id", id_a="doc_a", id_b="doc_b")
 
 
-@register(
-    "text_unigram_surprisal",
-    oracle=f"""
-    WITH toks AS (
+def _surprisal_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_tokens, total_bits) for every doc with ≥1 token —
+    the Spark twin of _SURPRISAL_CTES' ``sc`` relation."""
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.explode(TX.tokens(F.coalesce(F.col("text"), F.lit("")))).alias("t"),
+        )
+        .filter(F.col("t") != "")
+    )
+    tf = toks.groupBy("t").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = tf.agg(F.sum("cnt").alias("n_total"))
+    rar = tf.crossJoin(F.broadcast(tot)).select(
+        "t",
+        (F.length(F.bin("n_total")) - F.length(F.bin("cnt")))
+        .cast("bigint")
+        .alias("bits"),
+    )
+    return (
+        toks.join(rar, "t")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("bits").cast("bigint").alias("total_bits"),
+        )
+    )
+
+
+# Shared surprisal CTE chain (also the base of corpus_perplexity_buckets):
+# tokens -> term frequencies -> integer bit-rarities -> per-doc sums
+_SURPRISAL_CTES = f"""
+    toks AS (
       SELECT doc_id,
              unnest(list_filter({TX.duckdb_tokens("coalesce(text, '')")},
                                 t -> t <> '')) AS t
@@ -828,7 +857,13 @@ def dup_components_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, COUNT(*) AS n_tokens,
              CAST(SUM(bits) AS BIGINT) AS total_bits
       FROM toks JOIN rar USING (t) GROUP BY 1
-    )
+    )"""
+
+
+@register(
+    "text_unigram_surprisal",
+    oracle=f"""
+    WITH {_SURPRISAL_CTES}
     SELECT d.doc_id,
            CAST(COALESCE(sc.n_tokens, 0) AS BIGINT) AS n_tokens,
            CAST(COALESCE(sc.total_bits, 0) AS BIGINT) AS total_bits,
@@ -855,30 +890,7 @@ def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     combined), the 1-row total broadcast, one equi-join back to the
     exploded tokens (shuffle on token, AQE-skew-safe), one per-doc sum.
     Identical shape to the BM25 scorer's tf/df pass."""
-    toks = (
-        load_table(spark, sf_dir, "documents")
-        .select(
-            "doc_id",
-            F.explode(TX.tokens(F.coalesce(F.col("text"), F.lit("")))).alias("t"),
-        )
-        .filter(F.col("t") != "")
-    )
-    tf = toks.groupBy("t").agg(F.count(F.lit(1)).alias("cnt"))
-    tot = tf.agg(F.sum("cnt").alias("n_total"))
-    rar = tf.crossJoin(F.broadcast(tot)).select(
-        "t",
-        (F.length(F.bin("n_total")) - F.length(F.bin("cnt")))
-        .cast("bigint")
-        .alias("bits"),
-    )
-    sc = (
-        toks.join(rar, "t")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.sum("bits").cast("bigint").alias("total_bits"),
-        )
-    )
+    sc = _surprisal_per_doc(spark, sf_dir)
     d = load_table(spark, sf_dir, "documents").select("doc_id")
     return d.join(sc, "doc_id", "left").select(
         "doc_id",
@@ -888,4 +900,67 @@ def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_tokens") > 0,
             F.col("total_bits").cast("double") / F.col("n_tokens"),
         ).alias("mean_bits"),
+    )
+
+
+@register(
+    "corpus_perplexity_buckets",
+    oracle=f"""
+    WITH {_SURPRISAL_CTES},
+    m AS (
+      SELECT doc_id, n_tokens, total_bits,
+             CAST(total_bits AS DOUBLE) / n_tokens AS mean_bits
+      FROM sc
+    ), edges AS (
+      SELECT quantile_cont(mean_bits, {1 / 3!r}) AS e1,
+             quantile_cont(mean_bits, {2 / 3!r}) AS e2
+      FROM m
+    ), b AS (
+      SELECT m.*,
+             CASE WHEN mean_bits <= e1 THEN 'head'
+                  WHEN mean_bits <= e2 THEN 'middle'
+                  ELSE 'tail' END AS bucket
+      FROM m, edges
+    )
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+           CAST(SUM(total_bits) AS DOUBLE) / SUM(n_tokens) AS bits_per_token
+    FROM b GROUP BY bucket
+    """,
+    tags=("text", "quality", "mixture", "training-data"),
+)
+def corpus_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail corpus split: docs are tertiled by
+    mean unigram surprisal (the integer-exact perplexity proxy of
+    ``text_unigram_surprisal``), and each bucket reports its doc count,
+    token mass, and exact bits-per-token — the inputs a
+    quality-stratified training mixture samples from.
+
+    The tertile EDGES come from an exact distributed percentile
+    aggregate (two-phase, hash-proven == DuckDB quantile_cont), then
+    broadcast for the bucket comparison — NOT a global ntile window,
+    which would collapse the whole corpus into one sort task at scale.
+    Zero-token docs carry no mass and are excluded by construction
+    (their mean is undefined)."""
+    sc = _surprisal_per_doc(spark, sf_dir)
+    m = sc.withColumn(
+        "mean_bits", F.col("total_bits").cast("double") / F.col("n_tokens")
+    )
+    edges = m.agg(
+        F.percentile("mean_bits", 1 / 3).alias("e1"),
+        F.percentile("mean_bits", 2 / 3).alias("e2"),
+    )
+    b = m.crossJoin(F.broadcast(edges)).withColumn(
+        "bucket",
+        F.when(F.col("mean_bits") <= F.col("e1"), "head")
+        .when(F.col("mean_bits") <= F.col("e2"), "middle")
+        .otherwise("tail"),
+    )
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+        (F.sum("total_bits").cast("double") / F.sum("n_tokens")).alias(
+            "bits_per_token"
+        ),
     )

@@ -94,6 +94,7 @@ def _run(spark, tmp_path, docs, query_name):
         "corpus_boilerplate_strip",
         "corpus_shard_export",
         "text_unigram_surprisal",
+        "corpus_perplexity_buckets",
     ],
 )
 def test_text_query_matches_oracle_on_generated_corpus(
