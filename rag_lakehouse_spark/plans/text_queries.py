@@ -964,3 +964,44 @@ def corpus_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bits_per_token"
         ),
     )
+
+
+@register(
+    "corpus_heavy_tokens",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(list_filter({TX.duckdb_tokens("coalesce(text, '')")},
+                                t -> t <> '')) AS t
+      FROM documents
+    ), tot AS (SELECT COUNT(*) AS n FROM toks)
+    SELECT t AS item, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM toks, tot
+    GROUP BY t, n
+    HAVING COUNT(*) * 200 >= n
+    """,
+    tags=("text", "sketch", "heavy-hitters", "training-data"),
+)
+def corpus_heavy_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokens comprising ≥ 0.5% of the corpus, found SKETCH-FIRST:
+    per-partition Misra-Gries summaries (400 counters, bounded memory
+    whatever the partition size) merge into a complete candidate set —
+    the MG guarantee makes missing a 1/200-heavy item impossible — and
+    one semi-join-pruned exact recount removes overcounts. The result
+    is EXACT (hash-checked against DuckDB's plain GROUP BY/HAVING)
+    while the full-vocabulary shuffle is only ever paid for candidates.
+
+    This is the stop-word/boilerplate-token discovery pass of a corpus
+    pipeline, and the repo's standing at-scale pattern (sketch →
+    candidates → exact verify) applied to frequency instead of
+    similarity. Integer threshold compare (cnt * 200 ≥ n) — no
+    doubles anywhere."""
+    from rag_lakehouse_spark.operators.heavy_hitters import heavy_hitters_exact
+
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            F.explode(TX.tokens(F.coalesce(F.col("text"), F.lit("")))).alias("t")
+        )
+        .filter(F.col("t") != "")
+    )
+    return heavy_hitters_exact(toks, "t", k=400, ratio_den=200)

@@ -95,6 +95,7 @@ def _run(spark, tmp_path, docs, query_name):
         "corpus_shard_export",
         "text_unigram_surprisal",
         "corpus_perplexity_buckets",
+        "corpus_heavy_tokens",
     ],
 )
 def test_text_query_matches_oracle_on_generated_corpus(
