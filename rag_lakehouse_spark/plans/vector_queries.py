@@ -385,3 +385,59 @@ def dedup_semantic_canonicals(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_a="vec_a",
         id_b="vec_b",
     )
+
+
+@register(
+    "embedding_hard_negatives",
+    oracle=f"""
+    WITH e AS ({_E_NORMED}),
+    p AS (
+      SELECT a.vec_id AS anchor_id, b.vec_id, b.label,
+             {_DOT_BA_OVER_NORMS} AS score
+      FROM e a JOIN e b ON a.label <> b.label
+      WHERE a.vec_id < 20
+    )
+    SELECT anchor_id, vec_id, label, score FROM (
+      SELECT p.*, ROW_NUMBER() OVER (
+        PARTITION BY anchor_id ORDER BY score DESC, vec_id) AS rn
+      FROM p
+    ) WHERE rn <= 3
+    """,
+    tags=("vector", "contrastive", "training-data"),
+)
+def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor
+    (vec_id < 20), the 3 most cosine-similar vectors with a DIFFERENT
+    label — the near-miss negatives that make embedding models learn.
+    Same plan skeleton as ``knn_similarity_join``: anchors broadcast,
+    norms hoisted, one dot fold per surviving pair, WindowGroupLimit
+    prunes per-anchor top-3 before the anchor_id shuffle.
+
+    Scale: the anchor batch is small by contract (a training epoch
+    mines negatives batch-by-batch); the candidate side streams once.
+    At 100 TB swap the label inequality for IVF-cell blocking
+    (operators.similarity) — same top-k tail."""
+    e = _normed(load_table(spark, sf_dir, "embeddings"))
+    a = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("a_label"),
+        F.col("embedding").alias("a_emb"),
+        F.col("nrm").alias("a_nrm"),
+    )
+    pairs = e.join(
+        F.broadcast(a), F.col("a_label") != F.col("label")
+    ).select(
+        "anchor_id",
+        "vec_id",
+        "label",
+        (
+            VEC.dot("embedding", "a_emb")
+            / (F.col("nrm") * F.col("a_nrm") + F.lit(1e-24))
+        ).alias("score"),
+    )
+    w = W.partitionBy("anchor_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("anchor_id", "vec_id", "label", "score")
+    )

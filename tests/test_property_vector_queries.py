@@ -57,6 +57,10 @@ QUERIES = [
     # edges and multi-member components; the zero vector lands in a
     # cluster only via the guard-defined 0.0 score (never >= threshold)
     "dedup_semantic_canonicals",
+    # hard negatives: duplicate vectors create exact score ties (the
+    # unique vec_id tiebreaker must resolve them identically), zero
+    # vectors score 0.0 via the norm guard
+    "embedding_hard_negatives",
 ]
 
 
