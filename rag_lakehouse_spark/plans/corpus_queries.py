@@ -733,3 +733,101 @@ def corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(r, l, rt, l + rt, c) for r, l, rt, c in rules],
         "rank int, left string, right string, merged string, pair_count bigint",
     )
+
+
+@register(
+    "corpus_export_manifest",
+    oracle=f"""
+    WITH gated AS (
+      SELECT doc_id, text, n_chars FROM documents
+      WHERE lang = 'en' AND n_chars BETWEEN 100 AND 20000
+    ), canon AS (
+      SELECT {TX.duckdb_fingerprint('text')} AS fp, MIN(doc_id) AS keep
+      FROM gated GROUP BY 1
+    ), deduped AS (
+      SELECT g.* FROM gated g
+      JOIN canon ON {TX.duckdb_fingerprint('g.text')} = fp AND g.doc_id = keep
+    ), bench AS (
+      SELECT DISTINCT unnest({TX.duckdb_char_shingles('text', 13)}) AS sh
+      FROM documents WHERE doc_id < 10
+    ), contaminated AS (
+      SELECT DISTINCT d.doc_id
+      FROM (SELECT doc_id, unnest({TX.duckdb_char_shingles('text', 13)}) AS sh
+            FROM deduped) d
+      JOIN bench USING (sh)
+    ), clean AS (
+      SELECT doc_id, n_chars FROM deduped
+      WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ), planned AS (
+      SELECT doc_id, n_chars,
+             (('0x' || substr(md5('shard:1337:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT) AS h
+      FROM clean
+    ), final AS (
+      SELECT doc_id, n_chars, h % 8 AS shard,
+             ROW_NUMBER() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS pos
+      FROM planned
+    )
+    SELECT shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY pos)) AS order_md5
+    FROM final GROUP BY shard
+    """,
+    tags=("training-data", "pipeline", "export", "composition"),
+)
+def corpus_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END export decision in one plan: quality gate
+    (lang + length band) → exact dedup (min-id canonical per
+    fingerprint) → 13-gram benchmark decontamination → seed-1337
+    portable-hash shard/order assignment → per-shard manifest with an
+    ``order_md5`` over the comma-joined doc_ids in position order —
+    the hash a training job verifies before trusting a shard. Every
+    stage is an already-oracled primitive; this row proves the full
+    composition, order included, byte-for-byte across engines.
+
+    Scale: gates at the scan; dedup shuffles 32-byte fingerprints;
+    the benchmark shingle set broadcasts into an anti-join; the shard
+    window sorts each shard independently. Nothing materializes
+    between stages."""
+    from rag_lakehouse_spark.sources.layout import shard_plan
+
+    d = load_table(spark, sf_dir, "documents")
+    gated = d.filter(
+        (F.col("lang") == "en") & F.col("n_chars").between(100, 20000)
+    ).select("doc_id", "text", "n_chars")
+    canon = (
+        gated.select(TX.fingerprint("text").alias("c_fp"), "doc_id")
+        .groupBy("c_fp")
+        .agg(F.min("doc_id").alias("keep"))
+    )
+    deduped = gated.withColumn("fp", TX.fingerprint("text")).join(
+        canon,
+        (F.col("fp") == F.col("c_fp")) & (F.col("doc_id") == F.col("keep")),
+        "left_semi",
+    )
+    bench = (
+        TX.shingle_relation(d.filter(F.col("doc_id") < 10), "text", "doc_id", 13)
+        .select(F.explode("shingles").alias("sh"))
+        .distinct()
+    )
+    doc_sh = TX.shingle_relation(deduped, "text", "doc_id", 13).select(
+        "doc_id", F.explode("shingles").alias("sh")
+    )
+    contaminated = doc_sh.join(F.broadcast(bench), "sh").select("doc_id").distinct()
+    clean = deduped.join(contaminated, "doc_id", "left_anti").select(
+        "doc_id", "n_chars"
+    )
+    planned = shard_plan(clean, id_col="doc_id", n_shards=8, seed=1337)
+    return planned.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "doc_id"))),
+                    lambda s: s["doc_id"].cast("string"),
+                ),
+                ",",
+            )
+        ).alias("order_md5"),
+    )
