@@ -53,6 +53,10 @@ HEADLINE = (
     "dedup_incremental_stream",
     "corpus_dup_span_stats",
     "rag_bm25_topk",
+    # r7-tail canaries: the export composition (shingle+dedup+shard
+    # machinery in one plan) and the mapInPandas/Arrow sketch path
+    "corpus_export_manifest",
+    "corpus_heavy_tokens",
     "knn_similarity_join",
     "knn_vectorized_topk",
     "events_asof_purchase",
@@ -84,6 +88,8 @@ def main() -> None:
             "dedup_simhash_pairs",
             "dedup_incremental_stream",
             "corpus_dup_span_stats",
+            "corpus_export_manifest",
+            "corpus_heavy_tokens",
             "knn_vectorized_topk",
         ):
             if name in qs:
