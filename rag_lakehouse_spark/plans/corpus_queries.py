@@ -831,3 +831,77 @@ def corpus_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("order_md5"),
     )
+
+
+@register(
+    "corpus_split_leakage",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT doc_id,
+             CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'valid'
+                  ELSE 'test' END AS split,
+             {TX.duckdb_fingerprint('text')} AS fp
+      FROM (
+        SELECT doc_id, text,
+               (('0x' || substr(md5('split:1337:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT) % 10 AS b
+        FROM documents
+      )
+    ), leak AS (
+      SELECT fp FROM assigned GROUP BY fp HAVING COUNT(DISTINCT split) > 1
+    )
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN fp IN (SELECT fp FROM leak) THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_leaked
+    FROM assigned GROUP BY split
+    """,
+    tags=("training-data", "governance", "split"),
+)
+def corpus_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-hygiene check on a reproducible 80/10/10 split: assign
+    every doc to train/valid/test by the portable seed hash (the same
+    provenance-is-a-seed contract as the shard export), then count per
+    split how many docs share an exact content fingerprint with ANY
+    other split — the leakage an honest eval must drive to zero (and
+    the reason dedup runs BEFORE splitting).
+
+    Scale: the split is map work; leakage detection shuffles 32-byte
+    fingerprints twice (distinct-split count, broadcast-semi flag) —
+    the exact-dedup cost profile, nothing text-sized moves."""
+    from rag_lakehouse_spark.operators.dedup_portable import base60
+
+    h = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        TX.fingerprint("text").alias("fp"),
+        (
+            base60(F.concat(F.lit("split:1337:"), F.col("doc_id").cast("string")))
+            % 10
+        ).alias("b"),
+    )
+    assigned = h.select(
+        "doc_id",
+        "fp",
+        F.when(F.col("b") < 8, "train")
+        .when(F.col("b") == 8, "valid")
+        .otherwise("test")
+        .alias("split"),
+    )
+    leak = (
+        assigned.groupBy("fp")
+        .agg(F.countDistinct("split").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .select("fp")
+    )
+    flagged = assigned.join(F.broadcast(leak), "fp", "left_semi").select(
+        "doc_id", "split"
+    )
+    return (
+        assigned.join(
+            flagged.select("doc_id", F.lit(1).alias("leaked")), "doc_id", "left"
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.coalesce(F.sum("leaked"), F.lit(0)).cast("bigint").alias("n_leaked"),
+        )
+    )

@@ -99,6 +99,9 @@ def _run(spark, tmp_path, docs, query_name):
         # end-to-end manifest: generated docs mostly fail the length
         # gate, so this exercises the empty/near-empty composition path
         "corpus_export_manifest",
+        # split leakage: generated duplicate texts land in different
+        # hash splits, producing real non-zero leak counts
+        "corpus_split_leakage",
     ],
 )
 def test_text_query_matches_oracle_on_generated_corpus(
