@@ -376,3 +376,56 @@ def rag_bm25_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+@register(
+    "corpus_heavy_tokens_incremental",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(list_filter({_DUCK_TOKS}, t -> t <> '')) AS t
+      FROM documents
+    ), tot AS (SELECT COUNT(*) AS n FROM toks)
+    SELECT t AS item, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM toks, tot
+    GROUP BY t, n
+    HAVING COUNT(*) * 200 >= n
+    """,
+    tags=("text", "heavy-hitters", "streaming"),
+)
+def corpus_heavy_tokens_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy tokens served from the STREAMING-maintained term-postings
+    index (same availableNow replay + delta-append + compaction as
+    ``rag_bm25_incremental``): one maintained index, multiple exact
+    serving paths — lexical search AND corpus frequency analytics read
+    the identical state. Because term counts are mergeable, the
+    incremental path needs no sketch; the one-shot Misra-Gries query
+    (``corpus_heavy_tokens``) is the unindexed-scan counterpart.
+    Hash-checked against DuckDB's plain GROUP BY/HAVING over all docs —
+    which simultaneously verifies the replay covered every batch and
+    compaction preserved rows."""
+    import os
+    import shutil
+    import tempfile
+
+    from rag_lakehouse_spark.streaming.append_state import compact_state
+    from rag_lakehouse_spark.streaming.search_sink import (
+        heavy_terms_from_postings,
+        maintain_term_postings,
+    )
+
+    base = tempfile.mkdtemp(prefix="rls_hh_stream_")
+    try:
+        src = os.path.join(base, "documents")
+        d = load_table(spark, sf_dir, "documents")
+        d.select("doc_id", "text").repartition(4).write.mode("overwrite").parquet(src)
+        stream = (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        state = os.path.join(base, "term_postings")
+        maintain_term_postings(spark, stream, state).awaitTermination()
+        compact_state(spark, state)
+        return heavy_terms_from_postings(spark, state).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

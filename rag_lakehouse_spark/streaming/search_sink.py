@@ -91,3 +91,30 @@ def bm25_from_postings(
         F.sum("tf").cast("int").alias("dl")  # matches size(tokens)'s int type
     )
     return bm25_from_stats(postings, lens, terms)
+
+
+def heavy_terms_from_postings(
+    spark: SparkSession, state_path: str, ratio_den: int = 200
+) -> DataFrame:
+    """Exact heavy terms (frequency ≥ n/ratio_den) served from the
+    maintained postings index — under streaming ingest the heavy-hitter
+    question needs NO sketch: term counts are mergeable, so the index
+    already holds the aggregated state and serving is one bounded
+    aggregate over it (the Misra-Gries pass in
+    ``operators.heavy_hitters`` is for one-shot scans over UNindexed
+    data). Empty-string tokens (the NULL-doc contract rows) are
+    excluded. Integer threshold compare, no doubles."""
+    state = read_deltas(spark, state_path)
+    if state is None:
+        raise FileNotFoundError(f"no postings index at {state_path}")
+    counted = (
+        state.filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.sum("tf").cast("bigint").alias("cnt"))
+    )
+    total = counted.agg(F.sum("cnt").alias("n"))
+    return (
+        counted.crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") * F.lit(ratio_den) >= F.col("n"))
+        .select(F.col("term").alias("item"), "cnt")
+    )

@@ -54,3 +54,39 @@ def test_incremental_bm25_matches_one_shot(spark, docs_dir, tmp_path_factory):
         r.doc_id: r.score for r in bm25_from_postings(spark, state).collect()
     }
     assert compacted == want
+
+
+def test_heavy_terms_from_postings_match_direct_aggregate(
+    spark, docs_dir, tmp_path_factory
+):
+    """The SAME maintained index serves frequency analytics: heavy
+    terms from the postings state equal a direct exact aggregate over
+    the corpus with the identical tokenizer."""
+    import pyspark.sql.functions as F
+
+    from rag_lakehouse_spark.plans.search_queries import _toks
+    from rag_lakehouse_spark.streaming.search_sink import heavy_terms_from_postings
+
+    state = str(tmp_path_factory.mktemp("hh_state")) + "/postings"
+    stream = (
+        spark.readStream.schema(spark.read.parquet(docs_dir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_dir)
+    )
+    maintain_term_postings(spark, stream, state).awaitTermination()
+
+    corpus = spark.read.parquet(docs_dir)
+    toks = corpus.select(F.explode(_toks("text")).alias("t")).filter(
+        F.col("t") != ""
+    )
+    counted = toks.groupBy("t").agg(F.count(F.lit(1)).alias("cnt"))
+    n = counted.agg(F.sum("cnt")).collect()[0][0]
+    want = {
+        (r["t"], r["cnt"])
+        for r in counted.filter(F.col("cnt") * 200 >= F.lit(n)).collect()
+    }
+    got = {
+        (r["item"], r["cnt"])
+        for r in heavy_terms_from_postings(spark, state).collect()
+    }
+    assert got == want and got  # non-trivial: fixture has heavy tokens
