@@ -429,3 +429,68 @@ def corpus_heavy_tokens_incremental(spark: SparkSession, sf_dir: str) -> DataFra
         return heavy_terms_from_postings(spark, state).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+@register(
+    "rag_retrieve_rerank",
+    oracle=f"""
+    WITH {_duckdb_bm25_ctes()},
+    lex AS (
+      SELECT doc_id, score AS lex_score,
+             ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rn
+      FROM bm25 QUALIFY rn <= 50
+    ),
+    e AS (SELECT vec_id, embedding,
+                 sqrt({VEC.duckdb_dot("embedding", "embedding")}) AS nrm
+          FROM embeddings),
+    rer AS (
+      SELECT l.doc_id, l.lex_score, {_VEC_SCORE} AS dense_score
+      FROM lex l JOIN e b ON b.vec_id = l.doc_id, e a
+      WHERE a.vec_id = {QUERY_VEC_ID}
+    )
+    SELECT doc_id, lex_score, dense_score FROM rer
+    ORDER BY dense_score DESC, doc_id
+    LIMIT 10
+    """,
+    tags=("rag", "search", "rerank"),
+)
+def rag_retrieve_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieve-then-rerank (the OTHER standard hybrid, next
+    to RRF fusion): a cheap lexical recall stage (BM25 top-50,
+    TakeOrderedAndProject) followed by an expensive scorer applied to
+    candidates ONLY (dense cosine vs the query vector), final top-10 by
+    the reranker. This is the cascade every production RAG stack runs —
+    the rerank cost is bounded by the candidate count, never the
+    corpus.
+
+    Scale: stage-1 prune is per-partition top-k; stage-2 joins 50 rows
+    against the embeddings table on its id (broadcast the 50, one dot
+    fold each); the corpus is only ever touched by the BM25 stats
+    pass."""
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings").withColumn(
+        "nrm", VEC.l2_norm("embedding")
+    )
+    lex50 = (
+        bm25_scores(d)
+        .select("doc_id", F.col("score").alias("lex_score"))
+        .orderBy(F.desc("lex_score"), F.asc("doc_id"))
+        .limit(50)
+    )
+    q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("q_emb"), F.col("nrm").alias("q_nrm")
+    )
+    rer = (
+        F.broadcast(lex50)
+        .join(e, e.vec_id == lex50.doc_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "doc_id",
+            "lex_score",
+            (
+                VEC.dot("embedding", "q_emb")
+                / (F.col("nrm") * F.col("q_nrm") + F.lit(1e-24))
+            ).alias("dense_score"),
+        )
+    )
+    return rer.orderBy(F.desc("dense_score"), F.asc("doc_id")).limit(10)
