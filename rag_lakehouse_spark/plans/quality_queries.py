@@ -149,3 +149,67 @@ def dq_documents_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows",
         (F.col("n_bad").cast("double") / F.col("n_rows")).alias("violation_rate"),
     )
+
+
+@register(
+    "dq_skew_report",
+    oracle="""
+    WITH g1 AS (
+      SELECT user_id AS k, COUNT(*) AS c FROM events
+      WHERE user_id IS NOT NULL GROUP BY 1
+    ), g2 AS (
+      SELECT o_custkey AS k, COUNT(*) AS c FROM orders GROUP BY 1
+    ), s1 AS (
+      SELECT 'events.user_id' AS key_col,
+             CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(MAX(c) AS BIGINT) AS max_rows,
+             quantile_cont(c, 0.5) AS p50_rows,
+             quantile_cont(c, 0.99) AS p99_rows,
+             CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS BIGINT) AS top_key_share
+      FROM g1
+    ), s2 AS (
+      SELECT 'orders.o_custkey',
+             CAST(COUNT(*) AS BIGINT),
+             CAST(MAX(c) AS BIGINT),
+             quantile_cont(c, 0.5),
+             quantile_cont(c, 0.99),
+             CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS BIGINT)
+      FROM g2
+    )
+    SELECT * FROM s1 UNION ALL SELECT * FROM s2
+    """,
+    tags=("dq", "skew", "diagnostics"),
+)
+def dq_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/agg-key skew diagnostics — the measurement that DECIDES
+    when to salt (``salted_join_hot_events``) or trust AQE skew
+    splitting: per hot key column, the group-count distribution
+    (n_keys, max, exact p50/p99 of rows-per-key) and the share of the
+    table owned by the single hottest key.
+
+    Scale: one groupBy per key column (map-side combined — the shuffle
+    carries one row per key), then a tiny percentile aggregate over
+    the group sizes. This is the cheap pre-flight a pipeline runs
+    before choosing a join strategy at 100 TB."""
+
+    def stats(df: DataFrame, key: str, label: str) -> DataFrame:
+        g = (
+            df.filter(F.col(key).isNotNull())
+            .groupBy(F.col(key).alias("k"))
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        return g.agg(
+            F.lit(label).alias("key_col"),
+            F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+            F.max("c").cast("bigint").alias("max_rows"),
+            F.percentile("c", 0.5).alias("p50_rows"),
+            F.percentile("c", 0.99).alias("p99_rows"),
+            (F.max("c").cast("double") / F.sum("c").cast("bigint")).alias(
+                "top_key_share"
+            ),
+        )
+    e = load_table(spark, sf_dir, "events")
+    o = load_table(spark, sf_dir, "orders")
+    return stats(e, "user_id", "events.user_id").unionByName(
+        stats(o, "o_custkey", "orders.o_custkey")
+    )

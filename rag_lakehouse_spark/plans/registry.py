@@ -80,6 +80,8 @@ _PRIORITY: tuple[str, ...] = (
     "corpus_split_leakage",        # NEW: train/valid/test split with cross-split dup detection (r7 tail)
     "corpus_heavy_tokens_incremental",  # NEW: heavy terms served from the maintained postings index (r7 tail)
     "rag_retrieve_rerank",         # NEW: two-stage BM25-recall + dense-rerank cascade (r7 tail)
+    "dq_skew_report",              # NEW: join-key skew diagnostics, exact group-size percentiles (r7 tail)
+    "corpus_vocab_stats",          # NEW: per-source TTR + hapax fraction (r7 tail)
     "corpus_semantic_decontaminate",  # NEW: embedding-space decontamination (r7 tail)
     "dedup_semantic_canonicals",  # NEW: SemDeDup end-to-end decision (r7 tail)
     "rag_bm25_topk",              # NEW: BM25 lexical retrieval (r7 tail)

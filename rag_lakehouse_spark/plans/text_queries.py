@@ -1005,3 +1005,56 @@ def corpus_heavy_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("t") != "")
     )
     return heavy_hitters_exact(toks, "t", k=400, ratio_den=200)
+
+
+@register(
+    "corpus_vocab_stats",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source,
+             unnest(list_filter({TX.duckdb_tokens("coalesce(text, '')")},
+                                t -> t <> '')) AS t
+      FROM documents
+    ), tf AS (
+      SELECT source, t, COUNT(*) AS c FROM toks GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS BIGINT) AS type_token_ratio,
+           CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+           CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS hapax_fraction
+    FROM tf GROUP BY source
+    """,
+    tags=("text", "vocabulary", "training-data"),
+)
+def corpus_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary profile: token mass, distinct types,
+    type-token ratio, and the hapax-legomena fraction (types occurring
+    once — high hapax = OCR noise/gibberish, low hapax = templated
+    text; with TTR it's the Heaps-law health check a corpus report
+    leads with).
+
+    Scale: one explode + one (source, token) groupBy with map-side
+    combine, then a per-source rollup of the type counts — shuffle
+    bounded by the vocabulary, not the corpus."""
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "source",
+            F.explode(TX.tokens(F.coalesce(F.col("text"), F.lit("")))).alias("t"),
+        )
+        .filter(F.col("t") != "")
+    )
+    tf = toks.groupBy("source", "t").agg(F.count(F.lit(1)).alias("c"))
+    hapax = F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+    return tf.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        (F.count(F.lit(1)).cast("double") / F.sum("c").cast("bigint")).alias(
+            "type_token_ratio"
+        ),
+        hapax.cast("bigint").alias("n_hapax"),
+        (hapax.cast("double") / F.count(F.lit(1))).alias("hapax_fraction"),
+    )

@@ -102,6 +102,7 @@ def _run(spark, tmp_path, docs, query_name):
         # split leakage: generated duplicate texts land in different
         # hash splits, producing real non-zero leak counts
         "corpus_split_leakage",
+        "corpus_vocab_stats",
     ],
 )
 def test_text_query_matches_oracle_on_generated_corpus(
