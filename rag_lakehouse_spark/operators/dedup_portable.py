@@ -443,3 +443,68 @@ def portable_simhash_pairs_oracle(table: str = "documents", max_hamming: int = 3
                     AND a.doc_id < b.doc_id
     WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
     """
+
+
+def edit_verified_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    max_edit_pct: int = 10,
+) -> DataFrame:
+    """SimHash-blocked candidates confirmed by EDIT DISTANCE: segment
+    join + hamming verify produce candidates; ``levenshtein`` over the
+    NORMALIZED texts (ASCII by construction — byte-based DuckDB and
+    codepoint-based Spark levenshtein agree only on ASCII, which the
+    shared ``normalized()`` guarantees) keeps pairs whose distance is
+    ≤ ``max_edit_pct``% of the shorter text. Integer threshold compare
+    (``ed * 100 <= pct * least(len_a, len_b)``), no doubles.
+
+    Scale: the O(len²) DP runs ONLY on hamming-pruned candidates —
+    never all pairs; texts join back to candidates by id (two hash
+    joins on the tiny pair set)."""
+    from rag_lakehouse_spark.functions.text import normalized
+
+    pairs = portable_simhash_pairs(df, text_col, id_col, max_hamming)
+    norm = df.select(
+        F.col(id_col).alias("__nid"), normalized(F.col(text_col)).alias("__norm")
+    )
+    a = norm.select(F.col("__nid").alias("id_a"), F.col("__norm").alias("__na"))
+    b = norm.select(F.col("__nid").alias("id_b"), F.col("__norm").alias("__nb"))
+    joined = pairs.join(a, "id_a").join(b, "id_b")
+    ed = F.levenshtein(F.col("__na"), F.col("__nb"))
+    shorter = F.least(F.length("__na"), F.length("__nb"))
+    return (
+        joined.select(
+            "id_a",
+            "id_b",
+            "hamming",
+            ed.cast("bigint").alias("edit_distance"),
+            shorter.cast("bigint").alias("shorter_len"),
+        )
+        .filter(
+            F.col("edit_distance") * F.lit(100)
+            <= F.lit(max_edit_pct) * F.col("shorter_len")
+        )
+    )
+
+
+def edit_verified_pairs_oracle(
+    table: str = "documents", max_hamming: int = 3, max_edit_pct: int = 10
+) -> str:
+    from rag_lakehouse_spark.functions.text import duckdb_normalized
+
+    pairs = portable_simhash_pairs_oracle(table, max_hamming)
+    na = duckdb_normalized("da.text")
+    nb = duckdb_normalized("db.text")
+    return f"""
+    WITH pairs AS ({pairs})
+    SELECT * FROM (
+      SELECT p.id_a, p.id_b, p.hamming,
+             CAST(levenshtein({na}, {nb}) AS BIGINT) AS edit_distance,
+             CAST(least(length({na}), length({nb})) AS BIGINT) AS shorter_len
+      FROM pairs p
+      JOIN {table} da ON da.doc_id = p.id_a
+      JOIN {table} db ON db.doc_id = p.id_b
+    ) WHERE edit_distance * 100 <= {max_edit_pct} * shorter_len
+    """

@@ -557,3 +557,31 @@ def medallion_silver_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return silver.select(
         *[F.col(name).try_cast(dtype).alias(name) for name, dtype in SILVER_SCHEMA.items()]
     )
+
+
+@register(
+    "dedup_edit_verified",
+    oracle=None,  # set immediately below from the oracle builder
+    tags=("dedup", "neardup", "edit-distance", "portable"),
+)
+def dedup_edit_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs confirmed by EDIT DISTANCE (≤10% of the shorter
+    normalized text): SimHash pigeonhole blocking prunes to candidates,
+    ``levenshtein`` verifies — the O(len²) DP never runs on more than
+    the hamming-pruned pair set. The third verification dialect of the
+    dedup family (exact Jaccard, hamming, now edit distance), all over
+    one blocking infrastructure. Levenshtein agrees across engines
+    only on ASCII (DuckDB counts bytes, Spark codepoints) — the shared
+    ``normalized()`` guarantees it."""
+    from rag_lakehouse_spark.operators.dedup_portable import edit_verified_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    return edit_verified_pairs(d, text_col="text", id_col="doc_id")
+
+
+from rag_lakehouse_spark.operators.dedup_portable import (  # noqa: E402
+    edit_verified_pairs_oracle as _ev_oracle,
+)
+from rag_lakehouse_spark.plans import registry as _registry_mod  # noqa: E402
+
+_registry_mod.QUERIES["dedup_edit_verified"].oracle = _ev_oracle("documents")

@@ -103,6 +103,10 @@ def _run(spark, tmp_path, docs, query_name):
         # hash splits, producing real non-zero leak counts
         "corpus_split_leakage",
         "corpus_vocab_stats",
+        # edit-distance verify: duplicated generated docs create real
+        # hamming-0 candidates; unicode docs exercise the ASCII
+        # normalization contract that makes levenshtein portable
+        "dedup_edit_verified",
     ],
 )
 def test_text_query_matches_oracle_on_generated_corpus(
