@@ -95,3 +95,51 @@ def epoch_micros(c: Column) -> Column:
     so a TIMESTAMP_NTZ input is first relabeled via cast (a no-op for
     TIMESTAMP; for NTZ it applies the session timezone, pinned UTC)."""
     return F.unix_micros(c.cast("timestamp"))
+
+
+def bucketed_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    bucket_width: float,
+) -> DataFrame:
+    """Interval-OVERLAP join (both sides are intervals; half-open
+    [start, end)): pairs where ``l_start < r_end AND r_start < l_end``.
+    Both sides explode to their covered buckets and hash-join on bucket
+    id; the duplicate a pair would produce in every shared bucket is
+    avoided WITHOUT a distinct shuffle by keeping the pair only in the
+    bucket containing ``greatest(l_start, r_start)`` — the canonical
+    first bucket of the overlap (the standard dedup-free overlap-join
+    trick).
+
+    Cost: with bucket_width near the typical interval length each side
+    explodes ~2×; the join is a bucket-id hash equi-join — linear, no
+    nested loop, AQE-splittable. Column names must not collide."""
+    if bucket_width <= 0:
+        raise ValueError("bucket_width must be positive")
+
+    def bucketed(df: DataFrame, s: str, e: str, out: str) -> DataFrame:
+        return df.withColumn(
+            out,
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(s) / F.lit(bucket_width)).cast("long"),
+                    F.floor(F.col(e) / F.lit(bucket_width)).cast("long"),
+                )
+            ),
+        )
+
+    l = bucketed(left, l_start, l_end, "__lb")
+    r = bucketed(right, r_start, r_end, "__rb")
+    overlap_start = F.greatest(F.col(l_start), F.col(r_start))
+    cond = (
+        (F.col("__lb") == F.col("__rb"))
+        & (F.col(l_start) < F.col(r_end))
+        & (F.col(r_start) < F.col(l_end))
+        # dedup-free: emit only in the overlap's first bucket
+        & (F.floor(overlap_start / F.lit(bucket_width)).cast("long") == F.col("__lb"))
+    )
+    return l.join(r, cond).drop("__lb", "__rb")

@@ -291,3 +291,69 @@ def events_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("locf_v").alias("locf_value"),
         F.col("interp_v").alias("interp_value"),
     )
+
+
+_FIVE_MIN_US = 300 * 1_000_000
+
+
+@register(
+    "events_interval_overlap_join",
+    oracle=f"""
+    WITH p AS (
+      SELECT event_id AS p_id,
+             epoch_us(date_trunc('second', ts)) AS p_s,
+             epoch_us(date_trunc('second', ts)) + {_TEN_MIN_US} AS p_e
+      FROM events WHERE event_type = 'purchase' AND value > 200
+    ), er AS (
+      SELECT event_id AS e_id,
+             epoch_us(date_trunc('second', ts)) AS e_s,
+             epoch_us(date_trunc('second', ts)) + {_FIVE_MIN_US} AS e_e
+      FROM events WHERE event_type = 'error'
+    )
+    SELECT p_id,
+           CAST(COUNT(*) AS BIGINT) AS n_overlaps,
+           CAST(SUM(least(p_e, e_e) - greatest(p_s, e_s)) AS BIGINT)
+             AS overlap_us
+    FROM p JOIN er ON p_s < e_e AND e_s < p_e
+    GROUP BY p_id
+    """,
+    tags=("events", "range-join", "interval-overlap"),
+)
+def events_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-OVERLAP join (both sides intervals — the primitive
+    point-in-interval can't express): high-value purchases open
+    10-minute incident windows, errors open 5-minute impact windows;
+    per incident, how many error windows overlap it and for how long
+    (exact summed microseconds). The oracle is the naive quadratic
+    overlap join; the engine runs the bucketed dedup-free plan
+    (``operators.range_join.bucketed_interval_join``) — each interval
+    explodes to ~2 buckets, the pair is emitted only in the overlap's
+    first bucket (no DISTINCT shuffle), and the join is a bucket-id
+    hash equi-join. Second-truncated on BOTH sides (the ns-vs-µs
+    physical precision rule)."""
+    from rag_lakehouse_spark.operators.range_join import bucketed_interval_join
+
+    e = load_table(spark, sf_dir, "events")
+    ts_s = epoch_micros(F.date_trunc("second", F.col("ts")))
+    p = e.filter((F.col("event_type") == "purchase") & (F.col("value") > 200)).select(
+        F.col("event_id").alias("p_id"),
+        ts_s.alias("p_s"),
+        (ts_s + F.lit(_TEN_MIN_US)).alias("p_e"),
+    )
+    er = e.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("e_id"),
+        ts_s.alias("e_s"),
+        (ts_s + F.lit(_FIVE_MIN_US)).alias("e_e"),
+    )
+    joined = bucketed_interval_join(
+        p, er, "p_s", "p_e", "e_s", "e_e", bucket_width=_TEN_MIN_US
+    )
+    return joined.groupBy("p_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_overlaps"),
+        F.sum(
+            F.least(F.col("p_e"), F.col("e_e"))
+            - F.greatest(F.col("p_s"), F.col("e_s"))
+        )
+        .cast("bigint")
+        .alias("overlap_us"),
+    )

@@ -36,7 +36,7 @@ _offsets = st.one_of(
     ),
     st.integers(min_value=0, max_value=2 * 86400),
 )
-_event_type = st.sampled_from(["click", "view", "purchase", "scroll"])
+_event_type = st.sampled_from(["click", "view", "purchase", "scroll", "error"])
 _props = st.sampled_from(
     [
         None,
@@ -51,7 +51,9 @@ _event = st.tuples(
     _offsets,
     st.one_of(st.none(), st.integers(min_value=0, max_value=2)),  # user_id
     _event_type,
-    st.one_of(st.none(), st.integers(min_value=-400, max_value=400).map(lambda v: v / 4)),
+    # up to ±250 in exact quarters: the >200 incident-window predicates
+    # (events_interval_overlap_join) must actually fire under fuzz
+    st.one_of(st.none(), st.integers(min_value=-1000, max_value=1000).map(lambda v: v / 4)),
     _props,
 )
 _events = st.lists(_event, min_size=1, max_size=12)
@@ -82,6 +84,9 @@ QUERIES = [
     # defines as a gap; single-event tables exercise the no-prev/no-next
     # envelope NULLs
     "events_gapfill_interpolate",
+    # interval-overlap: generated boundary instants create touching
+    # endpoints (half-open: excluded) and identical windows
+    "events_interval_overlap_join",
 ]
 
 

@@ -207,3 +207,38 @@ def test_gapfill_envelope_is_null_and_null_sum_is_gap(spark):
     assert out[0] == (None, None)          # before first observation
     assert out[1] == (30.0, 30.0)
     assert out[2] == (30.0, None)          # after last: locf carries, interp can't
+
+
+def test_bucketed_interval_join_matches_naive(spark):
+    """The dedup-free bucketed overlap join must equal the naive
+    quadratic overlap join exactly — including intervals spanning many
+    buckets, touching endpoints (half-open: no overlap), and identical
+    intervals."""
+    from rag_lakehouse_spark.operators.range_join import bucketed_interval_join
+
+    left = spark.createDataFrame(
+        [(1, 0, 100), (2, 50, 60), (3, 100, 200), (4, 995, 1005)],
+        "l_id long, l_s long, l_e long",
+    )
+    right = spark.createDataFrame(
+        [(10, 90, 110), (11, 60, 70), (12, 0, 1000), (13, 100, 100)],
+        "r_id long, r_s long, r_e long",
+    )
+    got = {
+        (r["l_id"], r["r_id"])
+        for r in bucketed_interval_join(
+            left, right, "l_s", "l_e", "r_s", "r_e", bucket_width=25
+        ).collect()
+    }
+    naive = {
+        (r["l_id"], r["r_id"])
+        for r in left.join(
+            right,
+            (F.col("l_s") < F.col("r_e")) & (F.col("r_s") < F.col("l_e")),
+        ).collect()
+    }
+    assert got == naive
+    assert (1, 11) in got          # fully contained
+    assert (3, 10) in got          # partial overlap
+    assert (2, 11) not in got      # touching endpoints, half-open
+    assert (4, 12) in got          # spans many buckets on the right side
