@@ -494,3 +494,182 @@ def rag_retrieve_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return rer.orderBy(F.desc("dense_score"), F.asc("doc_id")).limit(10)
+
+
+RM3_FB_DOCS = 10   # pseudo-relevance feedback depth
+RM3_FB_TERMS = 5   # expansion terms added to the query
+
+
+def bm25_scores_dynamic(
+    docs: DataFrame,
+    terms_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 over a DYNAMIC term set (a 1-column ``term`` DataFrame):
+    the static per-term pivot that makes the fixed-terms scorer's
+    double addition order deterministic can't exist here, so each
+    doc's contributions are summed by an explicit TERM-SORTED left
+    fold — bit-reproducible on any partitioning, and mirrored in the
+    oracle by ``list_reduce(list_prepend(0e0, array_agg(contrib ORDER
+    BY term)))``. Same K1/B arithmetic as ``bm25_from_stats``.
+
+    Scale: identical to the static scorer (tf filtered by a broadcast
+    semi-join against the term set instead of an IN literal)."""
+    lens = docs.select(F.col(id_col), F.size(_toks(text_col)).alias("dl"))
+    tf = (
+        docs.select(F.col(id_col), F.explode(_toks(text_col)).alias("term"))
+        .filter(F.col("term") != "")
+        .join(F.broadcast(terms_df), "term")
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    stats = lens.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    idf = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(stats.select("n_docs")))
+        .select(
+            "term",
+            F.round(
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5))
+                ),
+                9,
+            ).alias("idf"),
+        )
+    )
+    contrib = (
+        tf.join(lens, id_col)
+        .join(F.broadcast(idf), "term")
+        .crossJoin(F.broadcast(stats.select("avgdl")))
+        .select(
+            F.col(id_col),
+            "term",
+            (
+                F.col("idf")
+                * (F.col("tf") * F.lit(K1 + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(K1)
+                    * (F.lit(1.0 - B) + F.lit(B) * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("contrib"),
+        )
+    )
+    folded = F.aggregate(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("term", "contrib"))),
+            lambda x: x["contrib"],
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return contrib.groupBy(id_col).agg(folded.alias("score"))
+
+
+def _duckdb_rm3_oracle() -> str:
+    in_list = ", ".join(f"'{t}'" for t in QUERY_TERMS)
+    contrib = (
+        f"idf.idf * (t.tf * {K1 + 1.0!r}e0)"
+        f" / (t.tf + {K1!r}e0 * ({1.0 - B!r}e0 + {B!r}e0 * l.dl / s.avgdl))"
+    )
+    return f"""
+    WITH {_duckdb_bm25_ctes()},
+    top10 AS (
+      SELECT doc_id FROM bm25 ORDER BY score DESC, doc_id LIMIT {RM3_FB_DOCS}
+    ),
+    alltf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM (
+        SELECT doc_id, unnest({_DUCK_TOKS}) AS term FROM documents)
+      WHERE term <> '' GROUP BY doc_id, term
+    ),
+    expansion AS (
+      SELECT term FROM alltf JOIN top10 USING (doc_id)
+      WHERE term NOT IN ({in_list})
+      GROUP BY term ORDER BY CAST(SUM(tf) AS BIGINT) DESC, term
+      LIMIT {RM3_FB_TERMS}
+    ),
+    terms2 AS (
+      SELECT term FROM expansion
+      UNION ALL SELECT unnest([{in_list}]) AS term
+    ),
+    tf2 AS (SELECT a.* FROM alltf a JOIN terms2 USING (term)),
+    idf2 AS (
+      SELECT term,
+             round(ln(1e0 + (n_docs - df + 5e-1) / (df + 5e-1)), 9) AS idf
+      FROM (SELECT term, COUNT(*) AS df FROM tf2 GROUP BY term), stats
+    ),
+    contrib2 AS (
+      SELECT t.doc_id, t.term, {contrib.replace('idf.idf', 'idf2.idf')} AS contrib
+      FROM tf2 t JOIN lens l ON l.doc_id = t.doc_id
+      JOIN idf2 ON idf2.term = t.term, stats s
+    ),
+    rescored AS (
+      SELECT doc_id,
+             list_reduce(list_prepend(0e0, array_agg(contrib ORDER BY term)),
+                         (a, b) -> a + b) AS score
+      FROM contrib2 GROUP BY doc_id
+    )
+    SELECT doc_id, score FROM rescored ORDER BY score DESC, doc_id LIMIT 10
+    """
+
+
+@register(
+    "rag_rm3_expansion",
+    oracle=None,  # set below (builder needs module constants)
+    tags=("rag", "search", "query-expansion", "rm3"),
+)
+def rag_rm3_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RM3-style pseudo-relevance feedback: BM25 top-10 for the
+    original query → the 5 highest-tf new terms in those docs (integer
+    selection, lexicographic tie-break) join the query → the expanded
+    query rescores the corpus → top-10. The classic recall-widening
+    second pass, end-to-end deterministic: expansion is integer
+    arithmetic and the dynamic-term rescore folds contributions in
+    term order (``bm25_scores_dynamic``), so the doubles agree
+    bit-for-bit across engines without a static pivot.
+
+    Scale: stage 1 is the standard BM25 plan; expansion selection
+    aggregates tf over 10 docs (broadcast semi-join); stage 2 is BM25
+    again with a 10-term broadcast set. Corpus scanned twice, shuffles
+    bounded by |docs| × |terms| both times."""
+    d = load_table(spark, sf_dir, "documents")
+    top10 = (
+        bm25_scores(d)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(RM3_FB_DOCS)
+        .select("doc_id")
+    )
+    alltf = (
+        d.select("doc_id", F.explode(_toks("text")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    expansion = (
+        alltf.join(F.broadcast(top10), "doc_id")
+        .filter(~F.col("term").isin(*QUERY_TERMS))
+        .groupBy("term")
+        .agg(F.sum("tf").cast("bigint").alias("total_tf"))
+        .orderBy(F.desc("total_tf"), F.asc("term"))
+        .limit(RM3_FB_TERMS)
+        .select("term")
+    )
+    orig = spark.createDataFrame([(t,) for t in QUERY_TERMS], "term string")
+    terms2 = expansion.unionByName(orig)
+    return (
+        bm25_scores_dynamic(d, terms2)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+from rag_lakehouse_spark.plans import registry as _registry  # noqa: E402
+
+_registry.QUERIES["rag_rm3_expansion"].oracle = _duckdb_rm3_oracle()
