@@ -85,6 +85,7 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_edit_verified",         # NEW: edit-distance-verified near-dup pairs (r7 tail)
     "events_interval_overlap_join",  # NEW: dedup-free bucketed interval-overlap join (r7 tail)
     "rag_rm3_expansion",           # NEW: RM3 pseudo-relevance feedback, term-sorted fold (r7 tail)
+    "events_lag_features",         # NEW: forecasting lag/rolling feature matrix (r7 tail)
     "corpus_semantic_decontaminate",  # NEW: embedding-space decontamination (r7 tail)
     "dedup_semantic_canonicals",  # NEW: SemDeDup end-to-end decision (r7 tail)
     "rag_bm25_topk",              # NEW: BM25 lexical retrieval (r7 tail)

@@ -357,3 +357,65 @@ def events_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("overlap_us"),
     )
+
+
+@register(
+    "events_lag_features",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS b,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS v
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, strftime(b, '%Y-%m-%d %H:%M:%S') AS bucket_start, n,
+           LAG(n, 1) OVER w AS n_lag1,
+           LAG(n, 24) OVER w AS n_lag24,
+           CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY b
+                ROWS BETWEEN 23 PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS n_roll24,
+           v,
+           LAG(v, 1) OVER w AS v_lag1,
+           CAST(COUNT(*) OVER (PARTITION BY event_type ORDER BY b
+                ROWS BETWEEN 23 PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS window_rows
+    FROM hourly
+    WINDOW w AS (PARTITION BY event_type ORDER BY b)
+    """,
+    tags=("events", "timeseries", "features", "training-data"),
+)
+def events_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supervised-forecasting feature matrix from the hourly series:
+    per (event_type, hour), the previous-hour and same-hour-yesterday
+    lags, a 24-hour rolling count, and the rolling-window row count
+    (so the consumer can mask partial windows at the series head) —
+    the standard lag/rolling feature prep a demand-forecast trainer
+    consumes. The rolling value mean is left to the consumer as
+    n_roll24-style exact sums (an order-dependent AVG of doubles would
+    break cross-engine exactness; sums are decimal-exact).
+
+    Scale: windows run over the AGGREGATED (type × hour) grid —
+    bounded by calendar span, the gap-fill argument; lags within a
+    type sort once per partition key."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("b")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("v"),
+    )
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("event_type").orderBy("b")
+    w24 = w.rowsBetween(-23, W.currentRow)
+    return hourly.select(
+        "event_type",
+        F.date_format("b", "yyyy-MM-dd HH:mm:ss").alias("bucket_start"),
+        "n",
+        F.lag("n", 1).over(w).alias("n_lag1"),
+        F.lag("n", 24).over(w).alias("n_lag24"),
+        F.sum("n").over(w24).cast("bigint").alias("n_roll24"),
+        "v",
+        F.lag("v", 1).over(w).alias("v_lag1"),
+        F.count(F.lit(1)).over(w24).cast("bigint").alias("window_rows"),
+    )

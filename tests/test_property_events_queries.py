@@ -87,6 +87,9 @@ QUERIES = [
     # interval-overlap: generated boundary instants create touching
     # endpoints (half-open: excluded) and identical windows
     "events_interval_overlap_join",
+    # lag features: generated sparse series stress the partial-window
+    # head (lag NULLs, window_rows < 24) and same-instant hour ties
+    "events_lag_features",
 ]
 
 
