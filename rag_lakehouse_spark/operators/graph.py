@@ -118,3 +118,63 @@ def bounded_path_counts(
         F.min("hops").cast("int").alias("hops"),
         F.sum("n_paths").alias("n_paths"),
     )
+
+
+def triangle_counts(
+    edges: DataFrame, id_a: str = "a", id_b: str = "b"
+) -> DataFrame:
+    """Per-node triangle counts over an undirected edge set (one row
+    per edge, ``id_a < id_b``), via DEGREE ORIENTATION — the standard
+    scale trick: direct every edge from the (degree, id)-smaller
+    endpoint to the larger, so every triangle is enumerated exactly
+    once from its lowest-order corner and each wedge join fans out by
+    a node's OUT-degree, which orientation bounds by O(sqrt(|E|))
+    even for hub nodes (a plain neighbor join fans out by total
+    degree — quadratic in the hub). Returns (node, degree,
+    n_triangles) for every node with degree ≥ 1.
+
+    The edge set is consumed by four plans (degrees, orientation, the
+    wedge self-join, the closing check) — eager localCheckpoint per
+    the multi-consumer rule."""
+    e = edges.select(F.col(id_a).alias("a"), F.col(id_b).alias("b")).localCheckpoint(
+        eager=True
+    )
+    nodes = e.select(F.col("a").alias("node")).unionAll(
+        e.select(F.col("b").alias("node"))
+    )
+    deg = nodes.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+    keyed = (
+        e.join(deg.withColumnRenamed("node", "a").withColumnRenamed("deg", "da"), "a")
+        .join(deg.withColumnRenamed("node", "b").withColumnRenamed("deg", "db"), "b")
+    )
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = keyed.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        F.when(
+            a_first, F.struct(F.col("db").alias("d"), F.col("b").alias("i"))
+        )
+        .otherwise(F.struct(F.col("da").alias("d"), F.col("a").alias("i")))
+        .alias("dst_key"),
+    ).localCheckpoint(eager=True)
+    w1 = oriented.select("src", F.col("dst").alias("v"), F.col("dst_key").alias("vk"))
+    w2 = oriented.select("src", F.col("dst").alias("w"), F.col("dst_key").alias("wk"))
+    wedges = w1.join(w2, "src").filter(F.col("vk") < F.col("wk")).select(
+        "src", "v", "w"
+    )
+    closing = oriented.select(
+        F.col("src").alias("v"), F.col("dst").alias("w")
+    )
+    tris = wedges.join(closing, ["v", "w"], "left_semi")
+    per_node = (
+        tris.select(F.explode(F.array("src", "v", "w")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return deg.join(per_node, "node", "left").select(
+        "node",
+        F.col("deg").cast("bigint").alias("degree"),
+        F.coalesce(F.col("n_triangles"), F.lit(0)).cast("bigint").alias("n_triangles"),
+    )

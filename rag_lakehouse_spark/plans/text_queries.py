@@ -1058,3 +1058,65 @@ def corpus_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         hapax.cast("bigint").alias("n_hapax"),
         (hapax.cast("double") / F.count(F.lit(1))).alias("hapax_fraction"),
     )
+
+
+@register(
+    "graph_triangle_counts",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, unnest({TX.duckdb_char_shingles('text', 8)}) AS shingle
+      FROM documents
+    ),
+    sized AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 100),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM sh a
+      JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      JOIN rare r ON a.shingle = r.shingle
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    jac AS (
+      SELECT doc_a, doc_b FROM cand
+      JOIN sized sa ON sa.doc_id = doc_a
+      JOIN sized sb ON sb.doc_id = doc_b
+      WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+    ),
+    deg AS (
+      SELECT node, COUNT(*) AS deg FROM (
+        SELECT doc_a AS node FROM jac UNION ALL SELECT doc_b FROM jac)
+      GROUP BY node
+    ),
+    tri AS (
+      SELECT e1.doc_a AS x, e1.doc_b AS y, e2.doc_b AS z
+      FROM jac e1
+      JOIN jac e2 ON e2.doc_a = e1.doc_b
+      JOIN jac e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+    ),
+    per_node AS (
+      SELECT node, COUNT(*) AS nt FROM (
+        SELECT x AS node FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri)
+      GROUP BY node
+    )
+    SELECT d.node, CAST(d.deg AS BIGINT) AS degree,
+           CAST(COALESCE(nt, 0) AS BIGINT) AS n_triangles
+    FROM deg d LEFT JOIN per_node p ON p.node = d.node
+    """,
+    tags=("graph", "triangles", "dedup"),
+)
+def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the deterministic n-gram-Jaccard
+    near-dup graph — dup-clique density (a node in many triangles sits
+    in a tight duplicate clique, not a chain of borderline matches;
+    the signal that separates "true dup cluster" from transitive
+    drift). The engine runs DEGREE-ORIENTED enumeration
+    (``operators.graph.triangle_counts``: every triangle found once
+    from its lowest-(degree,id) corner, wedge fan-out bounded by
+    out-degree ≈ sqrt(|E|) even at hubs); the oracle is the plain
+    three-way id-ordered self-join — same triangles, either way."""
+    from rag_lakehouse_spark.operators.graph import triangle_counts
+
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    return triangle_counts(pairs, "doc_a", "doc_b")

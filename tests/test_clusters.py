@@ -90,3 +90,36 @@ def test_recursive_cte_twin_matches_frontier(spark, sf_dir):
     }
     assert literal == frontier
     assert len(frontier) > 0
+
+
+def test_triangle_counts_match_bruteforce(spark):
+    """Degree-oriented enumeration == brute force on graphs with hubs,
+    cliques, ties in degree, and isolated edges."""
+    from itertools import combinations
+
+    from rag_lakehouse_spark.operators.graph import triangle_counts
+
+    # K4 clique (0-3), a hub (10) joined to 0,1,4,5, a path 4-5-6,
+    # an isolated edge 7-8
+    edges = (
+        list(combinations(range(4), 2))
+        + [(0, 10), (1, 10), (4, 10), (5, 10)]
+        + [(4, 5), (5, 6), (7, 8)]
+    )
+    df = spark.createDataFrame(edges, "a long, b long")
+    got = {
+        r["node"]: (r["degree"], r["n_triangles"])
+        for r in triangle_counts(df).collect()
+    }
+
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = {}
+    for n, nbrs in adj.items():
+        t = sum(1 for v, w in combinations(sorted(nbrs), 2) if w in adj[v])
+        want[n] = (len(nbrs), t)
+    assert got == want
+    assert got[0][1] == 4  # K4 corner: 3 clique triangles + (0,1,10)
+    assert got[7] == (1, 0)

@@ -111,6 +111,8 @@ def _run(spark, tmp_path, docs, query_name):
         # terms degenerate (ties everywhere) — the integer selection
         # and term-sorted fold must still agree
         "rag_rm3_expansion",
+        # triangles: duplicated generated docs form real dup cliques
+        "graph_triangle_counts",
     ],
 )
 def test_text_query_matches_oracle_on_generated_corpus(
