@@ -441,3 +441,73 @@ def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("anchor_id", "vec_id", "label", "score")
     )
+
+
+@register(
+    "embedding_mutual_nn",
+    oracle=f"""
+    WITH e AS ({_E_NORMED}),
+    scored AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst, {_DOT_BA_OVER_NORMS} AS score
+      FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id
+    ),
+    top1 AS (
+      SELECT src, dst, score,
+             ROW_NUMBER() OVER (PARTITION BY src ORDER BY score DESC, dst) AS rn
+      FROM scored QUALIFY rn = 1
+    )
+    SELECT t1.src AS vec_a, t1.dst AS vec_b, t1.score
+    FROM top1 t1 JOIN top1 t2 ON t2.src = t1.dst AND t2.dst = t1.src
+    WHERE t1.src < t1.dst
+    """,
+    tags=("vector", "dedup", "mutual-nn"),
+)
+def embedding_mutual_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual nearest neighbors: pairs where each vector is the
+    OTHER's top-1 cosine neighbor inside its label block — the
+    strictest near-dup signal (used for translation-pair mining and
+    as a SemDeDup refinement: mutual-NN pairs are dup candidates with
+    far higher precision than any fixed threshold). Top-1 per vector
+    via WindowGroupLimit (pruned before the shuffle), then the
+    mutuality self-join on the tiny top-1 relation.
+
+    Scale: label blocking stands in for k-means cells as everywhere in
+    the vector family; the mutual join touches |V| rows, not pairs."""
+    e = _normed(load_table(spark, sf_dir, "embeddings"))
+    a = e.select(
+        F.col("vec_id").alias("src"),
+        F.col("label").alias("l"),
+        F.col("embedding").alias("a_emb"),
+        F.col("nrm").alias("a_nrm"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("dst"),
+        F.col("label").alias("l"),
+        F.col("embedding").alias("b_emb"),
+        F.col("nrm").alias("b_nrm"),
+    )
+    scored = a.join(b, ["l"]).filter(F.col("src") != F.col("dst")).select(
+        "src",
+        "dst",
+        (
+            VEC.dot("b_emb", "a_emb")
+            / (F.col("b_nrm") * F.col("a_nrm") + F.lit(1e-24))
+        ).alias("score"),
+    )
+    w = W.partitionBy("src").orderBy(F.desc("score"), F.asc("dst"))
+    top1 = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .localCheckpoint(eager=True)  # consumed twice by the mutual join
+    )
+    t2 = top1.select(
+        F.col("src").alias("dst"), F.col("dst").alias("src")
+    )
+    return (
+        top1.join(t2, ["src", "dst"], "left_semi")
+        .filter(F.col("src") < F.col("dst"))
+        .select(
+            F.col("src").alias("vec_a"), F.col("dst").alias("vec_b"), "score"
+        )
+    )

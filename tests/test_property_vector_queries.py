@@ -61,6 +61,9 @@ QUERIES = [
     # unique vec_id tiebreaker must resolve them identically), zero
     # vectors score 0.0 via the norm guard
     "embedding_hard_negatives",
+    # mutual-NN: duplicate vectors create exact-tie top-1 races the
+    # unique dst tiebreaker must resolve identically on both engines
+    "embedding_mutual_nn",
 ]
 
 
