@@ -905,3 +905,53 @@ def corpus_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.sum("leaked"), F.lit(0)).cast("bigint").alias("n_leaked"),
         )
     )
+
+
+_P60_F = float(1 << 60)
+
+
+@register(
+    "corpus_weighted_sample",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+             round(
+               -ln(((('0x' || substr(md5('wsamp:1337:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT) + 1)
+                   / {_P60_F!r})
+               / greatest(n_chars, 1), 9) AS sample_key
+      FROM documents
+    )
+    SELECT doc_id, n_chars, sample_key FROM keyed
+    ORDER BY sample_key, doc_id
+    LIMIT 100
+    """,
+    tags=("training-data", "sampling", "weighted"),
+)
+def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, deterministic and
+    engine-portable (Efraimidis-Spirakis exponential race): each doc
+    draws u in (0,1] from the portable seed hash and races with key
+    ``-ln(u) / weight`` (weight = char count, floor 1) — the bottom-100
+    keys are a size-weighted sample, reproducible from the (snapshot,
+    seed) pair like the shard export. Completes the sampling surface:
+    stratified hash thresholds, DSIR importance, mixture budgets, and
+    now weighted WOR.
+
+    Exactness: u is (int64+1)/2^60 — a correctly-rounded cast and a
+    power-of-two division, identical in both engines; the one
+    transcendental (ln) is rounded to 9 decimals on both sides (the
+    BM25-idf precedent). Bottom-k is ORDER BY + LIMIT →
+    TakeOrderedAndProject, no global sort."""
+    from rag_lakehouse_spark.operators.dedup_portable import base60
+
+    d = load_table(spark, sf_dir, "documents")
+    u = (
+        base60(F.concat(F.lit("wsamp:1337:"), F.col("doc_id").cast("string")))
+        + F.lit(1)
+    ) / F.lit(_P60_F)
+    key = F.round(-F.log(u) / F.greatest(F.col("n_chars"), F.lit(1)), 9)
+    return (
+        d.select("doc_id", "n_chars", key.alias("sample_key"))
+        .orderBy(F.asc("sample_key"), F.asc("doc_id"))
+        .limit(100)
+    )

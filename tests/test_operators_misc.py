@@ -158,3 +158,25 @@ def test_strip_boilerplate_removes_shared_lines_preserving_order(spark):
     assert out[2]["cleaned"] == "unique stuff"
     assert out[3]["cleaned"] == "" and out[3]["n_lines"] == 1  # NULL text → one blank line kept
     assert out[3]["n_stripped"] == 0
+
+
+def test_weighted_sample_biases_toward_heavy_docs(spark, sf_dir):
+    """The Efraimidis-Spirakis race must actually weight: the sampled
+    docs' mean char count exceeds the population mean (deterministic
+    for the fixed seed — measured 350 vs 306 at sf0.001), and the
+    sample is exactly the requested size with no duplicates."""
+    from rag_lakehouse_spark.plans.registry import QUERIES
+
+    rows = QUERIES["corpus_weighted_sample"].fn(spark, sf_dir).collect()
+    assert len(rows) == 100
+    ids = [r["doc_id"] for r in rows]
+    assert len(set(ids)) == 100  # without replacement
+    sample_mean = sum(r["n_chars"] for r in rows) / len(rows)
+    from rag_lakehouse_spark.sources.tables import load_table
+
+    pop_mean = (
+        load_table(spark, sf_dir, "documents")
+        .agg({"n_chars": "avg"})
+        .collect()[0][0]
+    )
+    assert sample_mean > pop_mean

@@ -113,6 +113,9 @@ def _run(spark, tmp_path, docs, query_name):
         "rag_rm3_expansion",
         # triangles: duplicated generated docs form real dup cliques
         "graph_triangle_counts",
+        # weighted WOR sample: zero-length generated docs exercise the
+        # weight floor; the 9-decimal ln rounding must agree
+        "corpus_weighted_sample",
     ],
 )
 def test_text_query_matches_oracle_on_generated_corpus(
