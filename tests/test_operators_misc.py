@@ -165,9 +165,10 @@ def test_weighted_sample_biases_toward_heavy_docs(spark, sf_dir):
     docs' mean char count exceeds the population mean (deterministic
     for the fixed seed — measured 350 vs 306 at sf0.001), and the
     sample is exactly the requested size with no duplicates."""
-    from rag_lakehouse_spark.plans.registry import QUERIES
+    from rag_lakehouse_spark.plans import registry
 
-    rows = QUERIES["corpus_weighted_sample"].fn(spark, sf_dir).collect()
+    registry._load_all()
+    rows = registry.QUERIES["corpus_weighted_sample"].fn(spark, sf_dir).collect()
     assert len(rows) == 100
     ids = [r["doc_id"] for r in rows]
     assert len(set(ids)) == 100  # without replacement
