@@ -89,6 +89,7 @@ _PRIORITY: tuple[str, ...] = (
     "graph_triangle_counts",       # NEW: degree-oriented triangle counting on the dup graph (r7 tail)
     "embedding_mutual_nn",         # NEW: mutual top-1 neighbor pairs (r7 tail)
     "corpus_weighted_sample",      # NEW: Efraimidis-Spirakis weighted WOR sample (r7 tail)
+    "customer_scd2_merge",         # NEW: SCD2 MERGE emulation driver row (r7 tail)
     "corpus_semantic_decontaminate",  # NEW: embedding-space decontamination (r7 tail)
     "dedup_semantic_canonicals",  # NEW: SemDeDup end-to-end decision (r7 tail)
     "rag_bm25_topk",              # NEW: BM25 lexical retrieval (r7 tail)

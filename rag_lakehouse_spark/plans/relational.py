@@ -853,3 +853,78 @@ def window_ntile_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             (dec_price.cast("double") / F.col("__total")).alias("price_share"),
         )
     )
+
+
+@register(
+    "customer_scd2_merge",
+    oracle="""
+    WITH cur AS (
+      SELECT c_custkey AS k, c_mktsegment AS segment,
+             CAST(c_acctbal AS DOUBLE) AS bal,
+             '2025-01-01 00:00:00' AS effective_from,
+             CAST(NULL AS VARCHAR) AS effective_to,
+             TRUE AS is_current
+      FROM customer
+    ), upd AS (
+      SELECT k, 'MOVED' AS segment, bal + 100 AS bal FROM cur WHERE k % 10 = 0
+      UNION ALL SELECT k, segment, bal FROM cur WHERE k % 10 = 1
+      UNION ALL SELECT k + 1000000, segment, bal FROM cur WHERE k % 10 = 2
+    ), affected AS (
+      SELECT u.k FROM upd u JOIN cur c ON c.k = u.k AND c.is_current
+      WHERE u.segment IS DISTINCT FROM c.segment
+         OR u.bal IS DISTINCT FROM c.bal
+      UNION
+      SELECT u.k FROM upd u WHERE u.k NOT IN (SELECT k FROM cur WHERE is_current)
+    )
+    SELECT k, segment, bal, effective_from, effective_to, is_current
+    FROM cur WHERE k NOT IN (SELECT k FROM affected)
+    UNION ALL
+    SELECT k, segment, bal, effective_from,
+           '2026-01-01 00:00:00', FALSE
+    FROM cur WHERE k IN (SELECT k FROM affected) AND is_current
+    UNION ALL
+    SELECT u.k, u.segment, u.bal, '2026-01-01 00:00:00',
+           CAST(NULL AS VARCHAR), TRUE
+    FROM upd u WHERE u.k IN (SELECT k FROM affected)
+    """,
+    tags=("scd2", "merge", "dimension"),
+)
+def customer_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 MERGE as a driver row: the customer dimension loads as
+    all-open versions, then a deterministic update batch (every 10th
+    key changes segment+balance, the next tenth arrives unchanged —
+    change detection must pass it through untouched — and another
+    tenth arrives as brand-new keys) runs through
+    ``operators.scd.scd2_apply``; output is the full version table
+    (closed + reopened + untouched). The oracle replicates the
+    anti-join + union MERGE emulation in SQL. Turns the SCD machinery's
+    pytest-only evidence into a hash-checked external row.
+
+    Scale: see scd2_apply — two key shuffles, history rewrites only
+    the touched keys' current rows; with Delta/Iceberg jars this
+    collapses into one MERGE INTO."""
+    from rag_lakehouse_spark.operators.scd import scd2_apply
+
+    c = load_table(spark, sf_dir, "customer")
+    cur = c.select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_acctbal").cast("double").alias("bal"),
+        F.lit("2025-01-01 00:00:00").alias("effective_from"),
+        F.lit(None).cast("string").alias("effective_to"),
+        F.lit(True).alias("is_current"),
+    )
+    upd = (
+        cur.filter(F.col("k") % 10 == 0).select(
+            "k", F.lit("MOVED").alias("segment"), (F.col("bal") + 100).alias("bal")
+        )
+        .unionByName(cur.filter(F.col("k") % 10 == 1).select("k", "segment", "bal"))
+        .unionByName(
+            cur.filter(F.col("k") % 10 == 2).select(
+                (F.col("k") + 1000000).alias("k"), "segment", "bal"
+            )
+        )
+    )
+    return scd2_apply(
+        cur, upd, "k", ("segment", "bal"), batch_ts="2026-01-01 00:00:00"
+    )
