@@ -419,3 +419,53 @@ def events_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag("v", 1).over(w).alias("v_lag1"),
         F.count(F.lit(1)).over(w24).cast("bigint").alias("window_rows"),
     )
+
+
+@register(
+    "events_anomaly_days",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS d, COUNT(*) AS c
+      FROM events GROUP BY 1, 2
+    ), stats AS (
+      SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(c) AS BIGINT) AS s,
+             CAST(SUM(c * c) AS BIGINT) AS q
+      FROM daily GROUP BY 1
+    )
+    SELECT d.event_type, strftime(d.d, '%Y-%m-%d') AS day,
+           CAST(d.c AS BIGINT) AS n_events,
+           (d.c * n - s) * (d.c * n - s) > 4 * (n * q - s * s) AS is_anomaly
+    FROM daily d JOIN stats USING (event_type)
+    """,
+    tags=("events", "timeseries", "anomaly", "monitoring"),
+)
+def events_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly monitoring with ZERO floats: a day is anomalous
+    when its count deviates from its event type's mean by more than
+    two standard deviations — evaluated as the integer identity
+    ``(x*N - S)^2 > 4*(N*Q - S^2)`` (S = Σcount, Q = Σcount², N =
+    days), which is |x-μ| > 2σ with both sides multiplied by N². No
+    mean, no sqrt, no cross-engine ulp surface anywhere — the pattern
+    for shipping ANY z-score-style gate exactly.
+
+    Scale: the daily rollup is the only data-sized aggregate; stats
+    are per-type rows broadcast back."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("d")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").cast("bigint").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("q"),
+    )
+    dev = F.col("c") * F.col("n") - F.col("s")
+    return daily.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.col("c").cast("bigint").alias("n_events"),
+        (dev * dev > 4 * (F.col("n") * F.col("q") - F.col("s") * F.col("s"))).alias(
+            "is_anomaly"
+        ),
+    )

@@ -90,6 +90,9 @@ QUERIES = [
     # lag features: generated sparse series stress the partial-window
     # head (lag NULLs, window_rows < 24) and same-instant hour ties
     "events_lag_features",
+    # anomaly days: tiny generated tables make N=1 groups (variance 0,
+    # strict > keeps the single day non-anomalous) and exact-tie days
+    "events_anomaly_days",
 ]
 
 
