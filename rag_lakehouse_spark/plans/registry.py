@@ -91,6 +91,7 @@ _PRIORITY: tuple[str, ...] = (
     "corpus_weighted_sample",      # NEW: Efraimidis-Spirakis weighted WOR sample (r7 tail)
     "customer_scd2_merge",         # NEW: SCD2 MERGE emulation driver row (r7 tail)
     "events_anomaly_days",         # NEW: integer-exact 2-sigma volume anomalies (r7 tail)
+    "quality_gate_per_source",     # NEW: per-source 60% fluency gate, integer rank cut (r7 tail)
     "corpus_semantic_decontaminate",  # NEW: embedding-space decontamination (r7 tail)
     "dedup_semantic_canonicals",  # NEW: SemDeDup end-to-end decision (r7 tail)
     "rag_bm25_topk",              # NEW: BM25 lexical retrieval (r7 tail)

@@ -1120,3 +1120,64 @@ def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
     return triangle_counts(pairs, "doc_a", "doc_b")
+
+
+@register(
+    "quality_gate_per_source",
+    oracle=f"""
+    WITH {_SURPRISAL_CTES},
+    m AS (
+      SELECT sc.doc_id, d.source,
+             CAST(sc.total_bits AS DOUBLE) / sc.n_tokens AS mean_bits
+      FROM sc JOIN documents d ON d.doc_id = sc.doc_id
+    ), ranked AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY mean_bits, doc_id) AS rk,
+             COUNT(*) OVER (PARTITION BY source) AS n
+      FROM m
+    )
+    SELECT source,
+           CAST(MAX(n) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN rk * 5 <= n * 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           MAX(CASE WHEN rk * 5 <= n * 3 THEN mean_bits END) AS gate_bits
+    FROM ranked GROUP BY source
+    """,
+    tags=("text", "quality", "mixture", "training-data"),
+)
+def quality_gate_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-SOURCE quality gating (the CCNet practice: an absolute
+    quality threshold over-prunes noisy sources and under-prunes clean
+    ones, so each source keeps its own most-fluent 60% by mean unigram
+    surprisal). Reports per source the doc count, kept count, and the
+    resulting per-source bits threshold — the inputs a mixture build
+    feeds to its sampler. Gate membership is an INTEGER rank compare
+    (rk*5 ≤ n*3), so the 60% cut has no float surface; the reported
+    threshold is a MAX over bit-identical doubles.
+
+    Scale: the per-source window runs over per-doc aggregate rows
+    (one per doc), partitioned by source — each source sorts
+    independently; everything upstream is the surprisal plan."""
+    from pyspark.sql.window import Window as W
+
+    sc = _surprisal_per_doc(spark, sf_dir).filter(F.col("n_tokens") > 0)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    m = sc.join(d, "doc_id").select(
+        "doc_id",
+        "source",
+        (F.col("total_bits").cast("double") / F.col("n_tokens")).alias("mean_bits"),
+    )
+    w = W.partitionBy("source").orderBy("mean_bits", "doc_id")
+    ranked = m.select(
+        "source",
+        "mean_bits",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(W.partitionBy("source")).alias("n"),
+    )
+    kept = F.col("rk") * 5 <= F.col("n") * 3
+    return ranked.groupBy("source").agg(
+        F.max("n").cast("bigint").alias("n_docs"),
+        F.sum(F.when(kept, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+        F.max(F.when(kept, F.col("mean_bits"))).alias("gate_bits"),
+    )

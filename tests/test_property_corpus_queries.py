@@ -116,6 +116,9 @@ def _run(spark, tmp_path, docs, query_name):
         # weighted WOR sample: zero-length generated docs exercise the
         # weight floor; the 9-decimal ln rounding must agree
         "corpus_weighted_sample",
+        # per-source gate: tied mean_bits across generated dup docs
+        # exercise the unique-doc_id rank tiebreaker
+        "quality_gate_per_source",
     ],
 )
 def test_text_query_matches_oracle_on_generated_corpus(
