@@ -39,7 +39,7 @@ from collections import Counter
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from rag_lakehouse_spark.functions.text import WS
+from rag_lakehouse_spark.functions.text import WS, edge_trim
 
 
 def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -48,7 +48,7 @@ def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     return (
         df.select(
             F.explode(
-                F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), WS)
+                F.split(edge_trim(F.coalesce(F.col(text_col), F.lit(""))), WS)
             ).alias("word")
         )
         .filter(F.col("word") != "")

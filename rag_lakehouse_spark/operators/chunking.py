@@ -26,6 +26,21 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+# The exact Unicode White_Space set — what Java's (?U)\s (used by
+# chunk_sentences' keep-filter) matches. Python's bare str.strip() is
+# NOT this set: it also strips U+001C..U+001F (file/group/record/unit
+# separators, isspace() in Python but not White_Space in Unicode), so a
+# sentence of only '\x1c' would be kept by the Spark chunker and
+# dropped by a bare-.strip() Python twin. Every Python-side emptiness
+# check in this module must use s.strip(WHITE_SPACE) — same latent
+# class as the TX.WS "never bare \s" rule.
+WHITE_SPACE = (
+    "\t\n\x0b\f\r \x85\xa0\u1680"
+    "\u2000\u2001\u2002\u2003\u2004\u2005\u2006\u2007\u2008\u2009\u200a"
+    "\u2028\u2029\u202f\u205f\u3000"
+)
+
+
 def _chunk_array_fixed(text: Column, size: int) -> Column:
     """array<string> of fixed-size windows; 1-based substring positions
     (empty text still yields one empty chunk, mirroring the oracle's
@@ -147,7 +162,7 @@ def chunk_semantic(
                 sents = [
                     s
                     for s in re.split(r"(?<=[.!?])[ \t\n\x0B\f\r]+", text or "")
-                    if s.strip()
+                    if s.strip(WHITE_SPACE)
                 ]
                 if len(sents) <= 1:
                     rows.append((rid, 1, text or ""))

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from rag_lakehouse_spark.functions.text import (
     WS,
+    edge_trim,
     normalized_relation,
     shingles_from_norm,
 )
@@ -310,7 +311,7 @@ def simhash_docs(
     every operator primitive, and map-side partial combine means the
     shuffle carries docs×64 longs, exactly like MinHash."""
     df = _fan_out(df)
-    toks = F.split(F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), WS)
+    toks = F.split(edge_trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), WS)
     rows = df.select(F.col(id_col), F.explode(toks).alias("__tok")).select(
         F.col(id_col), F.xxhash64("__tok").alias("__h")
     )

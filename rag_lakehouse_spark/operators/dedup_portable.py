@@ -37,7 +37,7 @@ import hashlib
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from rag_lakehouse_spark.functions.text import WS, normalized_relation
+from rag_lakehouse_spark.functions.text import WS, edge_trim, normalized_relation
 from rag_lakehouse_spark.functions.util import fan_out
 from rag_lakehouse_spark.operators.dedup import exact_jaccard_verify
 
@@ -295,7 +295,7 @@ def _portable_token_hashes(
     """(id, base60(token)) rows — whitespace tokens of the lowercased
     trimmed text, NULL → the single empty token (same contract as
     ``dedup.simhash_docs``)."""
-    toks = F.split(F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), WS)
+    toks = F.split(edge_trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), WS)
     return (
         fan_out(df)
         .select(F.col(id_col), F.explode(toks).alias("__tok"))
@@ -351,7 +351,7 @@ def _duckdb_simhash_cte(table: str) -> str:
     return f"""
     toks AS (
       SELECT doc_id,
-             unnest(regexp_split_to_array(trim(lower(coalesce(text, ''))), '[ \t\n\x0B\f\r]+'))
+             unnest(regexp_split_to_array(regexp_replace(lower(coalesce(text, '')), '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g'), '[ \t\n\x0B\f\r]+'))
                AS tok
       FROM {table}
     ),

@@ -135,9 +135,19 @@ def triangle_counts(
 
     The edge set is consumed by four plans (degrees, orientation, the
     wedge self-join, the closing check) — eager localCheckpoint per
-    the multi-consumer rule."""
-    e = edges.select(F.col(id_a).alias("a"), F.col(id_b).alias("b")).localCheckpoint(
-        eager=True
+    the multi-consumer rule. The one-row-per-edge ``id_a < id_b``
+    contract is ENFORCED here (least/greatest normalize, self-loop
+    drop, distinct), not just documented: a duplicate or reversed
+    input row would silently inflate degrees and double-count wedges
+    — same defense integer_pagerank applies."""
+    e = (
+        edges.select(
+            F.least(F.col(id_a), F.col(id_b)).alias("a"),
+            F.greatest(F.col(id_a), F.col(id_b)).alias("b"),
+        )
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
     )
     nodes = e.select(F.col("a").alias("node")).unionAll(
         e.select(F.col("b").alias("node"))

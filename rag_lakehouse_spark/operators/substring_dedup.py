@@ -45,7 +45,7 @@ from collections.abc import Callable
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from rag_lakehouse_spark.functions.text import WS
+from rag_lakehouse_spark.functions.text import WS, edge_trim
 from rag_lakehouse_spark.operators.dedup_portable import base60
 
 DEFAULT_K = 15  # tokens per window (synthetic docs average ~54 tokens;
@@ -55,7 +55,7 @@ DEFAULT_K = 15  # tokens per window (synthetic docs average ~54 tokens;
 def _tokens(text_col: str) -> Column:
     """The shared dedup token contract (simhash/BM25): whitespace split
     of the lowercased trimmed text, NULL → single empty token."""
-    return F.split(F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), WS)
+    return F.split(edge_trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), WS)
 
 
 def token_windows(

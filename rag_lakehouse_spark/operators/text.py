@@ -36,8 +36,13 @@ def with_quality_flags(
     max_punct_ratio: float = 0.1,
     max_digit_ratio: float = 0.3,
 ) -> DataFrame:
-    """Append C4/Gopher-style quality ratios + a pass/fail gate."""
-    n = F.length(text_col).cast("double")
+    """Append C4/Gopher-style quality ratios + a pass/fail gate.
+
+    The ratio denominator is floored at 1 (mirroring the tokenizer's
+    single-empty-token contract): an empty text scores 0.0 ratios
+    instead of 0/0 NaN (or a divide-by-zero under ANSI mode) — and
+    still fails the gate on the length band."""
+    n = F.greatest(F.length(text_col), F.lit(1)).cast("double")
     punct = F.length(F.regexp_replace(text_col, "[^.,!?;:]", "")).cast("double") / n
     digit = F.length(F.regexp_replace(text_col, "[^0-9]", "")).cast("double") / n
     return df.withColumns(
@@ -72,7 +77,7 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 def predict_lang(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Append marker-stopword language prediction (pred_lang)."""
-    tok = F.split(F.trim(F.lower(F.col(text_col))), TX.WS)
+    tok = F.split(TX.edge_trim(F.lower(F.col(text_col))), TX.WS)
 
     def _marker_filter(markers: tuple[str, ...]):
         # factory keeps the lambda at arity 1 (a default arg would make
@@ -120,7 +125,7 @@ def boilerplate_lines(
                 "raw_line"
             ),
         )
-        .select(F.col(id_col), F.trim(F.col("raw_line")).alias("line"))
+        .select(F.col(id_col), TX.edge_trim(F.col("raw_line")).alias("line"))
         .filter(F.col("line") != "")
     )
     return (
@@ -155,7 +160,7 @@ def strip_boilerplate(
     )
     kept = lines.join(
         F.broadcast(bp),
-        F.trim(F.col("raw_line")) == F.col("line"),
+        TX.edge_trim(F.col("raw_line")) == F.col("line"),
         "left_anti",
     )
     rebuilt = kept.groupBy(id_col).agg(

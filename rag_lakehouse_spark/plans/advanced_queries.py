@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from rag_lakehouse_spark.functions import vector as VEC
 from rag_lakehouse_spark.functions.text import WS as _WS
+from rag_lakehouse_spark.functions.text import edge_trim as _edge_trim
 from rag_lakehouse_spark.operators.asof import asof_join_backward
 from rag_lakehouse_spark.operators.graph import bounded_path_counts
 from rag_lakehouse_spark.plans.registry import register
@@ -114,9 +115,9 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "exact_percentiles_by_type",
     oracle="""
     SELECT event_type,
-           quantile_cont(value, 0.25) AS p25,
-           quantile_cont(value, 0.5) AS p50,
-           quantile_cont(value, 0.75) AS p75,
+           quantile_cont(CAST(floor(value * 1000) AS BIGINT), 0.25) / 1000.0 AS p25,
+           quantile_cont(CAST(floor(value * 1000) AS BIGINT), 0.5) / 1000.0 AS p50,
+           quantile_cont(CAST(floor(value * 1000) AS BIGINT), 0.75) / 1000.0 AS p75,
            MIN(value) AS v_min,
            MAX(value) AS v_max
     FROM events
@@ -126,14 +127,23 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def exact_percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact linear-interpolation percentiles (Spark ``percentile`` ==
-    DuckDB ``quantile_cont``). The approximate cousin
+    DuckDB ``quantile_cont``) over a MILLI-QUANTIZED value grid:
+    ``floor(value * 1000)`` (floor is engine-identical on doubles —
+    never a double→int CAST, which truncates in Spark and rounds in
+    DuckDB). Exact percentile buffers one entry per distinct input, so
+    raw all-distinct doubles would buffer O(group size) at corpus scale
+    (the VERDICT r7 #2 class); the integer grid bounds the buffer by
+    the value domain × 1000 whatever the row count, at the price of
+    0.001 resolution on the reported quantiles. min/max stay on the raw
+    value (constant state). The approximate cousin
     (percentile_approx/KLL) is in approx_distinct_stats (rows-only:
     sketch internals differ across engines by design)."""
     e = load_table(spark, sf_dir, "events")
+    q = F.floor(F.col("value") * 1000).cast("bigint")
     return e.groupBy("event_type").agg(
-        F.percentile("value", 0.25).alias("p25"),
-        F.percentile("value", 0.5).alias("p50"),
-        F.percentile("value", 0.75).alias("p75"),
+        (F.percentile(q, 0.25) / 1000.0).alias("p25"),
+        (F.percentile(q, 0.5) / 1000.0).alias("p50"),
+        (F.percentile(q, 0.75) / 1000.0).alias("p75"),
         F.min("value").alias("v_min"),
         F.max("value").alias("v_max"),
     )
@@ -212,7 +222,7 @@ def subquery_above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "array_funcs_tokens",
     oracle="""
     WITH toks AS (
-      SELECT doc_id, list_sort(list_distinct(regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+'))) AS tok
+      SELECT doc_id, list_sort(list_distinct(regexp_split_to_array(regexp_replace(text, '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g'), '[ \t\n\x0B\f\r]+'))) AS tok
       FROM documents WHERE doc_id < 100
     )
     SELECT doc_id,
@@ -229,7 +239,7 @@ def array_funcs_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array-function surface: distinct, sort, slice, join, contains,
     element_at (1-based and last)."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    tok = F.array_sort(F.array_distinct(F.split(F.trim("text"), _WS)))
+    tok = F.array_sort(F.array_distinct(F.split(_edge_trim("text"), _WS)))
     return d.select(
         "doc_id",
         F.size(tok).alias("n_distinct_tokens"),

@@ -198,7 +198,7 @@ from rag_lakehouse_spark.operators.substring_dedup import (  # noqa: E402
 )
 
 _DUCK_DEDUP_TOKS = (
-    "regexp_split_to_array(trim(lower(coalesce(text, ''))), '" + TX.DUCKDB_WS + "')"
+    "regexp_split_to_array(" + TX.duckdb_edge_trim("lower(coalesce(text, ''))") + ", '" + TX.DUCKDB_WS + "')"
 )
 
 
@@ -395,7 +395,7 @@ def corpus_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     toks = F.split(
-        F.trim(F.lower(F.coalesce(F.col("text"), F.lit("")))), TX.WS
+        TX.edge_trim(F.lower(F.coalesce(F.col("text"), F.lit("")))), TX.WS
     )
     unigrams = d.select(
         F.col("doc_id"), F.col("lang"), F.explode(toks).alias("feat")
@@ -470,7 +470,7 @@ _H32 = 1 << 32
     oracle=f"""
     WITH toks AS (
       SELECT doc_id, lang,
-             len(regexp_split_to_array(trim(lower(coalesce(text, ''))),
+             len(regexp_split_to_array(regexp_replace(lower(coalesce(text, '')), '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g'),
                  '{TX.DUCKDB_WS}')) AS n_toks,
              (('0x' || substr(md5(text), 1, 8))::BIGINT) AS h32
       FROM documents
@@ -521,7 +521,7 @@ def corpus_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         F.size(
-            F.split(F.trim(F.lower(F.coalesce(F.col("text"), F.lit("")))), TX.WS)
+            F.split(TX.edge_trim(F.lower(F.coalesce(F.col("text"), F.lit("")))), TX.WS)
         ).alias("n_toks"),
         F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("bigint").alias("h32"),
     )
@@ -671,11 +671,11 @@ def corpus_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
              generate_subscripts(string_split(coalesce(text, ''), chr(10)), 1) AS pos
       FROM documents
     ), bp AS (
-      SELECT trim(raw_line) AS line FROM l WHERE trim(raw_line) <> ''
+      SELECT regexp_replace(raw_line, '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g') AS line FROM l WHERE regexp_replace(raw_line, '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g') <> ''
       GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2
     ), kept AS (
       SELECT doc_id, pos, raw_line FROM l
-      WHERE trim(raw_line) NOT IN (SELECT line FROM bp)
+      WHERE regexp_replace(raw_line, '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g') NOT IN (SELECT line FROM bp)
     ), reb AS (
       SELECT doc_id, COUNT(*) AS n_kept,
              string_agg(raw_line, chr(10) ORDER BY pos) AS cleaned

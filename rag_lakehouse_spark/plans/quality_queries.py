@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from rag_lakehouse_spark.functions import text as TX
+
 from rag_lakehouse_spark.plans.registry import register
 from rag_lakehouse_spark.sources.tables import load_table
 
@@ -97,7 +99,7 @@ def dq_orders_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH base AS (
       SELECT 'empty_text' AS check_name,
-             COUNT(*) FILTER (WHERE text IS NULL OR length(trim(text)) = 0) AS n_bad,
+             COUNT(*) FILTER (WHERE text IS NULL OR length(regexp_replace(text, '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g')) = 0) AS n_bad,
              COUNT(*) AS n_rows
       FROM documents
       UNION ALL
@@ -127,7 +129,7 @@ def dq_documents_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     spend. True one-scan: a single agg() emits one wide row of
     conditional aggregates; ``stack`` unpivots to the report shape."""
     d = load_table(spark, sf_dir, "documents")
-    empty = F.col("text").isNull() | (F.length(F.trim(F.col("text"))) == 0)
+    empty = F.col("text").isNull() | (F.length(TX.edge_trim(F.col("text"))) == 0)
     wide = d.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.count(F.when(empty, 1)).alias("empty_text"),

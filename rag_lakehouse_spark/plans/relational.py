@@ -17,6 +17,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from rag_lakehouse_spark.functions import text as TX
+
 from rag_lakehouse_spark.plans.registry import register
 from rag_lakehouse_spark.sources.tables import load_table
 
@@ -538,7 +540,7 @@ def project_cast_null_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
            substring(source, 1, 3) AS src_prefix,
            length(text) AS text_len,
            concat_ws('|', lang, source) AS lang_source,
-           trim(replace(text, 'the', ' ')) <> '' AS has_non_the,
+           regexp_replace(replace(text, 'the', ' '), '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g') <> '' AS has_non_the,
            regexp_replace(text, '\\d+', '#') AS digits_masked
     FROM documents
     """,
@@ -557,7 +559,7 @@ def string_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring("source", 1, 3).alias("src_prefix"),
         F.length("text").alias("text_len"),
         F.concat_ws("|", "lang", "source").alias("lang_source"),
-        (F.trim(F.replace(F.col("text"), F.lit("the"), F.lit(" "))) != "").alias("has_non_the"),
+        (TX.edge_trim(F.replace(F.col("text"), F.lit("the"), F.lit(" "))) != "").alias("has_non_the"),
         F.regexp_replace("text", r"\d+", "#").alias("digits_masked"),
     )
 

@@ -27,7 +27,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from rag_lakehouse_spark.functions import vector as VEC
-from rag_lakehouse_spark.functions.text import DUCKDB_WS, WS
+from rag_lakehouse_spark.functions.text import DUCKDB_WS, WS, duckdb_edge_trim, edge_trim
 from rag_lakehouse_spark.plans.registry import register
 from rag_lakehouse_spark.sources.tables import load_table
 
@@ -45,11 +45,11 @@ def _toks(text_col: str = "text"):
     """Whitespace tokens of the lowercased trimmed text — the simhash
     token contract (NULL → single empty token) so lexical search and
     near-dup fingerprints agree on what a token is."""
-    return F.split(F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), WS)
+    return F.split(edge_trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), WS)
 
 
 _DUCK_TOKS = (
-    "regexp_split_to_array(trim(lower(coalesce(text, ''))), '" + DUCKDB_WS + "')"
+    "regexp_split_to_array(" + duckdb_edge_trim("lower(coalesce(text, ''))") + ", '" + DUCKDB_WS + "')"
 )
 
 

@@ -109,11 +109,11 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_repetition_stats",
     oracle=r"""
     WITH lines AS (
-      SELECT doc_id, trim(l) AS l
+      SELECT doc_id, regexp_replace(l, '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g') AS l
       FROM (SELECT doc_id,
                    unnest(regexp_split_to_array(coalesce(text, ''), '\n')) AS l
             FROM documents)
-      WHERE trim(l) <> ''
+      WHERE regexp_replace(l, '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g') <> ''
     ),
     line_stats AS (
       SELECT doc_id, COUNT(*) AS n_lines, COUNT(DISTINCT l) AS n_dl
@@ -121,7 +121,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     toks AS (
       SELECT doc_id,
-             list_filter(regexp_split_to_array(trim(lower(coalesce(text, ''))),
+             list_filter(regexp_split_to_array(regexp_replace(lower(coalesce(text, '')), '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g'),
                                                '[ \t\n\x0B\f\r]+'), t -> t <> '') AS t
       FROM documents
     ),
@@ -177,7 +177,7 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     lines = (
         d.select("doc_id", F.explode(F.split(txt, "\n")).alias("__l"))
-        .select("doc_id", F.trim("__l").alias("__l"))
+        .select("doc_id", TX.edge_trim("__l").alias("__l"))
         .filter(F.col("__l") != "")
     )
     line_stats = lines.groupBy("doc_id").agg(
@@ -188,7 +188,7 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select(
         "doc_id",
         F.filter(
-            F.split(F.trim(F.lower(txt)), TX.WS), lambda t: t != F.lit("")
+            F.split(TX.edge_trim(F.lower(txt)), TX.WS), lambda t: t != F.lit("")
         ).alias("__t"),
     )
     n_t = F.size("__t")
@@ -251,7 +251,7 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
     WITH t AS (
       SELECT doc_id, source,
-             len(list_filter(regexp_split_to_array(trim(lower(coalesce(text, ''))),
+             len(list_filter(regexp_split_to_array(regexp_replace(lower(coalesce(text, '')), '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g'),
                                                    '[ \t\n\x0B\f\r]+'), x -> x <> '')) AS n_tok
       FROM documents
     ),
@@ -279,30 +279,33 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed-length training sequences (documents may straddle bin
     boundaries; ``n_bins`` counts the spans).
 
-    Scale: the prefix-sum window partitions by ``source``, so packing
-    parallelizes across sources and no global ordering is ever
-    materialized — at 100 TB a single global sequence order would
-    serialize the corpus through one task for zero training benefit
-    (sample order is shuffled downstream anyway). Pure window +
-    integer arithmetic, no Python.
+    Scale: the per-source prefix sum runs as a TWO-PHASE DISTRIBUTED
+    SCAN (``operators.distributed_scan``): range-partition by
+    (source, doc_id), per-chunk subtotals, broadcast base offsets,
+    local prefix windows — the largest single task is one range chunk
+    (corpus/P rows), never one source's whole doc set. A
+    ``Window.partitionBy(source)`` over raw rows would funnel
+    corpus/|sources| rows through ONE sort task at 100 TB
+    (VERDICT r7 #3); a single global order would be worse still, for
+    zero training benefit (sample order is shuffled downstream anyway).
+    Identical integer sums either way — the oracle keeps the plain
+    window form. Pure windows + integer arithmetic, no Python.
     """
-    from pyspark.sql import Window as W
+    from rag_lakehouse_spark.operators.distributed_scan import running_totals
 
     d = load_table(spark, sf_dir, "documents")
     n_tok = F.size(
         F.filter(
-            F.split(F.trim(F.lower(F.coalesce(F.col("text"), F.lit("")))), TX.WS),
+            F.split(TX.edge_trim(F.lower(F.coalesce(F.col("text"), F.lit("")))), TX.WS),
             lambda x: x != F.lit(""),
         )
     )
-    w = (
-        W.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(W.unboundedPreceding, -1)
-    )
-    c = d.select("doc_id", "source", n_tok.alias("n_tok")).withColumn(
-        "seq_offset", F.coalesce(F.sum("n_tok").over(w), F.lit(0)).cast("bigint")
-    )
+    c = running_totals(
+        d.select("doc_id", "source", n_tok.alias("n_tok")),
+        part_cols=["source"],
+        order_cols=["doc_id"],
+        sums={"seq_offset": "n_tok"},
+    ).withColumn("seq_offset", F.col("seq_offset").cast("bigint"))
     last_tok = F.col("seq_offset") + F.greatest(F.col("n_tok") - 1, F.lit(0))
     start_bin = F.expr("seq_offset DIV 2048")
     end_bin = (last_tok - (last_tok % 2048)) / 2048
@@ -326,7 +329,7 @@ def _lang_score_spark(toks, markers):
     oracle="""
     WITH toks AS (
       SELECT doc_id, lang,
-             regexp_split_to_array(trim(lower(coalesce(text, ''))),
+             regexp_split_to_array(regexp_replace(lower(coalesce(text, '')), '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g'),
                                    '[ \t\n\x0B\f\r]+') AS tok
       FROM documents
     ),
@@ -353,7 +356,7 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate language by marker-token hits, argmax with a fixed
     priority order for ties. Pure map — no shuffle."""
     d = load_table(spark, sf_dir, "documents")
-    tok = F.split(F.trim(F.lower(F.coalesce(F.col("text"), F.lit("")))), TX.WS)
+    tok = F.split(TX.edge_trim(F.lower(F.coalesce(F.col("text"), F.lit("")))), TX.WS)
     scores = d.select(
         "doc_id",
         F.col("lang").alias("labeled_lang"),
@@ -909,16 +912,16 @@ def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {_SURPRISAL_CTES},
     m AS (
       SELECT doc_id, n_tokens, total_bits,
-             CAST(total_bits AS DOUBLE) / n_tokens AS mean_bits
+             (total_bits * 1024) // n_tokens AS q_bits
       FROM sc
     ), edges AS (
-      SELECT quantile_cont(mean_bits, {1 / 3!r}) AS e1,
-             quantile_cont(mean_bits, {2 / 3!r}) AS e2
+      SELECT quantile_cont(q_bits, {1 / 3!r}) AS e1,
+             quantile_cont(q_bits, {2 / 3!r}) AS e2
       FROM m
     ), b AS (
       SELECT m.*,
-             CASE WHEN mean_bits <= e1 THEN 'head'
-                  WHEN mean_bits <= e2 THEN 'middle'
+             CASE WHEN q_bits <= e1 THEN 'head'
+                  WHEN q_bits <= e2 THEN 'middle'
                   ELSE 'tail' END AS bucket
       FROM m, edges
     )
@@ -942,19 +945,30 @@ def corpus_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast for the bucket comparison — NOT a global ntile window,
     which would collapse the whole corpus into one sort task at scale.
     Zero-token docs carry no mass and are excluded by construction
-    (their mean is undefined)."""
+    (their mean is undefined).
+
+    The percentile input is QUANTIZED to the integer grid
+    ``(total_bits * 1024) DIV n_tokens`` (millibits-ish per token, in
+    1/1024ths so the division is exact integer arithmetic in both
+    engines). Exact ``percentile``/``quantile_cont`` buffers one entry
+    per DISTINCT input value: over raw mean-bits doubles that is one
+    entry per doc (executor OOM at corpus scale — VERDICT r7 #2), on
+    the quantized grid it is bounded by 1024 × max-bits-per-token
+    (≤ ~65k entries) whatever the corpus size. The grid is fine enough
+    that a tertile edge moves a doc only when its mean is within
+    2^-10 bits of the cut."""
     sc = _surprisal_per_doc(spark, sf_dir)
     m = sc.withColumn(
-        "mean_bits", F.col("total_bits").cast("double") / F.col("n_tokens")
+        "q_bits", F.expr("(total_bits * 1024) DIV n_tokens")
     )
     edges = m.agg(
-        F.percentile("mean_bits", 1 / 3).alias("e1"),
-        F.percentile("mean_bits", 2 / 3).alias("e2"),
+        F.percentile("q_bits", 1 / 3).alias("e1"),
+        F.percentile("q_bits", 2 / 3).alias("e2"),
     )
     b = m.crossJoin(F.broadcast(edges)).withColumn(
         "bucket",
-        F.when(F.col("mean_bits") <= F.col("e1"), "head")
-        .when(F.col("mean_bits") <= F.col("e2"), "middle")
+        F.when(F.col("q_bits") <= F.col("e1"), "head")
+        .when(F.col("q_bits") <= F.col("e2"), "middle")
         .otherwise("tail"),
     )
     return b.groupBy("bucket").agg(
@@ -1156,10 +1170,17 @@ def quality_gate_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     (rk*5 ≤ n*3), so the 60% cut has no float surface; the reported
     threshold is a MAX over bit-identical doubles.
 
-    Scale: the per-source window runs over per-doc aggregate rows
-    (one per doc), partitioned by source — each source sorts
-    independently; everything upstream is the surprisal plan."""
-    from pyspark.sql.window import Window as W
+    Scale: the per-source rank runs as a TWO-PHASE DISTRIBUTED SCAN
+    (``operators.distributed_scan.running_rank``) — range-partition by
+    (source, mean_bits, doc_id), per-chunk counts, broadcast base
+    offsets, local row_number — so the largest single task is one range
+    chunk, never one source's whole doc set (the
+    ``Window.partitionBy(source)`` form this replaced was VERDICT r7
+    #4). Per-source doc counts come from a map-side-combined aggregate
+    broadcast back — |sources| rows, not a corpus-sized count window.
+    Ranks are identical to row_number(); the oracle keeps the plain
+    window form."""
+    from rag_lakehouse_spark.operators.distributed_scan import running_rank
 
     sc = _surprisal_per_doc(spark, sf_dir).filter(F.col("n_tokens") > 0)
     d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
@@ -1168,13 +1189,10 @@ def quality_gate_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         (F.col("total_bits").cast("double") / F.col("n_tokens")).alias("mean_bits"),
     )
-    w = W.partitionBy("source").orderBy("mean_bits", "doc_id")
-    ranked = m.select(
-        "source",
-        "mean_bits",
-        F.row_number().over(w).alias("rk"),
-        F.count(F.lit(1)).over(W.partitionBy("source")).alias("n"),
-    )
+    counts = m.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    ranked = running_rank(
+        m, part_cols=["source"], order_cols=["mean_bits", "doc_id"], out="rk"
+    ).join(F.broadcast(counts), "source")
     kept = F.col("rk") * 5 <= F.col("n") * 3
     return ranked.groupBy("source").agg(
         F.max("n").cast("bigint").alias("n_docs"),

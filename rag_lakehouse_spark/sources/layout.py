@@ -41,30 +41,6 @@ def write_sorted(
     return path
 
 
-def scan_rows_read(df: DataFrame) -> int:
-    """Rows actually produced by the parquet scan node after pushdown +
-    row-group skipping (execute the plan, then read the scan metric).
-    Test/diagnostic helper for verifying a layout actually skips."""
-    df.collect()
-    plan = df._jdf.queryExecution().executedPlan()
-
-    def find_scan(node):
-        if node.nodeName().startswith("Scan parquet") or "FileScan" in node.nodeName():
-            return node
-        for i in range(node.children().length()):
-            found = find_scan(node.children().apply(i))
-            if found is not None:
-                return found
-        return None
-
-    scan = find_scan(plan)
-    if scan is not None:
-        m = scan.metrics().get("numOutputRows")
-        if not m.isEmpty():
-            return m.get().value()
-    raise RuntimeError(f"no parquet scan metric found in plan:\n{plan.toString()[:500]}")
-
-
 def zorder_key(col_a, col_b, bits: int = 16):
     """Z-order (Morton) interleaving of two non-negative integer
     columns as a pure codegen expression: bit i of each input lands at

@@ -57,7 +57,11 @@ def test_mg_merge_preserves_guarantee(a, b, k):
     n = len(a) + len(b)
     assert len(merged) <= k
     for item, c in exact.items():
-        if c > 2 * n / (k + 1):  # merged error ≤ 2n/(k+1) worst case
+        # The Agarwal et al. mergeable-summaries bound: merged MG error
+        # stays ≤ n/(k+1) over the COMBINED stream length — the tight
+        # bound heavy_hitters_exact's candidate-completeness argument
+        # depends on (ratio_den ≤ k+1 ⇒ no heavy item can be missed).
+        if c > n / (k + 1):
             assert item in merged
 
 

@@ -6,7 +6,8 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from rag_lakehouse_spark.sources.layout import scan_rows_read, write_sorted
+from rag_lakehouse_spark.sources.layout import write_sorted
+from tests.plan_metrics import scan_rows_read
 from rag_lakehouse_spark.sources.tables import load_table
 
 
@@ -80,7 +81,6 @@ def test_zorder_layout_skips_on_both_dimensions(spark, sf_dir, tmp_path_factory)
         .parquet(a_path)
     )
 
-    from rag_lakehouse_spark.sources.layout import scan_rows_read
 
     total = li.count()
     part_max = li.agg(F.max("l_partkey")).collect()[0][0]

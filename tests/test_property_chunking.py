@@ -22,16 +22,29 @@ from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
-from rag_lakehouse_spark.operators.chunking import chunk_fixed, chunk_sentences
+from rag_lakehouse_spark.operators.chunking import (
+    WHITE_SPACE,
+    chunk_fixed,
+    chunk_sentences,
+)
 
 _char = st.characters(blacklist_categories=("Cs", "Cc", "Cn"), max_codepoint=0x2FFF)
+# The whitespace chars engines/runtimes disagree about: \x0b (Java-\s
+# yes / RE2-\s no), \xa0 and Unicode Zs (DuckDB-trim yes / Spark-trim
+# no), \x1c..\x1f (Python-isspace yes / Unicode White_Space no) — plus
+# sentence punctuation so boundaries land ON these chars.
+_nasty = st.text(
+    alphabet=["\x0b", "\x1c", "\x1d", "\xa0", "\u2009", "\u3000", "\x85",
+              " ", "\t", ".", "!", "?", "a", "b"],
+    max_size=20,
+)
 # Mix plain unicode with sentence-ish text so the sentence splitter
 # sees real boundaries, not only degenerate one-sentence docs.
 _sentencey = st.lists(
     st.text(alphabet=_char, max_size=25).map(lambda s: s + "."), max_size=6
 ).map(" ".join)
 _texts = st.lists(
-    st.one_of(st.text(alphabet=_char, max_size=60), _sentencey),
+    st.one_of(st.text(alphabet=_char, max_size=60), _sentencey, _nasty),
     min_size=1,
     max_size=5,
 )
@@ -100,8 +113,19 @@ def test_chunk_sentences_conserves_content(spark, batch, max_chars):
     for r in rows:
         by_doc.setdefault(r.doc_id, []).append(r)
 
+    # The reference splitter mirrors the Spark expression EXACTLY:
+    # explicit ASCII boundary class (never bare \s — Python's is
+    # Unicode-aware) and the Unicode White_Space emptiness filter
+    # (never bare .strip() — Python also strips \x1c..\x1f).
+    def _stream(s: str) -> str:
+        return "".join(c for c in s if c not in WHITE_SPACE)
+
     for doc_id, text in enumerate(batch):
-        sents = [s for s in re.split(r"(?<=[.!?])\s+", text) if s.strip()]
+        sents = [
+            s
+            for s in re.split(r"(?<=[.!?])[ \t\n\x0B\f\r]+", text)
+            if s.strip(WHITE_SPACE)
+        ]
         doc_rows = sorted(by_doc.get(doc_id, []), key=lambda r: r.chunk_number)
         if not sents:
             # Nothing survives the non-empty-sentence filter → no rows.
@@ -109,9 +133,34 @@ def test_chunk_sentences_conserves_content(spark, batch, max_chars):
             continue
         assert [r.chunk_number for r in doc_rows] == list(range(1, len(doc_rows) + 1))
         # Packing regroups sentences; single-space joins inside a chunk
-        # mean the non-whitespace stream is conserved exactly.
-        got_stream = "".join("".join(r.chunk_text.split()) for r in doc_rows)
-        want_stream = "".join("".join(s.split()) for s in sents)
+        # mean the non-White_Space stream is conserved exactly.
+        got_stream = "".join(_stream(r.chunk_text) for r in doc_rows)
+        want_stream = "".join(_stream(s) for s in sents)
         assert got_stream == want_stream
         for r in doc_rows:
-            assert r.chunk_text.strip() != ""
+            assert r.chunk_text.strip(WHITE_SPACE) != ""
+
+
+@settings(**_SETTINGS)
+@given(batch=_texts)
+def test_sentence_splitter_python_twin_matches_spark(spark, batch):
+    """chunk_semantic's worker-side Python splitter and chunk_sentences'
+    Java expression must produce the IDENTICAL sentence list — the
+    \\s/White_Space divergence surface flagged in r7, locked here over
+    the nasty-whitespace alphabet (\\x0b, \\x1c, \\xa0, U+2009, U+3000,
+    \\x85 at and around sentence boundaries)."""
+    import re
+
+    df = _docs_df(spark, batch)
+    sents_col = F.filter(
+        F.split(F.col("text"), r"(?<=[.!?])[ \t\n\x0B\f\r]+"),
+        lambda s: s.rlike(r"(?U)\S"),
+    )
+    got = {r.doc_id: r.s for r in df.select("doc_id", sents_col.alias("s")).collect()}
+    for doc_id, text in enumerate(batch):
+        want = [
+            s
+            for s in re.split(r"(?<=[.!?])[ \t\n\x0B\f\r]+", text)
+            if s.strip(WHITE_SPACE)
+        ]
+        assert got[doc_id] == want, (doc_id, repr(text))
