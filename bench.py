@@ -48,7 +48,9 @@ HEADLINE = (
     "dedup_exact_docs",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
-    "dedup_simhash",
+    # dedup_simhash (fingerprint-only) dropped in r8: a strict subset
+    # of dedup_simhash_pairs, which now has two rounds of history
+    # (VERDICT r7 #6) — trims ~2.3 s of headline overlap.
     "dedup_simhash_pairs",
     "dedup_incremental_stream",
     "corpus_dup_span_stats",
@@ -84,7 +86,6 @@ def main() -> None:
         for name in (
             "dedup_minhash_lsh",
             "dedup_ngram_jaccard",
-            "dedup_simhash",
             "dedup_simhash_pairs",
             "dedup_incremental_stream",
             "corpus_dup_span_stats",

@@ -788,7 +788,22 @@ def corpus_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: gates at the scan; dedup shuffles 32-byte fingerprints;
     the benchmark shingle set broadcasts into an anti-join; the shard
     window sorts each shard independently. Nothing materializes
-    between stages."""
+    between stages.
+
+    BOUNDED-SHARD CONTRACT (the one non-streaming buffer): the
+    ``order_md5`` aggregate buffers one (pos, doc_id) struct — ~16
+    bytes — per doc of a shard in a single agg buffer, so memory per
+    shard is O(shard size). That is the operating contract of a
+    training export, not an accident: shards are sized for training
+    I/O (n_shards is chosen so a shard is ~1-4 GB / low-millions of
+    docs ⇒ tens of MB of digest buffer), and the shard count grows
+    with the corpus while the shard SIZE stays fixed. If a deployment
+    ever needs unbounded shards, the same md5 value can be computed
+    with O(1) memory per shard: repartition by shard,
+    sortWithinPartitions(pos), and fold hashlib.md5 over the
+    comma-joined ids in mapPartitions — identical digest, Python path;
+    not taken here because bounded shards keep the whole plan
+    JVM-side."""
     from rag_lakehouse_spark.sources.layout import shard_plan
 
     d = load_table(spark, sf_dir, "documents")

@@ -58,108 +58,68 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # checked queries are exactly registry positions 0-49). Every query is
 # green against the local DuckDB oracle replica, but the brief's bar is
 # a DRIVER row per operator — so each round the front of the registry
-# is rotated. All pre-r7 queries have been driver-checked at least
-# once across rounds 1-6 (zero standing failures); round 7 front-loads
-# (a) the 20 queries new or changed this round — the 7 new
-# portable-dedup / streaming-index queries plus the r7 fix/guard
-# consumers — then (b) the 30 oldest-vintage queries, last
-# driver-checked in round 2. The remaining r2 rows plus the r3 cohort
-# are next in line for r8. COVERAGE.md records the per-round sample
-# log.
+# is rotated. Round 8 pays the rotation debt VERDICT r7 #4 flagged:
+# (a) 11 sentinels — the queries whose oracle twins or plans changed
+# this round (edge_trim tokenizer sweep, distributed-scan rewrites,
+# quantized percentiles) plus one sentinel each for the streaming-index
+# and timeseries families — then (b) the 39 oldest-vintage rows, all
+# last driver-checked in round 2. Still deferred (the 50-slot sample
+# is 3x outgrown): window_running_spend (r2; its window family keeps
+# three other rows in the sample) and the 28-query r3 cohort — next in
+# line for r9. COVERAGE.md records the per-round sample log.
 _PRIORITY: tuple[str, ...] = (
-    # -- r7 rotation part (a): changed this round --
-    "events_gapfill_interpolate",  # NEW: time-spine gap fill, LOCF + interpolation (r7 tail)
-    "corpus_boilerplate_strip",    # NEW: cross-doc boilerplate line removal (r7 tail)
-    "corpus_shard_export",         # NEW: seed-reproducible sharded export plan (r7 tail)
-    "corpus_bpe_merges",           # NEW: distributed BPE trainer (rows-only; pytest vs Python reference)
-    "text_unigram_surprisal",      # NEW: integer-exact unigram surprisal quality score (r7 tail)
-    "corpus_perplexity_buckets",   # NEW: CCNet head/middle/tail tertiles on exact percentile edges (r7 tail)
-    "corpus_heavy_tokens",         # NEW: Misra-Gries sketch candidates + exact recount (r7 tail)
-    "embedding_hard_negatives",    # NEW: contrastive hard-negative mining (r7 tail)
-    "corpus_export_manifest",      # NEW: end-to-end export composition with order-proving md5 (r7 tail)
-    "corpus_split_leakage",        # NEW: train/valid/test split with cross-split dup detection (r7 tail)
-    "corpus_heavy_tokens_incremental",  # NEW: heavy terms served from the maintained postings index (r7 tail)
-    "rag_retrieve_rerank",         # NEW: two-stage BM25-recall + dense-rerank cascade (r7 tail)
-    "dq_skew_report",              # NEW: join-key skew diagnostics, exact group-size percentiles (r7 tail)
-    "corpus_vocab_stats",          # NEW: per-source TTR + hapax fraction (r7 tail)
-    "dedup_edit_verified",         # NEW: edit-distance-verified near-dup pairs (r7 tail)
-    "events_interval_overlap_join",  # NEW: dedup-free bucketed interval-overlap join (r7 tail)
-    "rag_rm3_expansion",           # NEW: RM3 pseudo-relevance feedback, term-sorted fold (r7 tail)
-    "events_lag_features",         # NEW: forecasting lag/rolling feature matrix (r7 tail)
-    "graph_triangle_counts",       # NEW: degree-oriented triangle counting on the dup graph (r7 tail)
-    "embedding_mutual_nn",         # NEW: mutual top-1 neighbor pairs (r7 tail)
-    "corpus_weighted_sample",      # NEW: Efraimidis-Spirakis weighted WOR sample (r7 tail)
-    "customer_scd2_merge",         # NEW: SCD2 MERGE emulation driver row (r7 tail)
-    "events_anomaly_days",         # NEW: integer-exact 2-sigma volume anomalies (r7 tail)
-    "quality_gate_per_source",     # NEW: per-source 60% fluency gate, integer rank cut (r7 tail)
-    "corpus_semantic_decontaminate",  # NEW: embedding-space decontamination (r7 tail)
-    "dedup_semantic_canonicals",  # NEW: SemDeDup end-to-end decision (r7 tail)
-    "rag_bm25_topk",              # NEW: BM25 lexical retrieval (r7 tail)
-    "rag_hybrid_rrf",             # NEW: BM25+dense RRF fusion (r7 tail)
-    "corpus_dup_span_stats",      # NEW: exact-substring dedup stats (r7 tail)
-    "corpus_strip_dup_spans",     # NEW: span-strip transform (r7 tail)
-    "rag_bm25_incremental",       # NEW: streaming term-postings index, shares the BM25 oracle (r7 tail)
-    "corpus_dsir_select",         # NEW: DSIR-style importance selection (r7 tail)
-    "corpus_mixture_plan",        # NEW: token-budget mixture planner, integer-exact thresholds (r7 tail)
-    "dedup_incremental_stream",   # NEW: streaming exact-dedup index vs batch oracle
-    "dedup_minhash_incremental",  # NEW: streaming MinHash postings index vs batch oracle
-    "ann_ivf_incremental",        # NEW: streaming IVF assignment index (rows-only; pytest == batch)
-    "text_repetition_stats",      # NEW: Gopher repetition signals (dup lines / top bigram)
-    "corpus_pack_sequences",      # NEW: sequence packing (concat-and-chunk, per-source windows)
-    "dedup_minhash_portable",     # NEW: portable-hash MinHash-LSH (first oracled row for the family)
-    "dedup_simhash_portable",     # NEW: portable-hash SimHash fingerprints
-    "dedup_simhash_pairs_portable",  # NEW: portable-hash segment join + hamming verify
-    "dedup_canonicals_portable",  # NEW: end-to-end LSH→components→canonical decision
-    "recursive_cte_reach",        # aggregated-frontier rewrite
-    "dedup_simhash_pairs",        # NEW: segment-join canary (checkpointed fingerprints)
-    "events_rollup_hour_only",    # sink empty-state/pointerless-dir guards + tmp cleanup
-    "knn_topk_exact",             # zero-norm guard in oracle+plan
-    "knn_similarity_join",        # zero-norm guard
-    "embedding_near_pairs",       # zero-norm guard (also r2-vintage)
-    "ann_srp_lsh_topk",           # zero-norm guard
-    "rag_retrieve_context",       # VEC.cosine/duckdb_cosine guard consumers
-    "rag_attribution_guard",
-    "rag_batch_retrieve",
-    "embed_and_search",
-    "ann_recall_report",          # IVF-PQ recall dial (m/n_probe row)
-    "ann_ivf_pq_topk",
-    # -- r7 rotation part (b): oldest driver rows (r2 vintage) --
+    # -- r8 part (a): changed this round + family sentinels --
+    "corpus_heavy_tokens",         # edge_trim tokenizer twins (the r7 fuzz-red query) + MG family sentinel
+    "corpus_vocab_stats",          # edge_trim tokenizer twins
+    "text_unigram_surprisal",      # edge_trim tokenizer twins (surprisal CTE chain)
+    "text_repetition_stats",       # edge_trim tokenizer + line-trim twins
+    "corpus_boilerplate_strip",    # line-level edge_trim twins
+    "corpus_pack_sequences",       # REWRITTEN: two-phase distributed prefix scan (no per-source window)
+    "quality_gate_per_source",     # REWRITTEN: distributed-scan rank + broadcast per-source counts
+    "corpus_perplexity_buckets",   # CHANGED VALUES: tertile edges on the quantized integer grid
+    "exact_percentiles_by_type",   # CHANGED VALUES: milli-quantized percentile inputs (also r3-vintage)
+    "dedup_incremental_stream",    # streaming-incremental-index family sentinel
+    "events_gapfill_interpolate",  # timeseries/gap-fill family sentinel
+    # -- r8 part (b): oldest driver rows (all r2 vintage) --
     "agg_global_stats",
-    "group_rollup_nation",
-    "group_cube_orders",
-    "pivot_priority_by_status",
-    "q5_nation_revenue",
-    "join_left_order_counts",
-    "join_anti_idle_customers",
-    "join_semi_active_suppliers",
-    "join_full_outer_daily",
-    "join_cross_region_status",
-    "join_nonequi_price_band",
-    "filter_predicates",
-    "project_cast_null_repair",
-    "string_scalar_funcs",
+    "binary_content_stats",
     "date_scalar_funcs",
-    "math_scalar_funcs",
-    "topk_orders",
-    "setop_intersect_except",
     "distinct_segments",
-    "window_rank_top_orders",
-    "window_running_spend",
+    "docs_by_lang_source",
+    "embedding_label_stats",
+    "events_click_purchase_funnel",
+    "events_dedup_first",
+    "events_hour_profile",
+    "events_json_props",
+    "events_session_window_builtin",
+    "events_tumbling_hourly",
+    "events_user_activity",
+    "filter_predicates",
+    "group_cube_orders",
+    "group_rollup_nation",
+    "join_anti_idle_customers",
+    "join_cross_region_status",
+    "join_full_outer_daily",
+    "join_left_order_counts",
+    "join_nonequi_price_band",
+    "join_semi_active_suppliers",
+    "math_scalar_funcs",
+    "metadata_stamped_docs",
+    "pivot_priority_by_status",
+    "project_cast_null_repair",
+    "q5_nation_revenue",
+    "sample_stratified_docs",
+    "setop_intersect_except",
+    "string_scalar_funcs",
+    "text_bpe_token_count",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_rolling_hash",
+    "text_token_stats",
+    "topk_orders",
     "window_lag_lead_orders",
     "window_ntile_share",
-    "events_tumbling_hourly",
-    "events_session_window_builtin",
-    "events_json_props",
-    "events_dedup_first",
-    "events_user_activity",
-    # deferred to r8 (still r2-vintage): events_click_purchase_funnel,
-    # text_token_stats,
-    # text_lang_id, text_fingerprint,
-    # text_bpe_token_count, text_rolling_hash, binary_content_stats,
-    # sample_stratified_docs, embedding_label_stats (bumped by the
-    # three new portable-dedup rows), metadata_stamped_docs (rows-only
-    # nondeterministic), events_hour_profile, docs_by_lang_source —
-    # plus the whole r3 cohort.
+    "window_rank_top_orders",
 )
 
 
