@@ -160,3 +160,102 @@ def train_merges_reference(
                     out.append(x)
             seqs[w] = (out, cnt)
     return rules
+
+
+def encode_words(words: DataFrame, rules: list[tuple[int, str, str, int]]) -> DataFrame:
+    """(word, n_toks): BPE-encode each DISTINCT word with a learned
+    merge table — rules applied in rank order, each greedily
+    left-to-right, the EXACT apply semantics of the trainer (so a
+    word seen in training collapses to the same symbols training left
+    it with).
+
+    Python runs per VOCABULARY ENTRY, not per corpus token — the same
+    word-type collapse the trainer exploits. An Arrow-batched
+    mapInPandas with the (small, driver-held) merge table in the
+    closure; downstream joins fan the counts back out to the corpus.
+    """
+    order = [(l, r) for _, l, r, _ in sorted(rules)]
+
+    def enc_batches(batches):
+        for pdf in batches:
+            counts = []
+            for w in pdf["word"]:
+                syms = list(w)
+                for left, right in order:
+                    if len(syms) < 2:
+                        break
+                    out: list[str] = []
+                    for x in syms:
+                        if out and out[-1] == left and x == right:
+                            out[-1] = left + right
+                        else:
+                            out.append(x)
+                    syms = out
+                counts.append(len(syms))
+            yield pdf.assign(n_toks=counts)[["word", "n_toks"]]
+
+    return words.select("word").mapInPandas(enc_batches, "word string, n_toks int")
+
+
+def encode_word_reference(
+    word: str, rules: list[tuple[int, str, str, int]]
+) -> list[str]:
+    """Pure-Python reference encoder (the differential model for
+    tests): identical rank-ordered greedy merge application."""
+    syms = list(word)
+    for _, left, right, _ in sorted(rules):
+        if len(syms) < 2:
+            break
+        out: list[str] = []
+        for x in syms:
+            if out and out[-1] == left and x == right:
+                out[-1] = left + right
+            else:
+                out.append(x)
+        syms = out
+    return syms
+
+
+def bpe_token_counts(
+    df: DataFrame,
+    rules: list[tuple[int, str, str, int]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document token counts under a LEARNED BPE vocabulary:
+    (id, n_words, n_word_chars, n_bpe_tokens, chars_per_token) — the
+    compression-ratio readout that decides whether a tokenizer fits a
+    corpus (and the budget input for sequence packing under the real
+    vocabulary rather than the whitespace proxy).
+
+    Scale: corpus → (id, word) explode; the DISTINCT word set is
+    encoded ONCE (Python bounded by vocabulary size); an equi-join on
+    word fans counts back to the corpus (AQE-skew-safe — stopword-like
+    words are hot keys); one per-doc sum. No corpus-sized Python.
+    """
+    wpd = df.select(
+        F.col(id_col),
+        F.explode(
+            F.split(edge_trim(F.coalesce(F.col(text_col), F.lit(""))), WS)
+        ).alias("word"),
+    ).filter(F.col("word") != "")
+    enc = encode_words(wpd.select("word").distinct(), rules)
+    per_doc = (
+        wpd.join(enc, "word")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum(F.length("word")).cast("bigint").alias("n_word_chars"),
+            F.sum("n_toks").cast("bigint").alias("n_bpe_tokens"),
+        )
+    )
+    return df.select(id_col).join(per_doc, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("n_words", F.lit(0)).cast("bigint").alias("n_words"),
+        F.coalesce("n_word_chars", F.lit(0)).cast("bigint").alias("n_word_chars"),
+        F.coalesce("n_bpe_tokens", F.lit(0)).cast("bigint").alias("n_bpe_tokens"),
+        F.when(
+            F.col("n_bpe_tokens") > 0,
+            F.col("n_word_chars").cast("double") / F.col("n_bpe_tokens"),
+        ).alias("chars_per_token"),
+    )

@@ -181,3 +181,38 @@ def chunk_semantic(
             yield pd.DataFrame(rows, columns=[id_col, "chunk_number", "chunk_text"])
 
     return df.select(id_col, text_col).mapInPandas(split_batches, out_schema)
+
+
+def chunk_sliding(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    size: int = 200,
+    stride: int = 100,
+    id_prefix: str = "doc",
+) -> DataFrame:
+    """Overlapping sliding-window chunks: windows of ``size`` chars
+    starting every ``stride`` chars (stride < size ⇒ consecutive
+    chunks overlap by size - stride). The standard embedding-context
+    windowing when boundary-truncation loss matters more than the
+    duplicated characters; stride == size degenerates to chunk_fixed.
+    Window starts cover every char: the last window begins at the
+    greatest stride multiple below the text length (empty text still
+    yields one empty chunk). Pure flatMap — no shuffle."""
+    text = F.col(text_col)
+    n_minus1 = (F.greatest(F.length(text), F.lit(1)) - 1).cast("int") / F.lit(stride)
+    windows = F.transform(
+        F.sequence(F.lit(0), F.floor(n_minus1).cast("int")),
+        lambda i: F.substring(text, i * stride + 1, F.lit(size)),
+    )
+    exploded = df.select(
+        F.col(id_col), F.posexplode(windows).alias("pos", "chunk_text")
+    )
+    return exploded.select(
+        F.col(id_col),
+        (F.col("pos") + 1).alias("chunk_number"),
+        F.concat_ws(
+            "_", F.lit(id_prefix), F.col(id_col).cast("string"), F.lit("chunk"), F.col("pos")
+        ).alias("chunk_id"),
+        "chunk_text",
+    )

@@ -970,3 +970,29 @@ def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.asc("sample_key"), F.asc("doc_id"))
         .limit(100)
     )
+
+
+@register(
+    "corpus_bpe_encode",
+    oracle=None,  # the learned-merge encode has no SQL twin; pytest
+    # runs a pure-Python reference encoder differentially
+    # (tests/test_bpe.py::test_bpe_encode_matches_reference*)
+    tags=("text", "tokenizer", "training-data"),
+)
+def corpus_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a 12-rule BPE vocabulary on the corpus, then ENCODE the
+    corpus with it: per-doc word/char/BPE-token counts and the
+    chars-per-token compression ratio — the train→apply round trip a
+    tokenizer pipeline actually ships (``corpus_bpe_merges`` proves
+    induction; this proves the learned rules tokenize). Encoding runs
+    Python only over the DISTINCT word set (``operators.bpe
+    .encode_words``), joined back to the corpus by word."""
+    from rag_lakehouse_spark.operators.bpe import (
+        bpe_token_counts,
+        train_merges,
+        word_counts,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    rules = train_merges(word_counts(d).repartition(4), n_merges=12)
+    return bpe_token_counts(d, rules)

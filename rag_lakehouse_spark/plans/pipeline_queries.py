@@ -585,3 +585,37 @@ from rag_lakehouse_spark.operators.dedup_portable import (  # noqa: E402
 from rag_lakehouse_spark.plans import registry as _registry_mod  # noqa: E402
 
 _registry_mod.QUERIES["dedup_edit_verified"].oracle = _ev_oracle("documents")
+
+
+@register(
+    "chunk_sliding_docs",
+    oracle="""
+    SELECT doc_id,
+           unnest(generate_series(0, (greatest(length(text),1)-1)//100)) + 1
+             AS chunk_number,
+           'doc_' || doc_id || '_chunk_' ||
+             unnest(generate_series(0, (greatest(length(text),1)-1)//100))
+             AS chunk_id,
+           unnest(list_transform(
+               generate_series(0, (greatest(length(text),1)-1)//100),
+               i -> substring(text, i*100+1, 200)))
+             AS chunk_text
+    FROM documents
+    """,
+    tags=("chunk", "explode"),
+)
+def chunk_sliding_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping sliding-window chunking (200-char windows every 100
+    chars — 50% overlap): the context-window expansion used when
+    embedding retrieval must not lose sentences straddling fixed-chunk
+    boundaries; each char lands in ≤ size/stride windows, so the
+    output is a bounded constant factor over ``chunk_fixed_docs``.
+
+    Scale: pure flatMap (explode), no shuffle, same as the fixed
+    chunker; the overlap factor is the only cost difference."""
+    from rag_lakehouse_spark.operators.chunking import chunk_sliding
+
+    d = load_table(spark, sf_dir, "documents")
+    return chunk_sliding(
+        d, text_col="text", id_col="doc_id", size=200, stride=100, id_prefix="doc"
+    )

@@ -215,3 +215,102 @@ def dq_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats(e, "user_id", "events.user_id").unionByName(
         stats(o, "o_custkey", "orders.o_custkey")
     )
+
+
+@register(
+    "dq_source_drift_ks",
+    oracle="""
+    WITH pc AS (
+      SELECT source, n_chars, CAST(COUNT(*) AS BIGINT) AS c
+      FROM documents GROUP BY 1, 2
+    ), vals AS (
+      SELECT DISTINCT n_chars FROM documents
+    ), srcs AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s FROM documents GROUP BY 1
+    ), tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents
+    ), gv AS (
+      SELECT n_chars,
+             CAST(SUM(c2) OVER (ORDER BY n_chars) AS BIGINT) AS cum_all
+      FROM (SELECT n_chars, SUM(c) AS c2 FROM pc GROUP BY 1)
+    ), grid AS (
+      SELECT s.source, v.n_chars FROM (SELECT source FROM srcs) s, vals v
+    ), cs AS (
+      SELECT g.source, g.n_chars,
+             CAST(SUM(COALESCE(pc.c, 0))
+                  OVER (PARTITION BY g.source ORDER BY g.n_chars) AS BIGINT)
+               AS cum_s
+      FROM grid g
+      LEFT JOIN pc ON pc.source = g.source AND pc.n_chars = g.n_chars
+    )
+    SELECT cs.source,
+           MAX(srcs.n_s) AS n_docs,
+           MAX(abs(CAST(cum_s AS DOUBLE) / srcs.n_s
+                   - CAST(gv.cum_all - cum_s AS DOUBLE) / (tot.n - srcs.n_s)))
+             AS ks
+    FROM cs
+    JOIN gv USING (n_chars)
+    JOIN srcs ON srcs.source = cs.source, tot
+    WHERE tot.n > srcs.n_s
+    GROUP BY cs.source
+    """,
+    tags=("quality", "drift", "distribution", "training-data"),
+)
+def dq_source_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov drift statistic, per source
+    vs the rest of the corpus, over the document-length distribution —
+    the distribution-level monitor that catches a source silently
+    changing shape (new scraper, truncation bug, template shift) when
+    its row counts and null rates still look healthy.
+
+    D = sup_x |F_source(x) - F_rest(x)|, evaluated at every observed
+    jump point. Each CDF ratio is one division of exact integer
+    cumulative counts — identical doubles in both engines — and MAX is
+    order-independent, so the statistic is hash-exact with no overflow
+    surface at any corpus size (the cross-multiplied integer form
+    would overflow int64 past ~3e9 docs; the ratio form never does).
+
+    Scale: the windows run over the (source × distinct-length) GRID,
+    never raw rows — bounded by the length domain (the quality gate
+    caps docs at 20k chars) times the source count, whatever the
+    corpus size. The raw table contributes one groupBy. The
+    unpartitioned cum_all window is over ≤ |length domain| aggregate
+    rows — the documented bounded-domain window rationale."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents").select("source", "n_chars")
+    pc = d.groupBy("source", "n_chars").agg(F.count(F.lit(1)).alias("c"))
+    vals = d.select("n_chars").distinct()
+    srcs = d.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n_s"))
+    tot = d.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    gv = (
+        d.groupBy("n_chars")
+        .agg(F.count(F.lit(1)).alias("c2"))
+        .withColumn(
+            "cum_all",
+            F.sum("c2").over(W.orderBy("n_chars")).cast("bigint"),
+        )
+        .select("n_chars", "cum_all")
+    )
+    grid = srcs.select("source").crossJoin(vals)
+    cs = grid.join(pc, ["source", "n_chars"], "left").withColumn(
+        "cum_s",
+        F.sum(F.coalesce(F.col("c"), F.lit(0)))
+        .over(W.partitionBy("source").orderBy("n_chars"))
+        .cast("bigint"),
+    )
+    j = (
+        cs.join(gv, "n_chars")
+        .join(F.broadcast(srcs), "source")
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("n") > F.col("n_s"))
+    )
+    gap = F.abs(
+        F.col("cum_s").cast("double") / F.col("n_s")
+        - (F.col("cum_all") - F.col("cum_s")).cast("double")
+        / (F.col("n") - F.col("n_s"))
+    )
+    return j.groupBy("source").agg(
+        F.max("n_s").cast("bigint").alias("n_docs"),
+        F.max(gap).alias("ks"),
+    )

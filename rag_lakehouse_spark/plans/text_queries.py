@@ -1199,3 +1199,107 @@ def quality_gate_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(kept, 1).otherwise(0)).cast("bigint").alias("n_kept"),
         F.max(F.when(kept, F.col("mean_bits"))).alias("gate_bits"),
     )
+
+
+@register(
+    "text_bigram_surprisal",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter({TX.duckdb_tokens("coalesce(text, '')")},
+                         t -> t <> '') AS t
+      FROM documents
+    ), bigr AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(t) - 1),
+                                   i -> t[i] || ' ' || t[i+1])) AS bg
+      FROM toks
+    ), bf AS (
+      SELECT bg, COUNT(*) AS cnt FROM bigr GROUP BY 1
+    ), tot AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS n_total FROM bf
+    ), rar AS (
+      SELECT bg, CAST(length(bin(n_total)) - length(bin(cnt)) AS BIGINT) AS bits
+      FROM bf, tot
+    ), sc AS (
+      SELECT doc_id, COUNT(*) AS n_bigrams,
+             CAST(SUM(bits) AS BIGINT) AS total_bits
+      FROM bigr JOIN rar USING (bg) GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           CAST(COALESCE(sc.total_bits, 0) AS BIGINT) AS total_bits,
+           CASE WHEN sc.n_bigrams > 0
+                THEN CAST(sc.total_bits AS DOUBLE) / sc.n_bigrams END AS mean_bits
+    FROM documents d LEFT JOIN sc USING (doc_id)
+    """,
+    tags=("text", "quality", "language-model", "training-data"),
+)
+def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM surprisal — the order-sensitive sibling of
+    ``text_unigram_surprisal``: each ADJACENT token pair costs
+    floor(log2(N_bigrams)) - floor(log2(count(pair))) bits, so a doc
+    whose words are common but whose TRANSITIONS are rare (shuffled
+    text, keyword stuffing, template splices) scores high even when
+    the unigram score looks clean. The unigram/bigram score gap is the
+    practical detector for scrambled or machine-assembled text that
+    per-token statistics cannot see.
+
+    Exactness: the same integer-bits trick as the unigram query
+    (``length(bin(x))`` == floor(log2)+1 on both engines), so the
+    entire score is integer arithmetic except the final mean division.
+
+    Scale: one positions-explode over adjacent pairs (linear in corpus
+    tokens), one bigram-frequency groupBy (map-side combined, shuffle
+    bounded by the bigram vocabulary), the 1-row total broadcast, one
+    equi-join back, one per-doc sum — the surprisal/BM25 plan family
+    shape, nothing new to audit."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = d.select(
+        "doc_id",
+        F.filter(
+            TX.tokens(F.coalesce(F.col("text"), F.lit(""))), lambda t: t != F.lit("")
+        ).alias("__t"),
+    )
+    n_t = F.size("__t")
+    bigr = (
+        toks.filter(n_t >= 2)
+        .select(
+            "doc_id",
+            F.col("__t"),
+            F.explode(F.sequence(F.lit(1), n_t - 1)).alias("__i"),
+        )
+        .select(
+            "doc_id",
+            F.concat(
+                F.element_at("__t", F.col("__i")),
+                F.lit(" "),
+                F.element_at("__t", F.col("__i") + 1),
+            ).alias("__bg"),
+        )
+    )
+    bf = bigr.groupBy("__bg").agg(F.count(F.lit(1)).alias("__cnt"))
+    tot = bf.agg(F.sum("__cnt").alias("__n_total"))
+    rar = bf.crossJoin(F.broadcast(tot)).select(
+        "__bg",
+        (F.length(F.bin("__n_total")) - F.length(F.bin("__cnt")))
+        .cast("bigint")
+        .alias("__bits"),
+    )
+    sc = (
+        bigr.join(rar, "__bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("__bits").cast("bigint").alias("total_bits"),
+        )
+    )
+    return d.select("doc_id").join(sc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("bigint").alias("n_bigrams"),
+        F.coalesce(F.col("total_bits"), F.lit(0)).cast("bigint").alias("total_bits"),
+        F.when(
+            F.col("n_bigrams") > 0,
+            F.col("total_bits").cast("double") / F.col("n_bigrams"),
+        ).alias("mean_bits"),
+    )

@@ -469,3 +469,86 @@ def events_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_anomaly"
         ),
     )
+
+
+@register(
+    "events_ewma_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS d, CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ), packed AS (
+      SELECT event_type,
+             array_agg(d ORDER BY d) AS ds,
+             array_agg(c ORDER BY d) AS cs
+      FROM daily GROUP BY 1
+    ), folded AS (
+      SELECT event_type, ds, cs,
+             list_transform(generate_series(1, len(cs)),
+                i -> list_reduce(list_prepend(CAST(0 AS BIGINT), cs[1:i]),
+                                 (a, b) -> (a + b * 1048576) >> 1)) AS es
+      FROM packed
+    ), un AS (
+      SELECT event_type, unnest(ds) AS d, unnest(cs) AS c, unnest(es) AS e
+      FROM folded
+    )
+    SELECT event_type,
+           strftime(d, '%Y-%m-%d') AS day,
+           c AS n_events,
+           CAST(e AS DOUBLE) / 1048576 AS ewma
+    FROM un
+    """,
+    tags=("events", "timeseries", "smoothing", "monitoring"),
+)
+def events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day exponentially-weighted moving average of event volume
+    (alpha = 1/2), per event type — the smoothed baseline a monitoring
+    stack plots under the raw daily counts (and the state a drift
+    alert compares against).
+
+    EXACTNESS: a float EWMA recurrence is an order-dependent double
+    fold — unshippable cross-engine. This one runs in SCALED INTEGERS:
+    E_i = (E_{i-1} + c_i * 2^20) >> 1, a pure integer recurrence both
+    engines evaluate bit-identically in day order (Spark ``aggregate``
+    over the day-sorted array == DuckDB ``list_reduce`` over
+    ``array_agg(ORDER BY d)``); the ONLY float is the final /2^20
+    display division. Bounded: E ≤ max(c)·2^20, far inside int64.
+
+    Scale: the corpus-sized work is the daily rollup groupBy. The
+    per-type day series is CALENDAR-bounded (one element per day), so
+    collecting it into an array and folding prefixes (quadratic in
+    days, inside one codegen'd expression) costs ~O(365²) per type per
+    year — independent of event volume. The grouped-series-fold
+    pattern holds whenever the grain is time-bounded; it would NOT
+    hold for a per-user series (unbounded keys, bounded series) or a
+    per-key unbounded series — those take the distributed_scan path."""
+    K = 1 << 20
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("d")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    packed = daily.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("d", "c"))).alias("ser")
+    )
+    ser = F.col("ser")
+    items = F.transform(
+        F.sequence(F.lit(1), F.size(ser)),
+        lambda i: F.struct(
+            F.get(ser, i - 1)["d"].alias("d"),
+            F.get(ser, i - 1)["c"].alias("c"),
+            F.aggregate(
+                F.slice(ser, F.lit(1), i),
+                F.lit(0).cast("bigint"),
+                lambda a, s: F.shiftright(a + s["c"] * K, 1),
+            ).alias("e"),
+        ),
+    )
+    return (
+        packed.select("event_type", F.explode(items).alias("x"))
+        .select(
+            "event_type",
+            F.date_format(F.col("x.d"), "yyyy-MM-dd").alias("day"),
+            F.col("x.c").cast("bigint").alias("n_events"),
+            (F.col("x.e").cast("double") / K).alias("ewma"),
+        )
+    )

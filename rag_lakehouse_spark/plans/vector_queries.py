@@ -511,3 +511,79 @@ def embedding_mutual_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("src").alias("vec_a"), F.col("dst").alias("vec_b"), "score"
         )
     )
+
+
+@register(
+    "embedding_cluster_profile",
+    oracle=f"""
+    WITH e AS ({_E_NORMED}),
+    c AS (SELECT vec_id AS cid, embedding AS cvec, nrm AS cnrm
+          FROM e WHERE vec_id % 97 = 0),
+    s AS (
+      SELECT e.vec_id, c.cid,
+             {VEC.duckdb_dot("e.embedding", "c.cvec")}
+               / (e.nrm * c.cnrm + 1e-24) AS cos
+      FROM e, c
+    ), b AS (
+      SELECT vec_id, cid, cos,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY cos DESC, cid ASC) AS rn
+      FROM s
+    )
+    SELECT cid AS cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           MIN(cos) AS min_cos,
+           MAX(cos) AS max_cos
+    FROM b WHERE rn = 1 GROUP BY cid
+    """,
+    tags=("vector", "clustering", "training-data"),
+)
+def embedding_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus topic-clustering profile: assign every embedding to its
+    nearest centroid by cosine and report per-cluster membership count
+    plus the cohesion band (min/max member similarity) — the
+    partition a mixture builder or SemDeDup-style pruner works from.
+    Centroids are the deterministic every-97th embedding, so the
+    assignment is a fixed linear scan both engines compute exactly
+    (the TRAINED-centroid path is ``operators.similarity.kmeans`` —
+    rows-only by design because Lloyd iterations average floats; this
+    query proves the assignment machinery itself hash-exact).
+
+    Ties (e.g. duplicate vectors among centroids) break to the lowest
+    centroid id: Spark takes max(struct(cos, -cid)), the oracle
+    row_number orders cos DESC, cid ASC — identical picks because the
+    scores are bit-identical left-fold doubles.
+
+    Scale: centroids broadcast (corpus/97 at fixture scale; a real
+    deployment passes a bounded trained codebook); per-row work is one
+    dot fold per centroid; the only shuffle is the vec_id argmax
+    groupBy. min/max aggregates are order-independent — no float-sum
+    surface."""
+    e = _normed(load_table(spark, sf_dir, "embeddings"))
+    c = e.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("cvec"),
+        F.col("nrm").alias("cnrm"),
+    )
+    scored = e.crossJoin(F.broadcast(c)).select(
+        "vec_id",
+        "cid",
+        (
+            VEC.dot("embedding", "cvec")
+            / (F.col("nrm") * F.col("cnrm") + F.lit(1e-24))
+        ).alias("cos"),
+    )
+    best = (
+        scored.groupBy("vec_id")
+        .agg(F.max(F.struct(F.col("cos"), (-F.col("cid")).alias("ncid"))).alias("m"))
+        .select(
+            "vec_id",
+            (-F.col("m.ncid")).alias("cluster_id"),
+            F.col("m.cos").alias("cos"),
+        )
+    )
+    return best.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.min("cos").alias("min_cos"),
+        F.max("cos").alias("max_cos"),
+    )

@@ -60,3 +60,68 @@ def test_bpe_matches_reference_on_generated_corpus(spark, docs):
     )
     got, ref = _spark_rules(spark, df, 6)
     assert got == ref
+
+
+def test_bpe_encode_matches_reference_on_fixture(spark, sf_dir):
+    from collections import Counter
+    import re
+
+    from rag_lakehouse_spark.operators.bpe import (
+        bpe_token_counts,
+        encode_word_reference,
+    )
+    from rag_lakehouse_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    wc = word_counts(d)
+    rules = train_merges(wc, 12)
+    got = {
+        r.doc_id: (r.n_words, r.n_word_chars, r.n_bpe_tokens)
+        for r in bpe_token_counts(d, rules).collect()
+    }
+
+    # Python twin: the same explicit-class edge-trim + split tokenizer,
+    # the reference encoder per distinct word.
+    cls = r"[ \t\n\x0B\f\r]+"
+    enc_cache: dict[str, int] = {}
+    want = {}
+    for row in d.select("doc_id", "text").collect():
+        text = row.text or ""
+        text = re.sub(f"^{cls}|{cls}$", "", text)
+        words = [w for w in re.split(cls, text) if w != ""]
+        for w in set(words) - set(enc_cache):
+            enc_cache[w] = len(encode_word_reference(w, rules))
+        want[row.doc_id] = (
+            len(words),
+            sum(len(w) for w in words),
+            sum(enc_cache[w] for w in words),
+        )
+    assert got == want
+    # merges really compress: BPE tokens < characters on the fixture
+    tot_toks = sum(v[2] for v in got.values())
+    tot_chars = sum(v[1] for v in got.values())
+    assert 0 < tot_toks < tot_chars
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(docs=_docs)
+def test_bpe_encode_matches_reference_on_generated_corpus(spark, docs):
+    from rag_lakehouse_spark.operators.bpe import (
+        bpe_token_counts,
+        encode_word_reference,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    rules = train_merges(word_counts(df), 6)
+    got = {r.doc_id: r.n_bpe_tokens for r in bpe_token_counts(df, rules).collect()}
+    for i, t in enumerate(docs):
+        words = [w for w in t.split(" ") if w]
+        assert got[i] == sum(len(encode_word_reference(w, rules)) for w in words), (
+            i, t, rules,
+        )

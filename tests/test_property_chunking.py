@@ -164,3 +164,31 @@ def test_sentence_splitter_python_twin_matches_spark(spark, batch):
             if s.strip(WHITE_SPACE)
         ]
         assert got[doc_id] == want, (doc_id, repr(text))
+
+
+@settings(**_SETTINGS)
+@given(
+    batch=_texts,
+    stride=st.integers(min_value=1, max_value=20),
+    extra=st.integers(min_value=0, max_value=20),
+)
+def test_chunk_sliding_covers_and_reconstructs(spark, batch, stride, extra):
+    """Sliding windows start at every stride multiple below the length,
+    match Python slicing exactly, and concatenating each window's first
+    `stride` chars (plus the full last window) rebuilds the text — the
+    no-char-lost coverage guarantee overlap exists to provide."""
+    from rag_lakehouse_spark.operators.chunking import chunk_sliding
+
+    size = stride + extra
+    rows = chunk_sliding(_docs_df(spark, batch), size=size, stride=stride).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, text in enumerate(batch):
+        doc_rows = sorted(by_doc.get(doc_id, []), key=lambda r: r.chunk_number)
+        n_expected = (max(len(text), 1) - 1) // stride + 1
+        assert len(doc_rows) == n_expected
+        expected = [text[i * stride : i * stride + size] for i in range(n_expected)]
+        assert [r.chunk_text for r in doc_rows] == expected
+        recon = "".join(c[:stride] for c in expected[:-1]) + expected[-1]
+        assert recon == text
