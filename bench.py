@@ -59,6 +59,10 @@ HEADLINE = (
     # machinery in one plan) and the mapInPandas/Arrow sketch path
     "corpus_export_manifest",
     "corpus_heavy_tokens",
+    # r8 canary: the two-phase distributed prefix scan (range chunk →
+    # subtotals → broadcast offsets → local windows) — first-measured
+    # this round; watch for the localCheckpoint cost drifting
+    "corpus_pack_sequences",
     "knn_similarity_join",
     "knn_vectorized_topk",
     "events_asof_purchase",

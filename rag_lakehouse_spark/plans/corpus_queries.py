@@ -996,3 +996,192 @@ def corpus_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     rules = train_merges(word_counts(d).repartition(4), n_merges=12)
     return bpe_token_counts(d, rules)
+
+
+# The surprisal CTE chain is shared with text_queries (same tokenizer
+# twins, same integer-bits trick) — imported so the ensemble oracle
+# composes the exact same SQL the individually-oracled queries run.
+from rag_lakehouse_spark.plans.text_queries import _SURPRISAL_CTES as _SURP
+
+
+@register(
+    "corpus_quality_ensemble",
+    oracle=f"""
+    WITH {_SURP},
+    edges AS (
+      SELECT quantile_cont((total_bits * 1024) // n_tokens, 0.666666) AS e2
+      FROM sc
+    ),
+    charclass AS (
+      SELECT doc_id, source,
+             length(text) BETWEEN 100 AND 20000
+             AND CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)
+                 / length(text) < 0.1
+             AND CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+                 / length(text) < 0.3 AS char_ok
+      FROM documents
+    ),
+    lines AS (
+      SELECT doc_id, regexp_replace(l, '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g') AS l
+      FROM (SELECT doc_id,
+                   unnest(regexp_split_to_array(coalesce(text, ''), '\n')) AS l
+            FROM documents)
+      WHERE regexp_replace(l, '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g') <> ''
+    ),
+    line_stats AS (
+      SELECT doc_id, COUNT(*) AS n_lines, COUNT(DISTINCT l) AS n_dl
+      FROM lines GROUP BY doc_id
+    ),
+    bigr AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(t) - 1),
+                                   i -> t[i] || ' ' || t[i+1])) AS bg
+      FROM toks
+    ),
+    bc AS (SELECT doc_id, bg, COUNT(*) AS cnt FROM bigr GROUP BY 1, 2),
+    bi AS (
+      SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS total,
+             CAST(MAX(cnt) AS BIGINT) AS top
+      FROM bc GROUP BY 1
+    ),
+    flags AS (
+      SELECT c.doc_id, c.source,
+             c.char_ok,
+             (COALESCE(ls.n_lines, 0) = 0
+              OR (ls.n_lines - ls.n_dl) * 10 <= ls.n_lines * 3)
+             AND (COALESCE(bi.total, 0) = 0
+                  OR CAST(bi.top AS DOUBLE) / bi.total <= 0.18) AS rep_ok,
+             sc.n_tokens IS NOT NULL
+             AND (sc.total_bits * 1024) // sc.n_tokens <= edges.e2 AS flu_ok
+      FROM charclass c
+      LEFT JOIN line_stats ls USING (doc_id)
+      LEFT JOIN bi USING (doc_id)
+      LEFT JOIN sc USING (doc_id), edges
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN NOT char_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_char_fail,
+           CAST(SUM(CASE WHEN NOT rep_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_rep_fail,
+           CAST(SUM(CASE WHEN NOT flu_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_flu_fail,
+           CAST(SUM(CASE WHEN char_ok AND rep_ok AND flu_ok THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept
+    FROM flags GROUP BY source
+    """,
+    tags=("text", "quality", "pipeline", "training-data", "composition"),
+)
+def corpus_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STACKED quality decision in one plan — the three
+    independently-oracled signal families composed the way a C4/Gopher/
+    CCNet-style pipeline actually gates: character-class ratios
+    (length band, punct/digit density), repetition (duplicate-line
+    fraction via integer compare, top-bigram share), and fluency
+    (quantized unigram surprisal at or below the corpus's 2/3 tertile
+    edge, broadcast). Per source: doc count, per-gate failure counts,
+    and the docs surviving ALL gates — the report a mixture build
+    reads before deciding per-source sampling rates.
+
+    Every per-doc flag is integer/boolean arithmetic on already-proven
+    primitives; the only doubles are the two ratio compares each side
+    computes identically. 0-token docs fail fluency by definition
+    (no score ≠ fluent); 0-line / 0-bigram docs pass repetition (no
+    evidence of repetition).
+
+    Scale: three independent per-doc aggregates (lines, bigrams,
+    surprisal) joined back on doc_id — each is an explode + groupBy
+    with map-side combine; the tertile edge is a 1-row broadcast; the
+    final per-source rollup is |sources| rows. Nothing new to audit —
+    this row exists to prove the signals COMPOSE without
+    materialization between stages."""
+    from rag_lakehouse_spark.plans.text_queries import _surprisal_per_doc
+
+    d = load_table(spark, sf_dir, "documents")
+    n = F.length("text")
+    char_ok = (
+        n.between(100, 20000)
+        & (
+            F.length(F.regexp_replace("text", "[^.,!?;:]", "")).cast("double") / n
+            < 0.1
+        )
+        & (
+            F.length(F.regexp_replace("text", "[^0-9]", "")).cast("double") / n
+            < 0.3
+        )
+    )
+    charclass = d.select("doc_id", "source", char_ok.alias("char_ok"))
+
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    lines = (
+        d.select("doc_id", F.explode(F.split(txt, "\n")).alias("__l"))
+        .select("doc_id", TX.edge_trim("__l").alias("__l"))
+        .filter(F.col("__l") != "")
+    )
+    line_stats = lines.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.countDistinct("__l").alias("n_dl"),
+    )
+
+    toks = d.select(
+        "doc_id",
+        F.filter(TX.tokens(txt), lambda t: t != F.lit("")).alias("__t"),
+    )
+    n_t = F.size("__t")
+    bigr = (
+        toks.filter(n_t >= 2)
+        .select("doc_id", F.col("__t"), F.explode(F.sequence(F.lit(1), n_t - 1)).alias("__i"))
+        .select(
+            "doc_id",
+            F.concat(
+                F.element_at("__t", F.col("__i")),
+                F.lit(" "),
+                F.element_at("__t", F.col("__i") + 1),
+            ).alias("__bg"),
+        )
+    )
+    bi = (
+        bigr.groupBy("doc_id", "__bg")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("__cnt").cast("bigint").alias("total"),
+            F.max("__cnt").cast("bigint").alias("top"),
+        )
+    )
+
+    # sc feeds both the edge aggregate and the flag join — barrier per
+    # the multi-consumer rule (the surprisal subtree is explode+joins)
+    sc = _surprisal_per_doc(spark, sf_dir).localCheckpoint(eager=True)
+    q_bits = F.expr("(total_bits * 1024) DIV n_tokens")
+    edges = sc.agg(F.percentile(q_bits, 0.666666).alias("e2"))
+
+    flags = (
+        charclass.join(line_stats, "doc_id", "left")
+        .join(bi, "doc_id", "left")
+        .join(sc.withColumn("q_bits", q_bits), "doc_id", "left")
+        .crossJoin(F.broadcast(edges))
+        .select(
+            "source",
+            "char_ok",
+            (
+                (
+                    (F.coalesce(F.col("n_lines"), F.lit(0)) == 0)
+                    | ((F.col("n_lines") - F.col("n_dl")) * 10 <= F.col("n_lines") * 3)
+                )
+                & (
+                    (F.coalesce(F.col("total"), F.lit(0)) == 0)
+                    | (F.col("top").cast("double") / F.col("total") <= 0.18)
+                )
+            ).alias("rep_ok"),
+            (
+                F.col("n_tokens").isNotNull() & (F.col("q_bits") <= F.col("e2"))
+            ).alias("flu_ok"),
+        )
+    )
+    return flags.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(~F.col("char_ok"), 1).otherwise(0)).cast("bigint").alias("n_char_fail"),
+        F.sum(F.when(~F.col("rep_ok"), 1).otherwise(0)).cast("bigint").alias("n_rep_fail"),
+        F.sum(F.when(~F.col("flu_ok"), 1).otherwise(0)).cast("bigint").alias("n_flu_fail"),
+        F.sum(
+            F.when(F.col("char_ok") & F.col("rep_ok") & F.col("flu_ok"), 1).otherwise(0)
+        ).cast("bigint").alias("n_kept"),
+    )

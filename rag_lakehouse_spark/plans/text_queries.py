@@ -957,9 +957,13 @@ def corpus_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     (≤ ~65k entries) whatever the corpus size. The grid is fine enough
     that a tertile edge moves a doc only when its mean is within
     2^-10 bits of the cut."""
-    sc = _surprisal_per_doc(spark, sf_dir)
-    m = sc.withColumn(
-        "q_bits", F.expr("(total_bits * 1024) DIV n_tokens")
+    # The surprisal chain feeds BOTH the edge aggregate and the bucket
+    # join — without a barrier Spark plans (and runs) the whole
+    # explode+tf+join subtree twice (the r7 plan-per-reference class).
+    m = (
+        _surprisal_per_doc(spark, sf_dir)
+        .withColumn("q_bits", F.expr("(total_bits * 1024) DIV n_tokens"))
+        .localCheckpoint(eager=True)
     )
     edges = m.agg(
         F.percentile("q_bits", 1 / 3).alias("e1"),
@@ -1184,11 +1188,13 @@ def quality_gate_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sc = _surprisal_per_doc(spark, sf_dir).filter(F.col("n_tokens") > 0)
     d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    # m feeds both the per-source counts and the rank scan — barrier so
+    # the surprisal explode+join subtree runs once (multi-consumer rule)
     m = sc.join(d, "doc_id").select(
         "doc_id",
         "source",
         (F.col("total_bits").cast("double") / F.col("n_tokens")).alias("mean_bits"),
-    )
+    ).localCheckpoint(eager=True)
     counts = m.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
     ranked = running_rank(
         m, part_cols=["source"], order_cols=["mean_bits", "doc_id"], out="rk"

@@ -552,3 +552,95 @@ def events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("x.e").cast("double") / K).alias("ewma"),
         )
     )
+
+
+@register(
+    "events_cusum_changepoints",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS d, CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ), stats AS (
+      SELECT event_type,
+             CAST(SUM(c) AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM daily GROUP BY 1
+    ), packed AS (
+      SELECT d.event_type, stats.s, stats.n,
+             array_agg(d.d ORDER BY d.d) AS ds,
+             array_agg(d.c ORDER BY d.d) AS cs
+      FROM daily d JOIN stats USING (event_type)
+      GROUP BY 1, 2, 3
+    ), folded AS (
+      SELECT event_type, ds, cs, s, n,
+             list_transform(generate_series(1, len(cs)),
+                i -> list_reduce(list_prepend(CAST(0 AS BIGINT), cs[1:i]),
+                                 (a, x) -> greatest(CAST(0 AS BIGINT),
+                                                    a + x * n - s))) AS gs
+      FROM packed
+    ), un AS (
+      SELECT event_type, s, n,
+             unnest(ds) AS d, unnest(cs) AS c, unnest(gs) AS g
+      FROM folded
+    )
+    SELECT event_type,
+           strftime(d, '%Y-%m-%d') AS day,
+           c AS n_events,
+           g AS cusum_num,
+           g > 3 * s AS is_shifted
+    FROM un
+    """,
+    tags=("events", "timeseries", "changepoint", "monitoring"),
+)
+def events_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM upward-shift detection over daily event volume
+    — the changepoint monitor that catches a SUSTAINED level shift
+    (new traffic source, runaway producer) that per-day two-sigma
+    anomaly gates miss because no single day is extreme.
+
+    ZERO floats: the classic recurrence S_i = max(0, S_{i-1} + x_i - μ)
+    is scaled by N (days) so the drift term is the integer
+    ``x_i·N - S`` (S = Σcounts): G_i = max(0, G_{i-1} + c_i·N - S),
+    folded in day order — Spark ``aggregate`` == DuckDB
+    ``list_reduce``, bit-identical. The alarm G > 3·S·N/N == G > 3S
+    fires at ~3 mean-days of accumulated excess. Same calendar-bounded
+    grouped-series fold as ``events_ewma_daily`` (and the same
+    boundedness argument: one element per day, quadratic-in-days
+    prefix folds inside one codegen expression)."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("d")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    stats = daily.groupBy("event_type").agg(
+        F.sum("c").cast("bigint").alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    packed = daily.join(F.broadcast(stats), "event_type").groupBy(
+        "event_type", "s", "n"
+    ).agg(F.array_sort(F.collect_list(F.struct("d", "c"))).alias("ser"))
+    ser = F.col("ser")
+    items = F.transform(
+        F.sequence(F.lit(1), F.size(ser)),
+        lambda i: F.struct(
+            F.get(ser, i - 1)["d"].alias("d"),
+            F.get(ser, i - 1)["c"].alias("c"),
+            F.aggregate(
+                F.slice(ser, F.lit(1), i),
+                F.lit(0).cast("bigint"),
+                lambda a, x: F.greatest(
+                    F.lit(0).cast("bigint"),
+                    a + x["c"] * F.col("n") - F.col("s"),
+                ),
+            ).alias("g"),
+        ),
+    )
+    return (
+        packed.select("event_type", "s", F.explode(items).alias("x"))
+        .select(
+            "event_type",
+            F.date_format(F.col("x.d"), "yyyy-MM-dd").alias("day"),
+            F.col("x.c").cast("bigint").alias("n_events"),
+            F.col("x.g").cast("bigint").alias("cusum_num"),
+            (F.col("x.g") > 3 * F.col("s")).alias("is_shifted"),
+        )
+    )
