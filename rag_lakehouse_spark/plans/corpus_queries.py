@@ -1185,3 +1185,41 @@ def corpus_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("char_ok") & F.col("rep_ok") & F.col("flu_ok"), 1).otherwise(0)
         ).cast("bigint").alias("n_kept"),
     )
+
+
+@register(
+    "corpus_source_overlap",
+    oracle=f"""
+    WITH fps AS (
+      SELECT DISTINCT source, {TX.duckdb_fingerprint('text')} AS fp
+      FROM documents
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM fps a JOIN fps b ON a.fp = b.fp AND a.source < b.source
+    GROUP BY 1, 2
+    """,
+    tags=("training-data", "governance", "dedup", "provenance"),
+)
+def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: for every source pair, how many
+    distinct content fingerprints appear in BOTH — the provenance
+    report that tells a corpus owner which feeds are re-scraping each
+    other (and where cross-source dedup will actually reclaim tokens;
+    within-source duplication is `corpus_vocab_stats`/exact-dedup
+    territory).
+
+    Scale: text collapses to 32-byte md5 fingerprints at the scan; the
+    self-join shuffles only (source, fp) pairs on fp, and the output
+    is |sources|² rows. The DISTINCT before the join keeps a source's
+    internal duplicates from inflating pair counts."""
+    d = load_table(spark, sf_dir, "documents")
+    fps = d.select("source", TX.fingerprint("text").alias("fp")).distinct()
+    a = fps.select(F.col("source").alias("source_a"), "fp")
+    b = fps.select(F.col("source").alias("source_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )

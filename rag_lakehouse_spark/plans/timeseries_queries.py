@@ -471,9 +471,7 @@ def events_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "events_ewma_daily",
-    oracle="""
+_EWMA_ORACLE = """
     WITH daily AS (
       SELECT event_type, date_trunc('day', ts) AS d, CAST(COUNT(*) AS BIGINT) AS c
       FROM events GROUP BY 1, 2
@@ -497,7 +495,12 @@ def events_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
            c AS n_events,
            CAST(e AS DOUBLE) / 1048576 AS ewma
     FROM un
-    """,
+    """
+
+
+@register(
+    "events_ewma_daily",
+    oracle=_EWMA_ORACLE,
     tags=("events", "timeseries", "smoothing", "monitoring"),
 )
 def events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -522,11 +525,18 @@ def events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern holds whenever the grain is time-bounded; it would NOT
     hold for a per-user series (unbounded keys, bounded series) or a
     per-key unbounded series — those take the distributed_scan path."""
-    K = 1 << 20
     e = load_table(spark, sf_dir, "events")
     daily = e.groupBy(
         "event_type", F.date_trunc("day", F.col("ts")).alias("d")
     ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    return ewma_from_daily(daily)
+
+
+def ewma_from_daily(daily: DataFrame) -> DataFrame:
+    """(event_type, day, n_events, ewma) from a (event_type, d, c)
+    daily-count relation — the shared serving fold for the batch query
+    above and the streaming-maintained twin below."""
+    K = 1 << 20
     packed = daily.groupBy("event_type").agg(
         F.array_sort(F.collect_list(F.struct("d", "c"))).alias("ser")
     )
@@ -644,3 +654,124 @@ def events_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("x.g") > 3 * F.col("s")).alias("is_shifted"),
         )
     )
+
+
+@register(
+    "events_daily_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             date_diff('day', TIMESTAMP '1995-01-01 00:00:00',
+                       date_trunc('day', ts)) AS x,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ), s AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM daily GROUP BY 1
+    )
+    SELECT event_type, n AS n_days,
+           CASE WHEN n * sxx - sx * sx <> 0
+                THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                     / (n * sxx - sx * sx) END AS slope_per_day,
+           (n * sxy - sx * sy) * (n * sxy - sx * sy) > 0
+           AND (n * sxy - sx * sy) > 0 AS is_growing
+    FROM s
+    """,
+    tags=("events", "timeseries", "regression", "monitoring"),
+)
+def events_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type volume trend: the ordinary-least-squares slope of
+    daily event counts over the day index — the one number a capacity
+    planner reads ("growing how fast?"), plus an integer-sign growth
+    flag.
+
+    ZERO float accumulation: the closed form
+    slope = (N·Σxy − Σx·Σy) / (N·Σxx − Σx²) is four integer SUMs (day
+    index × count — both exact integers) combined in one final
+    division; the growth flag is a pure integer sign test. Bounds: x ≤
+    ~10⁴ (calendar days), y daily counts — N·Σxy stays far inside
+    int64 for any per-type daily series measured in billions/day.
+
+    Scale: one daily rollup groupBy + one per-type aggregate — no
+    windows, no folds; the cheapest possible shape."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.datediff(
+            F.date_trunc("day", F.col("ts")).cast("date"),
+            F.lit("1995-01-01").cast("date"),
+        ).alias("x"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    s = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return s.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.when(den != 0, num.cast("double") / den).alias("slope_per_day"),
+        ((num * num > 0) & (num > 0)).alias("is_growing"),
+    )
+
+
+@register(
+    "events_ewma_incremental",
+    oracle=_EWMA_ORACLE,
+    tags=("events", "timeseries", "smoothing", "streaming"),
+)
+def events_ewma_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EWMA baseline served from a STREAMING-maintained daily-count
+    state, hash-checked against the SAME oracle as the batch
+    ``events_ewma_daily``: events replay through an availableNow file
+    stream (maxFilesPerTrigger=1 over a 4-file copy ⇒ ≥4 micro-batches
+    folding (event_type, day) counts into the versioned state via
+    ``streaming.rollup_sink.maintain_daily_type_counts``), then the
+    SAME ``ewma_from_daily`` fold runs over the state. Counts are
+    mergeable, so batch boundaries cannot move the smoothed series —
+    incremental must equal one-shot, bit for bit.
+
+    This closes the monitoring loop the way the dedup/BM25/IVF indexes
+    did for search: one maintained state (bounded by types × days),
+    per-increment cost of one micro-batch, every derived monitor
+    (EWMA here; CUSUM/trend read the same state) exact over FULL
+    history with no rescan."""
+    import os
+    import shutil
+    import tempfile
+
+    from rag_lakehouse_spark.streaming.rollup_sink import (
+        maintain_daily_type_counts,
+        read_state,
+    )
+
+    base = tempfile.mkdtemp(prefix="rls_ewma_stream_")
+    try:
+        src = os.path.join(base, "events")
+        (
+            load_table(spark, sf_dir, "events")
+            .select("event_type", "ts")
+            .repartition(4)
+            .write.mode("overwrite")
+            .parquet(src)
+        )
+        stream = (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        state = os.path.join(base, "daily_counts")
+        maintain_daily_type_counts(spark, stream, state).awaitTermination()
+        daily = read_state(spark, state).drop("last_batch_id", "ckpt_id")
+        return ewma_from_daily(daily).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

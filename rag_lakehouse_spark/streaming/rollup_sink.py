@@ -295,3 +295,47 @@ def rollup_hierarchy_from_state(
         )
         out = fin if out is None else out.unionByName(fin)
     return out
+
+
+def _daily_type_partials(df: DataFrame) -> DataFrame:
+    return df.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("d")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+
+
+def _daily_type_merge(prev: DataFrame, batch: DataFrame) -> DataFrame:
+    return (
+        prev.unionByName(batch)
+        .groupBy("event_type", "d")
+        .agg(F.sum("c").cast("bigint").alias("c"))
+    )
+
+
+def maintain_daily_type_counts(
+    spark: SparkSession, events_stream: DataFrame, state_path: str
+):
+    """Fold each micro-batch's per-(event_type, day) counts into the
+    versioned state table — the aggregated-state layout (state size is
+    bounded by types × calendar days, so the fold-rewrite IS the
+    compaction; see docs/SCALE.md layout-choice rule). Counts are
+    mergeable, so any serving computation over the state (EWMA, CUSUM,
+    trend) is exact however ingestion was batched."""
+    ckpt = state_path + "_ckpt"
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        fold_batch(
+            spark,
+            state_path,
+            batch_df,
+            batch_id,
+            _ckpt_query_id(ckpt),
+            partial_fn=_daily_type_partials,
+            merge_fn=_daily_type_merge,
+        )
+
+    return (
+        events_stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
