@@ -748,3 +748,93 @@ def recursive_cte_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     never expands."""
     edges, seeds = _reach_inputs(spark, sf_dir)
     return bounded_path_counts(edges, seeds, max_hops=2)
+
+
+@register(
+    "orders_rfm_segments",
+    oracle="""
+    WITH anchor AS (
+      SELECT MAX(o_orderdate) AS maxd FROM orders
+    ), per_cust AS (
+      SELECT o_custkey,
+             CAST(date_diff('day', MAX(o_orderdate), anchor.maxd) AS BIGINT) AS r_days,
+             CAST(COUNT(*) AS BIGINT) AS f_orders,
+             CAST(floor(SUM(CAST(o_totalprice AS DECIMAL(12,2))) / 100) AS BIGINT)
+               AS m_hundreds
+      FROM orders, anchor GROUP BY o_custkey, anchor.maxd
+    ), edges AS (
+      SELECT quantile_cont(r_days, 0.333333) AS r1, quantile_cont(r_days, 0.666666) AS r2,
+             quantile_cont(f_orders, 0.333333) AS f1, quantile_cont(f_orders, 0.666666) AS f2,
+             quantile_cont(m_hundreds, 0.333333) AS m1, quantile_cont(m_hundreds, 0.666666) AS m2
+      FROM per_cust
+    )
+    SELECT CAST(1 + (CASE WHEN r_days > r1 THEN 1 ELSE 0 END)
+                  + (CASE WHEN r_days > r2 THEN 1 ELSE 0 END) AS BIGINT) AS r_score,
+           CAST(1 + (CASE WHEN f_orders > f1 THEN 1 ELSE 0 END)
+                  + (CASE WHEN f_orders > f2 THEN 1 ELSE 0 END) AS BIGINT) AS f_score,
+           CAST(1 + (CASE WHEN m_hundreds > m1 THEN 1 ELSE 0 END)
+                  + (CASE WHEN m_hundreds > m2 THEN 1 ELSE 0 END) AS BIGINT) AS m_score,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM per_cust, edges
+    GROUP BY 1, 2, 3
+    """,
+    tags=("agg", "segmentation", "analytics", "percentile"),
+)
+def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — recency (days since last order,
+    against the table's max date as the deterministic anchor),
+    frequency (order count), monetary (lifetime spend) — each tertiled
+    into scores 1-3 by broadcast percentile edges, reported as segment
+    cell counts (the 27-cell cube a CRM mixture reads).
+
+    Percentile inputs follow the r8 bounded-domain rule: recency days
+    and order counts are naturally small-domain integers; spend is
+    quantized to exact DECIMAL hundreds (floor(sum/100) — decimal
+    floor, not a double cast) so the buffer is bounded by the spend
+    range / 100, never by customer count. Score compares are
+    integer-vs-double against bit-identical interpolated edges.
+
+    Scale: one per-customer aggregate (map-side combined), a 1-row
+    anchor and a 1-row edge table broadcast, one 27-cell final
+    groupBy. No windows, no per-customer Python."""
+    o = load_table(spark, sf_dir, "orders")
+    anchor = o.agg(F.max("o_orderdate").alias("maxd"))
+    per_cust = (
+        o.crossJoin(F.broadcast(anchor))
+        .groupBy("o_custkey", "maxd")
+        .agg(
+            F.datediff(
+                F.col("maxd").cast("date"), F.max("o_orderdate").cast("date")
+            ).cast("bigint").alias("r_days"),
+            F.count(F.lit(1)).cast("bigint").alias("f_orders"),
+            F.floor(
+                F.sum(F.col("o_totalprice").cast("decimal(12,2)")) / 100
+            ).cast("bigint").alias("m_hundreds"),
+        )
+    )
+    def score(v, e1, e2):
+        return (
+            F.lit(1)
+            + F.when(F.col(v) > F.col(e1), 1).otherwise(0)
+            + F.when(F.col(v) > F.col(e2), 1).otherwise(0)
+        ).cast("bigint")
+    # per_cust feeds both the edge aggregate and the scoring join —
+    # barrier per the multi-consumer rule (producer is a full-orders agg)
+    per_cust = per_cust.localCheckpoint(eager=True)
+    edges = per_cust.agg(
+        F.percentile("r_days", 0.333333).alias("r1"),
+        F.percentile("r_days", 0.666666).alias("r2"),
+        F.percentile("f_orders", 0.333333).alias("f1"),
+        F.percentile("f_orders", 0.666666).alias("f2"),
+        F.percentile("m_hundreds", 0.333333).alias("m1"),
+        F.percentile("m_hundreds", 0.666666).alias("m2"),
+    )
+    return (
+        per_cust.crossJoin(F.broadcast(edges))
+        .groupBy(
+            score("r_days", "r1", "r2").alias("r_score"),
+            score("f_orders", "f1", "f2").alias("f_score"),
+            score("m_hundreds", "m1", "m2").alias("m_score"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
+    )

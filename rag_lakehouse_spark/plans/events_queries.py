@@ -337,3 +337,55 @@ def events_click_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "purchase_value",
         )
     )
+
+
+@register(
+    "events_retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, MIN(date_trunc('week', ts)) AS cohort_week
+      FROM events WHERE user_id IS NOT NULL GROUP BY 1
+    ), activity AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS week
+      FROM events WHERE user_id IS NOT NULL
+    )
+    SELECT strftime(f.cohort_week, '%Y-%m-%d') AS cohort_week,
+           CAST(date_diff('week', f.cohort_week, a.week) AS BIGINT) AS week_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_active
+    FROM activity a JOIN firsts f USING (user_id)
+    GROUP BY 1, 2
+    """,
+    tags=("events", "cohort", "retention", "analytics"),
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-seen week, and
+    for each later week the count still active — the triangle matrix
+    every growth/engagement dashboard is built on. Counting distinct
+    (user, week) activity first makes a user count once per week
+    however many events they fired.
+
+    Exactness: week buckets are date_trunc('week') on BOTH engines
+    (ISO Monday start in both); the offset is an integer week
+    difference of already-truncated instants, so no calendar ulp
+    surface. Output cohort week as a formatted string per the standing
+    string-timestamp rule.
+
+    Scale: one distinct-(user, week) aggregate (map-side combined),
+    one per-user MIN, one equi-join on user_id (AQE-skew-safe), one
+    final count — shuffle keys are ids and week instants, never raw
+    events past the first aggregate."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    firsts = e.groupBy("user_id").agg(
+        F.min(F.date_trunc("week", F.col("ts"))).alias("cohort_week")
+    )
+    activity = e.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("week")
+    ).distinct()
+    joined = activity.join(firsts, "user_id")
+    return joined.groupBy(
+        F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+        (
+            F.datediff(F.col("week").cast("date"), F.col("cohort_week").cast("date"))
+            / 7
+        ).cast("bigint").alias("week_offset"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_active"))

@@ -673,3 +673,78 @@ def rag_rm3_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
 from rag_lakehouse_spark.plans import registry as _registry  # noqa: E402
 
 _registry.QUERIES["rag_rm3_expansion"].oracle = _duckdb_rm3_oracle()
+
+
+@register(
+    "text_tfidf_keywords",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter({_DUCK_TOKS}, t -> t <> '')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM toks GROUP BY 1, 2),
+    stats AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM toks),
+    idf AS (
+      SELECT term, round(ln(CAST(n_docs AS DOUBLE) / df), 9) AS idf
+      FROM (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+           stats
+    ),
+    scored AS (
+      SELECT t.doc_id, t.term, t.tf * idf.idf AS score
+      FROM tf t JOIN idf USING (term)
+    ),
+    ranked AS (
+      SELECT doc_id, term, score,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, term ASC) AS rank
+      FROM scored
+    )
+    SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, score
+    FROM ranked WHERE rank <= 3
+    """,
+    tags=("text", "search", "keywords", "training-data"),
+)
+def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: top-3 terms by tf·idf — the
+    classic summarization/labeling pass (and the cheap topic signal a
+    corpus browser or mixture report shows next to each source).
+
+    Exactness: tf and df are integers; idf = ln(N/df) rounded to 9
+    decimals (the standing BM25-idf rule — the one transcendental both
+    engines agree on after rounding); score = integer·rounded-double,
+    one deterministic product; ties break on term ASC.
+
+    Scale: the tf groupBy shuffles (doc, term); idf is a
+    vocabulary-sized aggregate joined back on term (AQE-skew-safe);
+    the per-doc top-3 is a WindowGroupLimit — rank truncation happens
+    map-side before the exchange, so the window never materializes a
+    doc's full vocabulary downstream."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(_toks("text")).alias("term")).filter(
+        F.col("term") != ""
+    )
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    stats = toks.agg(F.countDistinct("doc_id").cast("bigint").alias("n_docs"))
+    idf = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "term",
+            F.round(F.log(F.col("n_docs").cast("double") / F.col("df")), 9).alias(
+                "idf"
+            ),
+        )
+    )
+    scored = tf.join(idf, "term").select(
+        "doc_id", "term", (F.col("tf") * F.col("idf")).alias("score")
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", F.col("rank").cast("bigint").alias("rank"), "term", "score")
+    )

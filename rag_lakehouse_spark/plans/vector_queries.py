@@ -587,3 +587,104 @@ def embedding_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("cos").alias("min_cos"),
         F.max("cos").alias("max_cos"),
     )
+
+
+@register(
+    "embedding_outlier_flags",
+    oracle=f"""
+    WITH e AS ({_E_NORMED}),
+    c AS (SELECT vec_id AS cid, embedding AS cvec, nrm AS cnrm
+          FROM e WHERE vec_id % 97 = 0),
+    s AS (
+      SELECT e.vec_id, c.cid,
+             {VEC.duckdb_dot("e.embedding", "c.cvec")}
+               / (e.nrm * c.cnrm + 1e-24) AS cos
+      FROM e, c
+    ), b AS (
+      SELECT vec_id, cid, cos,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY cos DESC, cid ASC) AS rn
+      FROM s
+    ), assigned AS (
+      SELECT vec_id, cid,
+             CAST(floor((1.0 - cos) * 1024) AS BIGINT) AS q
+      FROM b WHERE rn = 1
+    ), stats AS (
+      SELECT cid, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(q) AS BIGINT) AS sq,
+             CAST(SUM(q * q) AS BIGINT) AS qq
+      FROM assigned GROUP BY cid
+    )
+    SELECT a.vec_id, a.cid AS cluster_id, a.q AS q_dist,
+           a.q > CAST(sq AS DOUBLE) / n
+           AND (a.q - CAST(sq AS DOUBLE) / n)
+               * (a.q - CAST(sq AS DOUBLE) / n)
+               > 4 * (CAST(qq AS DOUBLE) / n
+                      - (CAST(sq AS DOUBLE) / n) * (CAST(sq AS DOUBLE) / n))
+             AS is_outlier
+    FROM assigned a JOIN stats USING (cid)
+    """,
+    tags=("vector", "clustering", "outlier", "training-data"),
+)
+def embedding_outlier_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier detection — the curation signal that
+    drops docs far from every topic mass (mislabeled scrapes, garbage
+    embeddings): assign each vector to its nearest deterministic
+    centroid (the ``embedding_cluster_profile`` assignment), then flag
+    members more than two standard deviations FARTHER than their
+    cluster's mean cosine distance.
+
+    Exactness without overflow: distance quantizes to the integer grid
+    ``floor((1-cos)·1024)`` (q ≤ 2048, so Σq² fits int64 up to ~10¹²
+    members per cluster); the z-gate compares the exact-integer-derived
+    doubles ``(q - Σq/n)² > 4·(Σq²/n - (Σq/n)²)`` — identical
+    arithmetic both engines, one-sided (far side only). The
+    cross-multiplied integer identity (events_anomaly_days) is
+    deliberately NOT used here: with corpus-sized n it overflows int64.
+
+    Scale: assignment is the broadcast-centroid argmax; stats are one
+    |centroids|-row aggregate joined back broadcast. No windows over
+    raw rows (the oracle's row_number is the oracle's dialect; the
+    engine uses the max-struct argmax)."""
+    e = _normed(load_table(spark, sf_dir, "embeddings"))
+    c = e.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("cvec"),
+        F.col("nrm").alias("cnrm"),
+    )
+    scored = e.crossJoin(F.broadcast(c)).select(
+        "vec_id",
+        "cid",
+        (
+            VEC.dot("embedding", "cvec")
+            / (F.col("nrm") * F.col("cnrm") + F.lit(1e-24))
+        ).alias("cos"),
+    )
+    assigned = (
+        scored.groupBy("vec_id")
+        .agg(F.max(F.struct(F.col("cos"), (-F.col("cid")).alias("ncid"))).alias("m"))
+        .select(
+            "vec_id",
+            (-F.col("m.ncid")).alias("cluster_id"),
+            F.floor((F.lit(1.0) - F.col("m.cos")) * 1024).cast("bigint").alias("q"),
+        )
+        # assigned feeds both the stats aggregate and the flag join —
+        # barrier per the multi-consumer rule (producer is the full
+        # centroid-scoring pass)
+        .localCheckpoint(eager=True)
+    )
+    stats = assigned.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("q").cast("bigint").alias("sq"),
+        F.sum(F.col("q") * F.col("q")).cast("bigint").alias("qq"),
+    )
+    mu = F.col("sq").cast("double") / F.col("n")
+    var = F.col("qq").cast("double") / F.col("n") - mu * mu
+    return assigned.join(F.broadcast(stats), "cluster_id").select(
+        "vec_id",
+        "cluster_id",
+        F.col("q").alias("q_dist"),
+        ((F.col("q") > mu) & ((F.col("q") - mu) * (F.col("q") - mu) > 4 * var)).alias(
+            "is_outlier"
+        ),
+    )
