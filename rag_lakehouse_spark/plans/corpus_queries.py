@@ -1032,11 +1032,16 @@ from rag_lakehouse_spark.plans.text_queries import _SURPRISAL_CTES as _SURP
       SELECT doc_id, COUNT(*) AS n_lines, COUNT(DISTINCT l) AS n_dl
       FROM lines GROUP BY doc_id
     ),
+    tarr AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(regexp_replace(coalesce(text, ''), '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g'), '[ \t\n\x0B\f\r]+'), t -> t <> '') AS t
+      FROM documents
+    ),
     bigr AS (
       SELECT doc_id,
              unnest(list_transform(generate_series(1, len(t) - 1),
                                    i -> t[i] || ' ' || t[i+1])) AS bg
-      FROM toks
+      FROM tarr
     ),
     bc AS (SELECT doc_id, bg, COUNT(*) AS cnt FROM bigr GROUP BY 1, 2),
     bi AS (

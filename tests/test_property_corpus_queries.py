@@ -119,6 +119,26 @@ def _run(spark, tmp_path, docs, query_name):
         # per-source gate: tied mean_bits across generated dup docs
         # exercise the unique-doc_id rank tiebreaker
         "quality_gate_per_source",
+        # r8 additions. bigram surprisal: repeated-token docs create
+        # real repeated transitions; single-token and empty docs hit
+        # the n<2 guard on both engines
+        "text_bigram_surprisal",
+        # the stacked ensemble composes the repetition/surprisal/
+        # charclass twins — any divergence in a component surfaces here
+        # even if its own fuzz row is green (join/NULL seams)
+        "corpus_quality_ensemble",
+        # tf-idf: tied scores everywhere in tiny corpora — the
+        # (score DESC, term ASC) tiebreak must agree exactly
+        "text_tfidf_keywords",
+        # KS drift: two sources with duplicate/empty docs; 1-source
+        # corpora must yield empty results on BOTH engines
+        "dq_source_drift_ks",
+        # cross-source overlap: duplicated texts across src0/src1
+        # produce real shared fingerprints
+        "corpus_source_overlap",
+        # sliding chunker: unicode + empty docs through the stride
+        # window arithmetic
+        "chunk_sliding_docs",
     ],
 )
 def test_text_query_matches_oracle_on_generated_corpus(
