@@ -1309,3 +1309,96 @@ def text_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("total_bits").cast("double") / F.col("n_bigrams"),
         ).alias("mean_bits"),
     )
+
+
+@register(
+    "corpus_source_divergence",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source,
+             unnest(list_filter({TX.duckdb_tokens("coalesce(text, '')")},
+                                t -> t <> '')) AS t
+      FROM documents
+    ), tf AS (
+      SELECT t, COUNT(*) AS cnt FROM toks GROUP BY 1
+    ), tot AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS n_total FROM tf
+    ), rar AS (
+      SELECT t, CAST(length(bin(n_total)) - length(bin(cnt)) AS BIGINT) AS bits
+      FROM tf, tot
+    ), per_src AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(bits) AS BIGINT) AS total_bits
+      FROM toks JOIN rar USING (t) GROUP BY 1
+    ), corpus AS (
+      SELECT CAST(SUM(n_tokens) AS BIGINT) AS cn,
+             CAST(SUM(total_bits) AS BIGINT) AS cb
+      FROM per_src
+    )
+    SELECT source, n_tokens, total_bits,
+           CAST(total_bits AS DOUBLE) / n_tokens AS bits_per_token,
+           CAST(total_bits AS DOUBLE) / n_tokens
+             - CAST(cb AS DOUBLE) / cn AS delta_vs_corpus
+    FROM per_src, corpus
+    """,
+    tags=("text", "quality", "language-model", "drift", "training-data"),
+)
+def corpus_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source cross-entropy against the CORPUS unigram model — the
+    language-model view of source drift (the KS query watches length
+    distributions; this watches vocabulary usage): a source whose
+    token stream costs markedly more bits under the corpus model than
+    the corpus average is off-distribution (different register,
+    different language mix, gibberish), the CCNet per-source signal at
+    the source grain.
+
+    Exactness: H(source ‖ corpus) · n = Σ count_s(t) · bits(t) — an
+    INTEGER sum over the integer bit-rarity table (the
+    ``length(bin(x))`` trick), so the only doubles are the two final
+    per-token divisions and one subtraction, identical both engines.
+
+    Scale: the same explode → term-frequency groupBy → join-back shape
+    as ``text_unigram_surprisal``, with a per-source rollup instead of
+    per-doc and a 1-row corpus total broadcast back."""
+    d = load_table(spark, sf_dir, "documents").select("source", "text")
+    toks = d.select(
+        "source",
+        F.explode(
+            F.filter(
+                TX.tokens(F.coalesce(F.col("text"), F.lit(""))),
+                lambda t: t != F.lit(""),
+            )
+        ).alias("t"),
+    )
+    tf = toks.groupBy("t").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = tf.agg(F.sum("cnt").alias("n_total"))
+    rar = tf.crossJoin(F.broadcast(tot)).select(
+        "t",
+        (F.length(F.bin("n_total")) - F.length(F.bin("cnt")))
+        .cast("bigint")
+        .alias("bits"),
+    )
+    per_src = (
+        toks.join(rar, "t")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum("bits").cast("bigint").alias("total_bits"),
+        )
+        # per_src feeds both the corpus total and the output join —
+        # barrier per the multi-consumer rule (producer is the full
+        # token explode + join)
+        .localCheckpoint(eager=True)
+    )
+    corpus = per_src.agg(
+        F.sum("n_tokens").cast("bigint").alias("cn"),
+        F.sum("total_bits").cast("bigint").alias("cb"),
+    )
+    bpt = F.col("total_bits").cast("double") / F.col("n_tokens")
+    return per_src.crossJoin(F.broadcast(corpus)).select(
+        "source",
+        "n_tokens",
+        "total_bits",
+        bpt.alias("bits_per_token"),
+        (bpt - F.col("cb").cast("double") / F.col("cn")).alias("delta_vs_corpus"),
+    )

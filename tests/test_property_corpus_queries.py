@@ -139,6 +139,9 @@ def _run(spark, tmp_path, docs, query_name):
         # sliding chunker: unicode + empty docs through the stride
         # window arithmetic
         "chunk_sliding_docs",
+        # per-source cross-entropy: duplicated tokens across src0/src1
+        # give the sources genuinely different bit costs
+        "corpus_source_divergence",
     ],
 )
 def test_text_query_matches_oracle_on_generated_corpus(

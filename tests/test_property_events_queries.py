@@ -93,6 +93,17 @@ QUERIES = [
     # anomaly days: tiny generated tables make N=1 groups (variance 0,
     # strict > keeps the single day non-anomalous) and exact-tie days
     "events_anomaly_days",
+    # r8 monitoring folds: generated sparse/tied days exercise the
+    # day-sorted integer recurrences (EWMA shift fold, CUSUM max fold)
+    # with single-day series and same-day multi-type ties
+    "events_ewma_daily",
+    "events_cusum_changepoints",
+    # OLS trend: N=1 series hit the zero-denominator guard (NULL slope
+    # on both engines); tied day indexes across types
+    "events_daily_trend",
+    # retention: one-event users, NULL users dropped, same-week
+    # multi-activity collapses via the distinct (user, week) pair
+    "events_retention_cohorts",
 ]
 
 
