@@ -1,0 +1,100 @@
+"""Maximal Marginal Relevance (MMR) result diversification — the
+standard post-retrieval step (Carbonell & Goldstein 1998) that trades
+relevance against redundancy: greedily pick the candidate maximizing
+``lam * relevance - (1 - lam) * max_similarity_to_already_picked``.
+
+Spark shape: retrieval bounds the candidate set per query (top-N from
+BM25/dense — the ``rag_retrieve_rerank`` contract), so the greedy loop
+runs per-query inside ``applyInPandas`` — one bounded group per query,
+thousands of queries diversify in parallel, nothing corpus-sized
+touches Python. The loop is inherently sequential per query (each pick
+changes the next argmax), which is why it is not an expression; its
+determinism contract is below.
+
+Determinism: the group is sorted by (relevance DESC, id ASC) before
+the loop and ties in the greedy argmax resolve to the earliest sorted
+position, so the selection is a pure function of the candidate SET —
+independent of input partitioning and row order (locked by
+tests/test_mmr.py, including a repartition-invariance check).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+
+def mmr_select_reference(
+    ids: list, vecs: "np.ndarray", scores: list, k: int, lam: float
+) -> list[tuple[int, object, float]]:
+    """Pure-Python/NumPy greedy MMR over one candidate list (already
+    in (score DESC, id ASC) order): returns [(rank, id, mmr_score)].
+    Shared by the executor path and the differential test — the
+    executor path IS this function, so the test checks the Spark
+    plumbing (grouping, ordering, schema), not a reimplementation."""
+    v = vecs.astype(np.float64)
+    norms = np.linalg.norm(v, axis=1) + 1e-24
+    n = len(ids)
+    k = min(k, n)
+    picked: list[int] = []
+    out: list[tuple[int, object, float]] = []
+    for rank in range(1, k + 1):
+        best_i, best_val = -1, -np.inf
+        for i in range(n):
+            if i in picked:
+                continue
+            if picked:
+                sims = v[picked] @ v[i] / (norms[picked] * norms[i])
+                penalty = float(np.max(sims))
+            else:
+                penalty = 0.0
+            val = lam * scores[i] - (1.0 - lam) * penalty
+            if val > best_val:  # strict > ⇒ ties keep the earliest
+                best_i, best_val = i, val
+        picked.append(best_i)
+        out.append((rank, ids[best_i], float(best_val)))
+    return out
+
+
+def mmr_diversify(
+    candidates: DataFrame,
+    query_col: str = "query_id",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    score_col: str = "score",
+    k: int = 10,
+    lam: float = 0.7,
+) -> DataFrame:
+    """(query, rank, id, mmr_score): diversified top-k per query from a
+    bounded per-query candidate relation."""
+    id_field = candidates.schema[id_col]
+    out_schema = T.StructType(
+        [
+            candidates.schema[query_col],
+            T.StructField("rank", T.IntegerType()),
+            T.StructField(id_field.name, id_field.dataType),
+            T.StructField("mmr_score", T.DoubleType()),
+        ]
+    )
+
+    def per_query(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            [score_col, id_col], ascending=[False, True], kind="mergesort"
+        ).reset_index(drop=True)
+        vecs = np.array([np.asarray(x) for x in pdf[vec_col]], dtype=np.float64)
+        rows = mmr_select_reference(
+            list(pdf[id_col]), vecs, list(pdf[score_col]), k, lam
+        )
+        q = pdf[query_col].iloc[0]
+        return pd.DataFrame(
+            [(q, r, i, s) for r, i, s in rows],
+            columns=[query_col, "rank", id_col, "mmr_score"],
+        )
+
+    return (
+        candidates.select(query_col, id_col, vec_col, score_col)
+        .groupBy(query_col)
+        .applyInPandas(per_query, out_schema)
+    )

@@ -838,3 +838,82 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
     )
+
+
+@register(
+    "orders_revenue_concentration",
+    oracle="""
+    WITH spend AS (
+      SELECT c.c_mktsegment AS segment, o.o_custkey,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT)
+               AS cents
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1, 2
+    ), ranked AS (
+      SELECT segment, cents,
+             ROW_NUMBER() OVER (PARTITION BY segment
+                                ORDER BY cents DESC, o_custkey ASC) AS rk,
+             COUNT(*) OVER (PARTITION BY segment) AS n
+      FROM spend
+    )
+    SELECT segment,
+           CAST(MAX(n) AS BIGINT) AS n_customers,
+           CAST(SUM(cents) AS BIGINT) AS total_cents,
+           CAST(SUM(CASE WHEN rk * 5 <= n THEN cents ELSE 0 END) AS DOUBLE)
+             / SUM(cents) AS top20_share,
+           CAST(SUM(CASE WHEN rk * 100 <= n THEN cents ELSE 0 END) AS DOUBLE)
+             / SUM(cents) AS top1_share
+    FROM ranked GROUP BY segment
+    """,
+    tags=("agg", "concentration", "analytics", "distributed-scan"),
+)
+def orders_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration per market segment: the share of spend
+    held by the top 20% and top 1% of customers (by rank — the
+    whale-dependence number a revenue-risk review leads with). Spend
+    is exact integer cents (decimal sum × 100, cast once), membership
+    an integer rank compare, shares one final double division each.
+
+    Scale: the per-segment rank runs on the TWO-PHASE DISTRIBUTED SCAN
+    (``operators.distributed_scan.running_rank`` — the second
+    production consumer after quality_gate_per_source): five segments
+    would otherwise funnel customers/5 rows through one sort task. The
+    oracle keeps the plain window form — identical ranks."""
+    from rag_lakehouse_spark.operators.distributed_scan import running_rank
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    # spend feeds both the rank scan and the per-segment counts —
+    # barrier per the multi-consumer rule (producer is the full
+    # orders join + aggregate; the derived table is customer-sized)
+    spend = (
+        o.join(c, "o_custkey")
+        .groupBy("segment", "o_custkey")
+        .agg(
+            (F.sum(F.col("o_totalprice").cast("decimal(12,2)")) * 100)
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    # rank DESC by spend: order by (-cents, o_custkey) — running_rank
+    # orders ascending, and the contract needs a unique order key
+    ranked = running_rank(
+        spend.withColumn("neg_cents", -F.col("cents")),
+        part_cols=["segment"],
+        order_cols=["neg_cents", "o_custkey"],
+        out="rk",
+    ).drop("neg_cents")
+    counts = spend.groupBy("segment").agg(F.count(F.lit(1)).alias("n"))
+    j = ranked.join(F.broadcast(counts), "segment")
+    top20 = F.sum(F.when(F.col("rk") * 5 <= F.col("n"), F.col("cents")).otherwise(0))
+    top1 = F.sum(F.when(F.col("rk") * 100 <= F.col("n"), F.col("cents")).otherwise(0))
+    return j.groupBy("segment").agg(
+        F.max("n").cast("bigint").alias("n_customers"),
+        F.sum("cents").cast("bigint").alias("total_cents"),
+        (top20.cast("double") / F.sum("cents")).alias("top20_share"),
+        (top1.cast("double") / F.sum("cents")).alias("top1_share"),
+    )

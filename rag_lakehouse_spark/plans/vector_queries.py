@@ -688,3 +688,42 @@ def embedding_outlier_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_outlier"
         ),
     )
+
+
+@register(
+    "rag_mmr_diversify",
+    oracle=None,  # greedy iterative selection — no SQL twin; pytest
+    # runs an independent naive MMR differentially over exact-integer
+    # vectors and locks partitioning invariance (tests/test_mmr.py)
+    tags=("vector", "rag", "diversification", "iterative"),
+)
+def rag_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-Marginal-Relevance diversified retrieval: take the
+    query's top-50 cosine candidates (the bounded retrieval contract),
+    then greedily select 10 trading relevance against similarity to
+    already-selected results (λ=0.7) — the standard fix for
+    near-duplicate result lists that a pure top-k cannot avoid.
+    Per-query work is bounded by the candidate count; thousands of
+    queries would run as parallel ``applyInPandas`` groups."""
+    from rag_lakehouse_spark.operators.mmr import mmr_diversify
+
+    e = _normed(load_table(spark, sf_dir, "embeddings"))
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qvec"), F.col("nrm").alias("qnrm")
+    )
+    cands = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.lit(0).alias("query_id"),
+            "vec_id",
+            "embedding",
+            (
+                VEC.dot("embedding", "qvec")
+                / (F.col("nrm") * F.col("qnrm") + F.lit(1e-24))
+            ).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(50)
+    )
+    return mmr_diversify(cands, k=10, lam=0.7)
