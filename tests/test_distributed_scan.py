@@ -83,7 +83,15 @@ def test_rewritten_queries_run_the_chunked_scan(spark, sf_dir):
         quality_gate_per_source,
     )
 
-    for q in (corpus_pack_sequences, quality_gate_per_source):
+    from rag_lakehouse_spark.plans.advanced_queries import (
+        orders_revenue_concentration,
+    )
+
+    for q in (
+        corpus_pack_sequences,
+        quality_gate_per_source,
+        orders_revenue_concentration,
+    ):
         plan = q(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
         assert "__scan_pid" in plan, q.__name__
         assert "windowspecdefinition(__scan_pid" in plan, q.__name__

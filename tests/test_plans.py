@@ -208,3 +208,49 @@ def test_library_knn_hoists_norms(spark, sf_dir):
         join_idx = next(i for i, line in enumerate(lines) if "Join" in line)
         above = "\n".join(lines[:join_idx])
         assert above.count("aggregate(") == 1
+
+
+def test_cluster_assignment_broadcasts_and_combines_argmax(spark, sf_dir):
+    """Centroid scoring must broadcast the (tiny) centroid side and
+    combine the per-vector argmax map-side (partial_max of the
+    (cos, -cid) struct BEFORE the exchange) — the shape that keeps the
+    pairwise scores from ever shuffling."""
+    from rag_lakehouse_spark.plans.vector_queries import (
+        embedding_cluster_profile,
+        embedding_outlier_flags,
+    )
+
+    plan = (
+        embedding_cluster_profile(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "partial_max(struct(cos" in plan
+    # outlier_flags checkpoints the assignment (multi-consumer barrier),
+    # so its final plan starts from the materialized RDD; assert the
+    # serving side still broadcasts the per-cluster stats join
+    oplan = (
+        embedding_outlier_flags(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Scan ExistingRDD" in oplan  # the barrier actually took effect
+    assert "BroadcastExchange" in oplan or "BroadcastHashJoin" in oplan
+
+
+def test_tfidf_topk_is_window_group_limit(spark, sf_dir):
+    """The per-doc top-3 must truncate map-side (WindowGroupLimit)
+    before the window exchange — never materializing a doc's full
+    vocabulary downstream of the rank."""
+    from rag_lakehouse_spark.plans.search_queries import text_tfidf_keywords
+
+    plan = (
+        text_tfidf_keywords(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan
