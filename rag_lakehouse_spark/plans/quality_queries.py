@@ -314,3 +314,124 @@ def dq_source_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_s").cast("bigint").alias("n_docs"),
         F.max(gap).alias("ks"),
     )
+
+
+@register(
+    "dq_source_psi",
+    oracle="""
+    WITH edges AS (
+      SELECT quantile_cont(n_chars, 0.1) AS e1, quantile_cont(n_chars, 0.2) AS e2,
+             quantile_cont(n_chars, 0.3) AS e3, quantile_cont(n_chars, 0.4) AS e4,
+             quantile_cont(n_chars, 0.5) AS e5, quantile_cont(n_chars, 0.6) AS e6,
+             quantile_cont(n_chars, 0.7) AS e7, quantile_cont(n_chars, 0.8) AS e8,
+             quantile_cont(n_chars, 0.9) AS e9
+      FROM documents
+    ), binned AS (
+      SELECT source,
+             1 + (CASE WHEN n_chars > e1 THEN 1 ELSE 0 END)
+               + (CASE WHEN n_chars > e2 THEN 1 ELSE 0 END)
+               + (CASE WHEN n_chars > e3 THEN 1 ELSE 0 END)
+               + (CASE WHEN n_chars > e4 THEN 1 ELSE 0 END)
+               + (CASE WHEN n_chars > e5 THEN 1 ELSE 0 END)
+               + (CASE WHEN n_chars > e6 THEN 1 ELSE 0 END)
+               + (CASE WHEN n_chars > e7 THEN 1 ELSE 0 END)
+               + (CASE WHEN n_chars > e8 THEN 1 ELSE 0 END)
+               + (CASE WHEN n_chars > e9 THEN 1 ELSE 0 END) AS bin
+      FROM documents, edges
+    ), sb AS (
+      SELECT source, bin, CAST(COUNT(*) AS BIGINT) AS n_sb
+      FROM binned GROUP BY 1, 2
+    ), gb AS (
+      SELECT bin, CAST(SUM(n_sb) AS BIGINT) AS n_gb FROM sb GROUP BY 1
+    ), srcs AS (
+      SELECT source, CAST(SUM(n_sb) AS BIGINT) AS n_s FROM sb GROUP BY 1
+    ), tot AS (
+      SELECT CAST(SUM(n_gb) AS BIGINT) AS n FROM gb
+    ), terms AS (
+      SELECT sb.source, sb.bin,
+             CASE WHEN sb.n_sb = 0 OR gb.n_gb - sb.n_sb = 0 THEN 0e0
+                  ELSE (CAST(sb.n_sb AS DOUBLE) / srcs.n_s
+                        - CAST(gb.n_gb - sb.n_sb AS DOUBLE) / (tot.n - srcs.n_s))
+                       * round(ln((CAST(sb.n_sb AS DOUBLE) / srcs.n_s)
+                                  / (CAST(gb.n_gb - sb.n_sb AS DOUBLE)
+                                     / (tot.n - srcs.n_s))), 9)
+             END AS term
+      FROM sb
+      JOIN gb USING (bin)
+      JOIN srcs ON srcs.source = sb.source, tot
+      WHERE tot.n > srcs.n_s
+    )
+    SELECT source,
+           list_reduce(list_prepend(0e0, array_agg(term ORDER BY bin)),
+                       (a, b) -> a + b) AS psi
+    FROM terms GROUP BY source
+    """,
+    tags=("quality", "drift", "distribution", "training-data"),
+)
+def dq_source_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per source vs the rest of the corpus
+    over the document-length distribution — THE standard production
+    drift alarm (PSI < 0.1 stable, > 0.25 action), complementing the
+    KS sup-statistic with a mass-weighted whole-distribution view.
+
+    Bins are the corpus's own deciles (exact percentiles over the
+    bounded integer length domain, broadcast); bin membership is an
+    integer-vs-edge compare. Each bin term is
+    (p_b − q_b)·ln(p_b/q_b) with the standing 9-decimal ln rounding
+    (the one transcendental), and the 10 terms fold in BIN ORDER on
+    both engines (Spark ``aggregate`` over the bin-sorted array ==
+    DuckDB ``list_reduce`` over ``array_agg(ORDER BY bin)``) — the
+    dynamic-float-sum rule, since a plain SUM's addition order is
+    engine-dependent. Bins empty on either side contribute 0 by the
+    documented convention.
+
+    Scale: one (source × 10-bin) aggregate; everything after is
+    |sources|-sized. The edge aggregate buffers the bounded length
+    domain, per the r8 percentile rule."""
+    from pyspark.sql import Window as W  # noqa: F401  (parallel with KS imports)
+
+    d = load_table(spark, sf_dir, "documents").select("source", "n_chars")
+    edges = d.agg(
+        *[
+            F.percentile("n_chars", q / 10).alias(f"e{q}")
+            for q in range(1, 10)
+        ]
+    )
+    bin_col = F.lit(1)
+    for q in range(1, 10):
+        bin_col = bin_col + F.when(F.col("n_chars") > F.col(f"e{q}"), 1).otherwise(0)
+    binned = d.crossJoin(F.broadcast(edges)).select(
+        "source", bin_col.alias("bin")
+    )
+    # sb feeds the global-bin rollup, the per-source totals, AND the
+    # term join — barrier per the multi-consumer rule (tiny table)
+    sb = (
+        binned.groupBy("source", "bin")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_sb"))
+        .localCheckpoint(eager=True)
+    )
+    gb = sb.groupBy("bin").agg(F.sum("n_sb").cast("bigint").alias("n_gb"))
+    srcs = sb.groupBy("source").agg(F.sum("n_sb").cast("bigint").alias("n_s"))
+    tot = gb.agg(F.sum("n_gb").cast("bigint").alias("n"))
+    j = (
+        sb.join(F.broadcast(gb), "bin")
+        .join(F.broadcast(srcs), "source")
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("n") > F.col("n_s"))
+    )
+    p = F.col("n_sb").cast("double") / F.col("n_s")
+    qq = (F.col("n_gb") - F.col("n_sb")).cast("double") / (F.col("n") - F.col("n_s"))
+    term = F.when(
+        (F.col("n_sb") == 0) | (F.col("n_gb") - F.col("n_sb") == 0), F.lit(0.0)
+    ).otherwise((p - qq) * F.round(F.log(p / qq), 9))
+    packed = (
+        j.select("source", "bin", term.alias("term"))
+        .groupBy("source")
+        .agg(F.array_sort(F.collect_list(F.struct("bin", "term"))).alias("ts"))
+    )
+    return packed.select(
+        "source",
+        F.aggregate(
+            F.col("ts"), F.lit(0.0), lambda a, s: a + s["term"]
+        ).alias("psi"),
+    )

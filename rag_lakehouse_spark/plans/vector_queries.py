@@ -727,3 +727,108 @@ def rag_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(50)
     )
     return mmr_diversify(cands, k=10, lam=0.7)
+
+
+@register(
+    "embedding_label_centroid_drift",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id, label, dim,
+             CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT) AS qx
+      FROM (SELECT vec_id, label,
+                   generate_subscripts(embedding, 1) AS dim,
+                   unnest(embedding) AS x
+            FROM embeddings)
+    ), lab AS (
+      SELECT label, dim, CAST(SUM(qx) AS BIGINT) AS s,
+             CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n
+      FROM q GROUP BY 1, 2
+    ), lab_vec AS (
+      SELECT label, MAX(n) AS n_vecs,
+             array_agg(CAST(s AS DOUBLE) ORDER BY dim) AS v
+      FROM lab GROUP BY label
+    ), corpus AS (
+      SELECT dim, CAST(SUM(s) AS BIGINT) AS cs FROM lab GROUP BY dim
+    ), corpus_vec AS (
+      SELECT array_agg(CAST(cs AS DOUBLE) ORDER BY dim) AS cv FROM corpus
+    )
+    SELECT label, n_vecs,
+           list_sum(list_transform(generate_series(1, len(v)),
+                                   i -> v[i] * cv[i]))
+           / (sqrt(list_sum(list_transform(generate_series(1, len(v)),
+                                           i -> v[i] * v[i])))
+              * sqrt(list_sum(list_transform(generate_series(1, len(cv)),
+                                             i -> cv[i] * cv[i]))) + 1e-24)
+             AS cos_to_corpus
+    FROM lab_vec, corpus_vec
+    """,
+    tags=("vector", "drift", "monitoring", "training-data"),
+)
+def embedding_label_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift per label group: cosine between each
+    label's centroid and the corpus centroid — the representation-level
+    monitor that catches a subpopulation's embedding distribution
+    wandering (encoder change, data shift) before any text-level
+    statistic moves.
+
+    Exactness: a float mean-vector is an order-dependent sum per
+    dimension, so components are QUANTIZED to integers
+    (``floor(x·2^20)`` — floor, never a rounding cast) and summed
+    exactly; the 1/n normalization cancels inside cosine, so the
+    score is a deterministic left-fold dot over the two integer sum
+    vectors (cast once to double), zero-norm-guarded like every
+    cosine twin. Bound: |q| ≤ 2^20, so int64 holds ≥ 10¹² vectors per
+    (label, dim).
+
+    Scale: one positions-explode (rows × dim), one (label, dim)
+    integer aggregate with map-side combine, a |labels|·dim rollup —
+    the corpus-sized stage is the explode, everything after is
+    label-bounded."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding")).alias("dim0", "x"),
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("dim0") + 1).alias("dim"),
+        F.floor(F.col("x").cast("double") * 1048576).cast("bigint").alias("qx"),
+    )
+    # lab feeds the per-label vectors AND the corpus rollup — barrier
+    # per the multi-consumer rule (producer is the full explode+agg;
+    # the table is |labels|×dim rows)
+    lab = (
+        q.groupBy("label", "dim")
+        .agg(
+            F.sum("qx").cast("bigint").alias("s"),
+            F.countDistinct("vec_id").cast("bigint").alias("n"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    lab_vec = lab.groupBy("label").agg(
+        F.max("n").alias("n_vecs"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "s"))),
+            lambda st: st["s"].cast("double"),
+        ).alias("v"),
+    )
+    corpus_vec = (
+        lab.groupBy("dim")
+        .agg(F.sum("s").cast("bigint").alias("cs"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "cs"))),
+                lambda st: st["cs"].cast("double"),
+            ).alias("cv")
+        )
+    )
+    joined = lab_vec.crossJoin(F.broadcast(corpus_vec))
+    return joined.select(
+        "label",
+        "n_vecs",
+        (
+            VEC.dot("v", "cv")
+            / (VEC.l2_norm("v") * VEC.l2_norm("cv") + F.lit(1e-24))
+        ).alias("cos_to_corpus"),
+    )

@@ -64,6 +64,14 @@ QUERIES = [
     # mutual-NN: duplicate vectors create exact-tie top-1 races the
     # unique dst tiebreaker must resolve identically on both engines
     "embedding_mutual_nn",
+    # r8: deterministic-centroid assignment + cohesion band (struct-max
+    # tie-breaks on duplicate/zero vectors), the quantized-distance
+    # outlier z-gate (N=1 clusters ⇒ variance 0, strict > keeps the
+    # lone member), and centroid drift (all-zero vectors exercise the
+    # zero-norm guard on the summed vectors)
+    "embedding_cluster_profile",
+    "embedding_outlier_flags",
+    "embedding_label_centroid_drift",
 ]
 
 
