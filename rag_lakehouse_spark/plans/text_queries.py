@@ -1402,3 +1402,87 @@ def corpus_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         bpt.alias("bits_per_token"),
         (bpt - F.col("cb").cast("double") / F.col("cn")).alias("delta_vs_corpus"),
     )
+
+
+@register(
+    "corpus_quality_correlation",
+    oracle=f"""
+    WITH {_SURPRISAL_CTES},
+    m AS (
+      SELECT d.source,
+             CAST(d.n_chars AS BIGINT) AS x,
+             (sc.total_bits * 1024) // sc.n_tokens AS y
+      FROM documents d JOIN sc USING (doc_id)
+      WHERE sc.n_tokens > 0
+    ), s AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM m GROUP BY source
+    )
+    SELECT source, n AS n_docs,
+           CASE WHEN (CAST(sxx AS DOUBLE) / n
+                      - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n)) > 0
+                 AND (CAST(syy AS DOUBLE) / n
+                      - (CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n)) > 0
+                THEN (CAST(sxy AS DOUBLE) / n
+                      - (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n))
+                     / sqrt((CAST(sxx AS DOUBLE) / n
+                             - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n))
+                            * (CAST(syy AS DOUBLE) / n
+                               - (CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n)))
+           END AS r_len_surprisal
+    FROM s
+    """,
+    tags=("text", "quality", "statistics", "training-data"),
+)
+def corpus_quality_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation, per source, between document length and
+    quantized mean surprisal — the curation diagnostic that answers
+    "is my quality score just a length proxy here?" before a gate
+    tuned on one source transfers to another (a strongly negative r
+    means long docs score fluent automatically; near-zero means the
+    signals are independent and can gate jointly).
+
+    Exactness: both variables are integers (n_chars; the r8 quantized
+    bits-per-token grid), so the five sufficient statistics are exact
+    integer SUMs; r combines them as mean RATIOS
+    ((Σxy/n − x̄·ȳ) / √(varx·vary)) — doubles computed identically in
+    both engines, and immune to the int64 overflow the
+    cross-multiplied form (n·Σxy) hits past ~10⁹ docs (the KS-ratio
+    rule). Zero-variance sources report NULL.
+
+    Scale: one join of per-doc aggregates, one per-source sufficient-
+    statistics aggregate — map-side combined, |sources| output rows,
+    no windows."""
+    sc = _surprisal_per_doc(spark, sf_dir).filter(F.col("n_tokens") > 0)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    m = d.join(sc, "doc_id").select(
+        "source",
+        F.col("n_chars").cast("bigint").alias("x"),
+        F.expr("(total_bits * 1024) DIV n_tokens").alias("y"),
+    )
+    s = m.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    mx = F.col("sx").cast("double") / nd
+    my = F.col("sy").cast("double") / nd
+    varx = F.col("sxx").cast("double") / nd - mx * mx
+    vary = F.col("syy").cast("double") / nd - my * my
+    cov = F.col("sxy").cast("double") / nd - mx * my
+    return s.select(
+        "source",
+        F.col("n").alias("n_docs"),
+        F.when((varx > 0) & (vary > 0), cov / F.sqrt(varx * vary)).alias(
+            "r_len_surprisal"
+        ),
+    )

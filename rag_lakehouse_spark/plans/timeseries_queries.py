@@ -775,3 +775,103 @@ def events_ewma_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         return ewma_from_daily(daily).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+@register(
+    "events_holt_forecast",
+    oracle="""
+    WITH RECURSIVE daily AS (
+      SELECT event_type, date_trunc('day', ts) AS d, CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ), packed AS (
+      SELECT event_type,
+             array_agg(d ORDER BY d) AS ds,
+             array_agg(c ORDER BY d) AS cs
+      FROM daily GROUP BY 1
+    ), f AS (
+      SELECT event_type, ds, cs, 1 AS i,
+             (cs[1] * 1048576) >> 1 AS l,
+             ((cs[1] * 1048576) >> 1) >> 1 AS t
+      FROM packed
+      UNION ALL
+      SELECT event_type, ds, cs, i + 1,
+             (cs[i+1] * 1048576 + l + t) >> 1,
+             (((cs[i+1] * 1048576 + l + t) >> 1) - l + t) >> 1
+      FROM f WHERE i < len(cs)
+    )
+    SELECT event_type,
+           strftime(ds[i], '%Y-%m-%d') AS day,
+           cs[i] AS n_events,
+           CAST(l AS DOUBLE) / 1048576 AS level,
+           CAST(t AS DOUBLE) / 1048576 AS trend,
+           CAST(l + t AS DOUBLE) / 1048576 AS forecast_next
+    FROM f
+    """,
+    tags=("events", "timeseries", "forecast", "monitoring"),
+)
+def events_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing over daily event volume
+    (α = β = 1/2, zero-initialized): per day the smoothed level, the
+    smoothed trend, and the one-step forecast level+trend — the
+    short-horizon capacity forecast that EWMA (no trend term) lags on
+    ramping series.
+
+    The recurrence carries TWO state variables, so the Spark fold
+    upgrades from the EWMA's scalar to a STRUCT accumulator
+    (``aggregate`` with a struct zero) — in scaled integers (K = 2^20)
+    with arithmetic ``>> 1`` (floor: Java and DuckDB agree on
+    negatives, so a falling trend stays bit-identical).
+    Zero-initialization is the documented semantics: level warms up
+    from 0 exactly identically on both engines.
+
+    ORACLE DIALECT RULE (found building this query): DuckDB
+    ``list_reduce`` with STRUCT accumulators mis-resolves accumulator
+    fields across the struct_pack being built (within one lambda call,
+    ``a.t`` evaluated correctly in one field and as the element's 0 in
+    the next — minimal repro in ROUND_NOTES r8). Scalar-accumulator
+    folds (EWMA, CUSUM, RM3, PSI) are unaffected; any MULTI-variable
+    recurrence oracles as a recursive CTE over the day index instead,
+    as here.
+
+    Same calendar-bounded grouped-series-fold legality argument as
+    ``events_ewma_daily``/``events_cusum_changepoints``."""
+    K = 1 << 20
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("d")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    packed = daily.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("d", "c"))).alias("ser")
+    )
+    ser = F.col("ser")
+    zero = F.struct(
+        F.lit(0).cast("bigint").alias("l"), F.lit(0).cast("bigint").alias("t")
+    )
+
+    def step(a, s):
+        lp = s["c"] * K + a["l"] + a["t"]
+        l_new = F.shiftright(lp, 1)
+        t_new = F.shiftright(l_new - a["l"] + a["t"], 1)
+        return F.struct(l_new.alias("l"), t_new.alias("t"))
+
+    items = F.transform(
+        F.sequence(F.lit(1), F.size(ser)),
+        lambda i: F.struct(
+            F.get(ser, i - 1)["d"].alias("d"),
+            F.get(ser, i - 1)["c"].alias("c"),
+            F.aggregate(F.slice(ser, F.lit(1), i), zero, step).alias("s"),
+        ),
+    )
+    return (
+        packed.select("event_type", F.explode(items).alias("x"))
+        .select(
+            "event_type",
+            F.date_format(F.col("x.d"), "yyyy-MM-dd").alias("day"),
+            F.col("x.c").cast("bigint").alias("n_events"),
+            (F.col("x.s.l").cast("double") / K).alias("level"),
+            (F.col("x.s.t").cast("double") / K).alias("trend"),
+            ((F.col("x.s.l") + F.col("x.s.t")).cast("double") / K).alias(
+                "forecast_next"
+            ),
+        )
+    )

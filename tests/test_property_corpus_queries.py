@@ -145,6 +145,9 @@ def _run(spark, tmp_path, docs, query_name):
         # PSI: tiny two-source tables make most decile bins empty on
         # one side (the zero-term convention) and tie every edge
         "dq_source_psi",
+        # Pearson r: constant-length/constant-surprisal generated
+        # sources hit the zero-variance NULL guard; single-doc sources
+        "corpus_quality_correlation",
     ],
 )
 def test_text_query_matches_oracle_on_generated_corpus(

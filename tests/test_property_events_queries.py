@@ -104,6 +104,10 @@ QUERIES = [
     # retention: one-event users, NULL users dropped, same-week
     # multi-activity collapses via the distinct (user, week) pair
     "events_retention_cohorts",
+    # Holt: two-variable integer recurrence (struct fold vs recursive
+    # CTE); declining generated series push the trend negative — the
+    # arithmetic-shift floor semantics must agree on negatives
+    "events_holt_forecast",
 ]
 
 
