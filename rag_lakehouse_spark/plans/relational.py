@@ -930,3 +930,77 @@ def customer_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_apply(
         cur, upd, "k", ("segment", "bal"), batch_ts="2026-01-01 00:00:00"
     )
+
+
+@register(
+    "orders_basket_affinity",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), stats AS (
+      SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM items
+    ), part_n AS (
+      SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS c FROM items GROUP BY 1
+    ), pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             CAST(COUNT(*) AS BIGINT) AS c_ab
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 3
+    )
+    SELECT part_a, part_b, c_ab,
+           (CAST(c_ab AS DOUBLE) / stats.n_orders)
+           / ((CAST(pa.c AS DOUBLE) / stats.n_orders)
+              * (CAST(pb.c AS DOUBLE) / stats.n_orders)) AS lift
+    FROM pairs
+    JOIN part_n pa ON pa.l_partkey = part_a
+    JOIN part_n pb ON pb.l_partkey = part_b, stats
+    """,
+    tags=("join", "affinity", "analytics"),
+)
+def orders_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity: part pairs co-occurring in ≥3 orders
+    with their LIFT (observed co-rate over independence) — the
+    recommendation/assortment seed every commerce analytics stack
+    computes. DISTINCT (order, part) first so line-level duplicates
+    cannot inflate support.
+
+    Exactness: support counts are integers; lift combines them as
+    probability RATIOS (each count / n_orders as a double) — the
+    overflow-free form, deterministic both engines.
+
+    Scale: the pair self-join joins on l_orderkey, so fan-out per
+    order is its basket size squared — bounded by the order-size
+    contract (TPC-H: ≤ 7 lines), never corpus-quadratic; the support
+    threshold prunes the long tail before the part-stats broadcast
+    joins."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    stats = items.agg(
+        F.countDistinct("l_orderkey").cast("bigint").alias("n_orders")
+    )
+    part_n = items.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    a = items.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_a"))
+    b = items.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_ab"))
+        .filter(F.col("c_ab") >= 3)
+    )
+    pa = part_n.select(F.col("l_partkey").alias("part_a"), F.col("c").alias("ca"))
+    pb = part_n.select(F.col("l_partkey").alias("part_b"), F.col("c").alias("cb"))
+    j = (
+        pairs.join(pa, "part_a")
+        .join(pb, "part_b")
+        .crossJoin(F.broadcast(stats))
+    )
+    n = F.col("n_orders").cast("double")
+    lift = (F.col("c_ab").cast("double") / n) / (
+        (F.col("ca").cast("double") / n) * (F.col("cb").cast("double") / n)
+    )
+    return j.select("part_a", "part_b", "c_ab", lift.alias("lift"))

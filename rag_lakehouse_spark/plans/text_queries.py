@@ -1486,3 +1486,79 @@ def corpus_quality_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "r_len_surprisal"
         ),
     )
+
+
+@register(
+    "text_readability_scores",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id,
+             CAST(len(list_filter({TX.duckdb_tokens("coalesce(text, '')")},
+                                  t -> t <> '')) AS BIGINT) AS n_words,
+             CAST(greatest(len(list_filter(
+                      regexp_split_to_array(coalesce(text, ''), '[.!?]+'),
+                      s -> regexp_matches(s, '[A-Za-z0-9]'))), 1) AS BIGINT)
+               AS n_sentences,
+             CAST(len(regexp_extract_all(lower(coalesce(text, '')),
+                                         '[aeiouy]+')) AS BIGINT) AS n_syllables
+      FROM documents
+    )
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+           CASE WHEN n_words > 0 THEN
+             0.39 * (CAST(n_words AS DOUBLE) / n_sentences)
+             + 11.8 * (CAST(n_syllables AS DOUBLE) / n_words)
+             - 15.59
+           END AS fk_grade
+    FROM base
+    """,
+    tags=("text", "quality", "readability", "training-data"),
+)
+def text_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-Kincaid grade-level readability per document — the
+    audience-level signal a curriculum or kid-safety mixture gates on,
+    next to (not instead of) the statistical quality scores. Syllables
+    are approximated as vowel-group runs ([aeiouy]+ — the standard
+    cheap estimator), sentences as [.!?]+ splits containing at least
+    one alphanumeric (floored at 1 so headline-only docs don't divide
+    by zero).
+
+    Exactness: three integer counts per doc (the character classes are
+    literal sets, identical in Java regex and RE2), combined in the
+    fixed FK affine form — two ratio divisions and two constant
+    multiplies, deterministic doubles both engines.
+
+    Scale: pure per-row regexp map work — no shuffle at all."""
+    d = load_table(spark, sf_dir, "documents")
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    n_words = F.size(
+        F.filter(TX.tokens(txt), lambda t: t != F.lit(""))
+    ).cast("bigint")
+    n_sentences = F.greatest(
+        F.size(
+            F.filter(
+                F.split(txt, r"[.!?]+"), lambda s: s.rlike("[A-Za-z0-9]")
+            )
+        ),
+        F.lit(1),
+    ).cast("bigint")
+    n_syllables = F.size(
+        F.regexp_extract_all(F.lower(txt), F.lit("[aeiouy]+"), 0)
+    ).cast("bigint")
+    base = d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_sentences.alias("n_sentences"),
+        n_syllables.alias("n_syllables"),
+    )
+    fk = (
+        0.39 * (F.col("n_words").cast("double") / F.col("n_sentences"))
+        + 11.8 * (F.col("n_syllables").cast("double") / F.col("n_words"))
+        - 15.59
+    )
+    return base.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.when(F.col("n_words") > 0, fk).alias("fk_grade"),
+    )

@@ -148,6 +148,9 @@ def _run(spark, tmp_path, docs, query_name):
         # Pearson r: constant-length/constant-surprisal generated
         # sources hit the zero-variance NULL guard; single-doc sources
         "corpus_quality_correlation",
+        # readability: no-sentence/no-word/unicode docs hit the
+        # sentence floor and the n_words=0 NULL grade on both engines
+        "text_readability_scores",
     ],
 )
 def test_text_query_matches_oracle_on_generated_corpus(

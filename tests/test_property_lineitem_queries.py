@@ -94,6 +94,10 @@ QUERIES = [
     "minby_maxby_agg",
     "date_scalar_funcs",
     "date_interval_arithmetic",
+    # r8: basket affinity — l_partkey = j % 4 makes real co-occurring
+    # pairs AND duplicate (order, part) rows, exercising the DISTINCT
+    # support contract and the >=3 threshold boundary
+    "orders_basket_affinity",
 ]
 
 _CUSTOMERS = [
