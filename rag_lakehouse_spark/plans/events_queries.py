@@ -389,3 +389,164 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 7
         ).cast("bigint").alias("week_offset"),
     ).agg(F.count(F.lit(1)).cast("bigint").alias("n_active"))
+
+
+@register(
+    "events_active_users_rolling",
+    oracle="""
+    WITH act AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+      FROM events WHERE user_id IS NOT NULL
+    ), bounds AS (
+      SELECT MIN(d) AS mind, MAX(d) AS maxd FROM act
+    ), spine AS (
+      SELECT unnest(generate_series(mind, maxd, INTERVAL 1 DAY))::DATE AS day
+      FROM bounds
+    ), dau AS (
+      SELECT d AS day, CAST(COUNT(*) AS BIGINT) AS dau FROM act GROUP BY 1
+    ), wau AS (
+      SELECT od AS day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+      FROM (SELECT user_id,
+                   unnest(generate_series(d, least(d + INTERVAL 6 DAY,
+                                                   (SELECT maxd FROM bounds)),
+                                          INTERVAL 1 DAY))::DATE AS od
+            FROM act)
+      GROUP BY 1
+    ), mau AS (
+      SELECT od AS day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau
+      FROM (SELECT user_id,
+                   unnest(generate_series(d, least(d + INTERVAL 29 DAY,
+                                                   (SELECT maxd FROM bounds)),
+                                          INTERVAL 1 DAY))::DATE AS od
+            FROM act)
+      GROUP BY 1
+    )
+    SELECT strftime(spine.day, '%Y-%m-%d') AS day,
+           COALESCE(dau.dau, 0) AS dau,
+           COALESCE(wau.wau, 0) AS wau,
+           COALESCE(mau.mau, 0) AS mau
+    FROM spine
+    LEFT JOIN dau USING (day)
+    LEFT JOIN wau USING (day)
+    LEFT JOIN mau USING (day)
+    """,
+    tags=("events", "engagement", "rolling-distinct", "analytics"),
+)
+def events_active_users_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / WAU / MAU: distinct active users per day and per trailing
+    7- and 30-day windows over the dense day spine — the canonical
+    engagement rollup. Rolling DISTINCT counts cannot reuse window
+    partials (distinct is not additive), so each activity day is
+    EXPLODED into the windows it serves (a calendar-bounded ×7 / ×30
+    fan-out of the already-collapsed (user, day) table, never of raw
+    events) and each window counts distinct users independently —
+    exact, shuffle keyed on (window-day, user).
+
+    Scale: the corpus-sized stage is the one distinct-(user, day)
+    aggregate; everything after is bounded by users × days × 37. The
+    HLL-sketch variant for non-exact dashboards is the standing
+    ``events_rollup_distinct_sketch`` path.
+
+    Spine rule: days with no activity report 0 (dense
+    min→max sequence from a broadcast 1-row bounds aggregate — the
+    gapfill pattern)."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    act = e.select(
+        "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("d")
+    ).distinct().localCheckpoint(eager=True)  # feeds 4 consumers below
+    bounds = act.agg(F.min("d").alias("mind"), F.max("d").alias("maxd"))
+    spine = bounds.select(
+        F.explode(
+            F.expr("sequence(mind, maxd, interval 1 day)")
+        ).alias("day")
+    )
+    dau = act.groupBy(F.col("d").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("dau")
+    )
+
+    def rolling(n_days: int, out: str):
+        return (
+            act.crossJoin(F.broadcast(bounds))
+            .select(
+                "user_id",
+                F.explode(
+                    F.expr(
+                        f"sequence(d, least(date_add(d, {n_days - 1}), maxd), "
+                        "interval 1 day)"
+                    )
+                ).alias("day"),
+            )
+            .groupBy("day")
+            .agg(F.countDistinct("user_id").cast("bigint").alias(out))
+        )
+
+    return (
+        spine.join(dau, "day", "left")
+        .join(rolling(7, "wau"), "day", "left")
+        .join(rolling(30, "mau"), "day", "left")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.coalesce("dau", F.lit(0)).cast("bigint").alias("dau"),
+            F.coalesce("wau", F.lit(0)).cast("bigint").alias("wau"),
+            F.coalesce("mau", F.lit(0)).cast("bigint").alias("mau"),
+        )
+    )
+
+
+@register(
+    "events_inter_arrival_stats",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type, epoch_us(ts) AS us,
+             LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS next_us
+      FROM events WHERE user_id IS NOT NULL
+    ), gaps AS (
+      SELECT event_type, (next_us - us) // 60000000 AS gap_min
+      FROM seq WHERE next_us IS NOT NULL
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           quantile_cont(gap_min, 0.5) AS p50_min,
+           quantile_cont(gap_min, 0.9) AS p90_min,
+           CAST(MAX(gap_min) AS BIGINT) AS max_min
+    FROM gaps GROUP BY event_type
+    """,
+    tags=("events", "engagement", "latency", "window"),
+)
+def events_inter_arrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-next-action per event type: for each event, the gap to
+    the SAME USER's next event (any type), aggregated per type of the
+    earlier event — the engagement-latency profile ("how long after a
+    click does the user act again?") behind session-timeout tuning and
+    nudge scheduling.
+
+    Exactness: gaps are exact integer microsecond differences
+    (``unix_micros`` == ``epoch_us``) floor-divided to MINUTES, which
+    also bounds the exact-percentile buffer by the retention window in
+    minutes (the r8 bounded-domain percentile rule); the lead window
+    orders by (ts, event_id) so same-instant ties are deterministic —
+    the standing unique-tiebreaker rule.
+
+    Scale: per-user windows are bounded by a user's own event count
+    (the sessionize precedent); the percentile aggregate is per-type
+    over the bounded minute grid."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type",
+        F.unix_micros(F.col("ts")).alias("us"),
+        F.lead(F.unix_micros(F.col("ts"))).over(w).alias("next_us"),
+    )
+    gaps = seq.filter(F.col("next_us").isNotNull()).select(
+        "event_type",
+        F.expr("(next_us - us) DIV 60000000").alias("gap_min"),
+    )
+    return gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+        F.percentile("gap_min", 0.5).alias("p50_min"),
+        F.percentile("gap_min", 0.9).alias("p90_min"),
+        F.max("gap_min").cast("bigint").alias("max_min"),
+    )

@@ -108,6 +108,12 @@ QUERIES = [
     # CTE); declining generated series push the trend negative — the
     # arithmetic-shift floor semantics must agree on negatives
     "events_holt_forecast",
+    # rolling distinct: multi-day windows over sparse generated days
+    # (window clipped at maxd), NULL users dropped, same-day dups
+    "events_active_users_rolling",
+    # inter-arrival: same-instant ties (gap 0) hit the unique
+    # tiebreaker; single-event users produce no gaps on both engines
+    "events_inter_arrival_stats",
 ]
 
 
