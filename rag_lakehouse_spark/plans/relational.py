@@ -1004,3 +1004,55 @@ def orders_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("ca").cast("double") / n) * (F.col("cb").cast("double") / n)
     )
     return j.select("part_a", "part_b", "c_ab", lift.alias("lift"))
+
+
+@register(
+    "orders_ship_latency_profile",
+    oracle="""
+    WITH lat AS (
+      SELECT o.o_orderpriority,
+             CAST(date_diff('day', o.o_orderdate, l.l_shipdate) AS BIGINT)
+               AS lat_days
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           quantile_cont(lat_days, 0.5) AS p50_days,
+           quantile_cont(lat_days, 0.95) AS p95_days,
+           CAST(MAX(lat_days) AS BIGINT) AS max_days,
+           CAST(SUM(CASE WHEN lat_days > 90 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_over_90d
+    FROM lat GROUP BY o_orderpriority
+    """,
+    tags=("agg", "latency", "percentile", "operations"),
+)
+def orders_ship_latency_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship fulfillment latency per priority class: median,
+    p95, worst case, and the count of 90-day SLA breaches — the
+    operations profile that answers whether URGENT actually ships
+    faster. Latency is an exact integer day difference of date-typed
+    instants (no time-zone surface), so the exact percentile buffers
+    the bounded latency domain (days within the order window), per the
+    r8 percentile rule; the SLA breach count is a pure integer gate.
+
+    Scale: one orderkey equi-join (AQE-handled), one per-priority
+    aggregate — five output rows."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    lat = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        "o_orderpriority",
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+        ).cast("bigint").alias("lat_days"),
+    )
+    return lat.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.percentile("lat_days", 0.5).alias("p50_days"),
+        F.percentile("lat_days", 0.95).alias("p95_days"),
+        F.max("lat_days").cast("bigint").alias("max_days"),
+        F.sum(F.when(F.col("lat_days") > 90, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_over_90d"),
+    )

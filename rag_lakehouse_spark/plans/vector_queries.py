@@ -832,3 +832,80 @@ def embedding_label_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFram
             / (VEC.l2_norm("v") * VEC.l2_norm("cv") + F.lit(1e-24))
         ).alias("cos_to_corpus"),
     )
+
+
+@register(
+    "embedding_label_confusion",
+    oracle=f"""
+    WITH e AS ({_E_NORMED}),
+    s AS (
+      SELECT a.vec_id, a.label AS label_a, b.vec_id AS nb, b.label AS label_b,
+             {VEC.duckdb_dot("a.embedding", "b.embedding")}
+               / (a.nrm * b.nrm + 1e-24) AS cos
+      FROM e a JOIN e b ON b.vec_id <> a.vec_id
+    ), top1 AS (
+      SELECT vec_id, label_a, label_b,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY cos DESC, nb ASC) AS rn
+      FROM s
+    )
+    SELECT label_a, label_b, CAST(COUNT(*) AS BIGINT) AS n
+    FROM top1 WHERE rn = 1
+    GROUP BY 1, 2
+    """,
+    tags=("vector", "knn", "evaluation", "training-data"),
+)
+def embedding_label_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-NN label confusion matrix: for every embedding, the label of
+    its single nearest neighbor, aggregated as (own label × neighbor
+    label) counts — the classic embedding-space quality readout (the
+    diagonal mass is 1-NN accuracy; heavy off-diagonal cells name the
+    label pairs the space confuses, which is where hard negatives and
+    relabeling effort go).
+
+    Exactness: left-fold cosine with hoisted norms and the zero-norm
+    guard, top-1 by max(struct(cos, -nb)) — same bit-identical
+    argmax/tie-break contract as ``embedding_cluster_profile``.
+
+    Scale: at fixture scale this scores all pairs (the exact
+    evaluation); a production corpus runs the identical aggregation
+    over ``knn_ivf``/LSH candidate pairs instead — the confusion
+    SHAPE (top-1 argmax → label×label count) is what this row locks.
+    The argmax combines map-side before its exchange; output is
+    |labels|² rows."""
+    e = _normed(load_table(spark, sf_dir, "embeddings"))
+    a = e.select("vec_id", F.col("label").alias("label_a"), "embedding", "nrm")
+    b = e.select(
+        F.col("vec_id").alias("nb"),
+        F.col("label").alias("label_b"),
+        F.col("embedding").alias("bemb"),
+        F.col("nrm").alias("bnrm"),
+    )
+    s = (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("nb") != F.col("vec_id"))
+        .select(
+            "vec_id",
+            "label_a",
+            "label_b",
+            "nb",
+            (
+                VEC.dot("embedding", "bemb")
+                / (F.col("nrm") * F.col("bnrm") + F.lit(1e-24))
+            ).alias("cos"),
+        )
+    )
+    top1 = (
+        s.groupBy("vec_id", "label_a")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("cos"), (-F.col("nb")).alias("nnb"), F.col("label_b")
+                )
+            ).alias("m")
+        )
+        .select("label_a", F.col("m.label_b").alias("label_b"))
+    )
+    return top1.groupBy("label_a", "label_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )

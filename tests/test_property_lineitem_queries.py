@@ -98,6 +98,10 @@ QUERIES = [
     # pairs AND duplicate (order, part) rows, exercising the DISTINCT
     # support contract and the >=3 threshold boundary
     "orders_basket_affinity",
+    # ship latency: generated ship dates BEFORE order dates give
+    # negative latencies; the 90-day SLA boundary dates sit exactly
+    # on the strict > gate
+    "orders_ship_latency_profile",
 ]
 
 _CUSTOMERS = [

@@ -72,6 +72,9 @@ QUERIES = [
     "embedding_cluster_profile",
     "embedding_outlier_flags",
     "embedding_label_centroid_drift",
+    # 1-NN confusion: duplicate vectors make exact score ties — the
+    # (cos, -nb) struct-max must agree with the oracle's rn tiebreak
+    "embedding_label_confusion",
 ]
 
 
