@@ -453,7 +453,15 @@ def events_active_users_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
     act = e.select(
         "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("d")
-    ).distinct().localCheckpoint(eager=True)  # feeds 4 consumers below
+    ).distinct()
+    return rolling_active_users(act)
+
+
+def rolling_active_users(act: "DataFrame") -> "DataFrame":
+    """(day, dau, wau, mau) from a distinct (user_id, d) activity
+    relation — the shared serving computation for the batch query
+    above and the streaming-maintained twin below."""
+    act = act.localCheckpoint(eager=True)  # feeds 4 consumers below
     bounds = act.agg(F.min("d").alias("mind"), F.max("d").alias("maxd"))
     spine = bounds.select(
         F.explode(
@@ -550,3 +558,65 @@ def events_inter_arrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("gap_min", 0.9).alias("p90_min"),
         F.max("gap_min").cast("bigint").alias("max_min"),
     )
+
+
+from rag_lakehouse_spark.plans.registry import QUERIES as _Q
+
+
+@register(
+    "events_active_users_incremental",
+    oracle=None,  # set below: shares the batch rolling-active oracle
+    tags=("events", "engagement", "rolling-distinct", "streaming"),
+)
+def events_active_users_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU/MAU served from a STREAMING-maintained user-activity
+    state, hash-checked against the SAME oracle as the batch
+    ``events_active_users_rolling``: events replay through an
+    availableNow file stream (4 files ⇒ ≥4 micro-batches folding
+    distinct (user, day) pairs into the versioned state via
+    ``streaming.rollup_sink.maintain_user_activity``), then the SAME
+    ``rolling_active_users`` computation runs over the state. Set
+    union is idempotent and mergeable, so batch boundaries — and even
+    replayed batches — cannot move any engagement number.
+
+    The pattern completes the incremental-index family for
+    engagement: one maintained state (users × active days), per-
+    increment cost of one micro-batch, every derived metric exact over
+    full history with no event rescan."""
+    import os
+    import shutil
+    import tempfile
+
+    from rag_lakehouse_spark.streaming.rollup_sink import (
+        maintain_user_activity,
+        read_state,
+    )
+
+    base = tempfile.mkdtemp(prefix="rls_active_stream_")
+    try:
+        src = os.path.join(base, "events")
+        (
+            load_table(spark, sf_dir, "events")
+            .select("user_id", "ts")
+            .repartition(4)
+            .write.mode("overwrite")
+            .parquet(src)
+        )
+        stream = (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        state = os.path.join(base, "user_activity")
+        maintain_user_activity(spark, stream, state).awaitTermination()
+        act = read_state(spark, state).drop("last_batch_id", "ckpt_id")
+        return rolling_active_users(act).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+# The incremental path must satisfy the IDENTICAL oracle as the batch
+# rolling-active query — that equality is the whole claim.
+_Q["events_active_users_incremental"].oracle = _Q[
+    "events_active_users_rolling"
+].oracle

@@ -339,3 +339,50 @@ def maintain_daily_type_counts(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def _activity_partials(df: DataFrame) -> DataFrame:
+    return (
+        df.filter(F.col("user_id").isNotNull())
+        .select(
+            "user_id",
+            F.date_trunc("day", F.col("ts")).cast("date").alias("d"),
+        )
+        .distinct()
+    )
+
+
+def _activity_merge(prev: DataFrame, batch: DataFrame) -> DataFrame:
+    return prev.unionByName(batch).distinct()
+
+
+def maintain_user_activity(
+    spark: SparkSession, events_stream: DataFrame, state_path: str
+):
+    """Fold each micro-batch's distinct (user_id, day) activity pairs
+    into the versioned state table. Set-union is idempotent AND
+    mergeable, so any serving computation over the state (DAU/WAU/MAU,
+    retention, churn) is exact however ingestion was batched. State
+    size is bounded by users × active days — the aggregated-state
+    layout (fold-rewrite is the compaction), same choice as the daily
+    counts; a deployment with billions of users per day would shard
+    the state table by day partition, not change the fold."""
+    ckpt = state_path + "_ckpt"
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        fold_batch(
+            spark,
+            state_path,
+            batch_df,
+            batch_id,
+            _ckpt_query_id(ckpt),
+            partial_fn=_activity_partials,
+            merge_fn=_activity_merge,
+        )
+
+    return (
+        events_stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
