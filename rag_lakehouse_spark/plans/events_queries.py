@@ -620,3 +620,62 @@ def events_active_users_incremental(spark: SparkSession, sf_dir: str) -> DataFra
 _Q["events_active_users_incremental"].oracle = _Q[
     "events_active_users_rolling"
 ].oracle
+
+
+@register(
+    "events_error_rate_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS d,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS k
+      FROM events GROUP BY 1
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day, n AS n_events, k AS n_errors,
+           CAST(k AS DOUBLE) / n AS error_rate,
+           (CAST(k AS DOUBLE) / n + 1.920929 / n
+            - 1.959964 * sqrt((CAST(k AS DOUBLE) / n)
+                              * (1 - CAST(k AS DOUBLE) / n) / n
+                              + 0.960464 / (n * CAST(n AS DOUBLE))))
+           / (1 + 3.841859 / n) AS wilson_lower
+    FROM daily
+    """,
+    tags=("events", "reliability", "monitoring"),
+)
+def events_error_rate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily error share with its Wilson-score 95% LOWER bound — the
+    reliability monitor that alerts on the bound, not the point rate,
+    so one error in ten events on a quiet day doesn't page anyone
+    while a sustained 2% at volume does.
+
+    Exactness: counts are integers; the Wilson formula is evaluated
+    with FIXED double literals for z = 1.959964 (z²/2 = 1.920929,
+    z² = 3.841859, z²/4 = 0.960464) in an identical operation order
+    on both engines — deterministic doubles from exact integer inputs,
+    same contract as the KS/correlation ratio forms.
+
+    Scale: one daily conditional aggregate — map-side combined, one
+    row per day."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.date_trunc("day", F.col("ts")).alias("d")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("bigint")
+        .alias("k"),
+    )
+    n = F.col("n")
+    p = F.col("k").cast("double") / n
+    wilson = (
+        p
+        + F.lit(1.920929) / n
+        - F.lit(1.959964)
+        * F.sqrt(p * (F.lit(1.0) - p) / n + F.lit(0.960464) / (n * n.cast("double")))
+    ) / (F.lit(1.0) + F.lit(3.841859) / n)
+    return daily.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        n.alias("n_events"),
+        F.col("k").alias("n_errors"),
+        p.alias("error_rate"),
+        wilson.alias("wilson_lower"),
+    )

@@ -114,6 +114,9 @@ QUERIES = [
     # inter-arrival: same-instant ties (gap 0) hit the unique
     # tiebreaker; single-event users produce no gaps on both engines
     "events_inter_arrival_stats",
+    # Wilson bound: all-error and zero-error generated days hit the
+    # p=1/p=0 envelope of the fixed-literal formula
+    "events_error_rate_daily",
 ]
 
 
