@@ -679,3 +679,60 @@ def events_error_rate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         p.alias("error_rate"),
         wilson.alias("wilson_lower"),
     )
+
+
+@register(
+    "events_cohort_churn",
+    oracle="""
+    WITH act AS (
+      SELECT user_id,
+             MIN(date_trunc('week', ts)) AS cohort_week,
+             MAX(CAST(date_trunc('day', ts) AS DATE)) AS last_day
+      FROM events WHERE user_id IS NOT NULL GROUP BY 1
+    ), bounds AS (
+      SELECT MAX(CAST(date_trunc('day', ts) AS DATE)) AS maxd FROM events
+    )
+    SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(CASE WHEN date_diff('day', last_day, bounds.maxd) > 14
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_churned,
+           CAST(SUM(CASE WHEN date_diff('day', last_day, bounds.maxd) > 14
+                         THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS churn_rate
+    FROM act, bounds
+    GROUP BY 1
+    """,
+    tags=("events", "cohort", "churn", "analytics"),
+)
+def events_cohort_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Churn by acquisition cohort: per first-seen week, how many
+    users' LAST activity is more than 14 days before the corpus end —
+    the retention triangle's complement (which cohorts leak) and the
+    number a lifecycle team actually budgets against.
+
+    Exactness: cohort and last-activity instants are engine-identical
+    truncations; the churn gate is an integer day difference against
+    the broadcast corpus max-day; the rate is one double division of
+    exact counts.
+
+    Scale: one per-user aggregate (map-side combined), a 1-row bound
+    broadcast, a per-cohort rollup — |weeks| output rows, no
+    windows."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    act = e.groupBy("user_id").agg(
+        F.min(F.date_trunc("week", F.col("ts"))).alias("cohort_week"),
+        F.max(F.date_trunc("day", F.col("ts")).cast("date")).alias("last_day"),
+    )
+    bounds = load_table(spark, sf_dir, "events").agg(
+        F.max(F.date_trunc("day", F.col("ts")).cast("date")).alias("maxd")
+    )
+    j = act.crossJoin(F.broadcast(bounds))
+    churned = F.when(
+        F.datediff(F.col("maxd"), F.col("last_day")) > 14, 1
+    ).otherwise(0)
+    return j.groupBy(
+        F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum(churned).cast("bigint").alias("n_churned"),
+        (F.sum(churned).cast("double") / F.count(F.lit(1))).alias("churn_rate"),
+    )

@@ -117,6 +117,9 @@ QUERIES = [
     # Wilson bound: all-error and zero-error generated days hit the
     # p=1/p=0 envelope of the fixed-literal formula
     "events_error_rate_daily",
+    # cohort churn: tiny generated ranges make everyone recent
+    # (0 churn) and single-user cohorts; the 14-day strict > boundary
+    "events_cohort_churn",
 ]
 
 
