@@ -61,7 +61,17 @@ def running_totals(
     bit-identity with the single-window form.
     """
     spark = df.sparkSession
-    p = n_parts or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if n_parts:
+        p = n_parts
+    else:
+        # "spark.sql.shuffle.partitions" may be non-numeric ("auto" on
+        # managed platforms with AQE-advisory sizing) — fall back to the
+        # cluster's default parallelism rather than crashing every
+        # distributed-scan consumer.
+        try:
+            p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        except (ValueError, TypeError):
+            p = spark.sparkContext.defaultParallelism
     keys = [*part_cols, *order_cols]
     # The chunk id must be IDENTICAL for both consumers below (the
     # subtotal aggregate and the final join) — spark_partition_id over a

@@ -53,6 +53,16 @@ def mmr_select_reference(
             val = lam * scores[i] - (1.0 - lam) * penalty
             if val > best_val:  # strict > ⇒ ties keep the earliest
                 best_i, best_val = i, val
+        if best_i < 0:
+            # Every remaining candidate compared false (NaN scores make
+            # `val > best_val` always false). Selecting ids[-1] here
+            # would silently emit — and repeat — the LAST candidate;
+            # fail loudly instead. Cosine paths guard zero norms with
+            # +1e-24, so this is reachable only via NaN inputs.
+            raise ValueError(
+                f"mmr_select_reference: no selectable candidate at rank "
+                f"{rank} (all scores NaN?)"
+            )
         picked.append(best_i)
         out.append((rank, ids[best_i], float(best_val)))
     return out

@@ -176,7 +176,12 @@ def fold_batch(
     Durability: the merged state writes to a NEW ``v{batch_id}`` dir,
     then the CURRENT pointer flips via atomic rename. A crash mid-write
     leaves CURRENT on the old version — no data loss; superseded
-    version dirs are garbage-collected best-effort after the flip.
+    version dirs are garbage-collected best-effort after the flip,
+    KEEPING the immediately superseded version (N-1): a lazy reader
+    that resolved CURRENT before this fold survives one further fold
+    before its files disappear. Readers that lag more than one fold
+    behind (concurrent serve-while-ingest with slow consumers) must
+    re-call ``read_state`` per query.
     """
     prev = read_state(spark, state_path)
     prev_version = _version_dir(state_path)
@@ -222,9 +227,20 @@ def fold_batch(
         os.fsync(f.fileno())
     os.replace(tmp, os.path.join(root, _CURRENT))  # atomic on POSIX
 
-    # best-effort GC of superseded versions (crash here is harmless)
-    if prev_version is not None and prev_version != new_version:
-        shutil.rmtree(os.path.join(root, prev_version), ignore_errors=True)
+    # Best-effort GC of superseded versions (crash here is harmless),
+    # deferred by ONE version: the immediately superseded dir is kept
+    # so a lazy DataFrame handed out by read_state before this fold
+    # (resolved to the old version dir) still executes if one more
+    # batch folds before the consumer runs. Versions older than N-1
+    # are removed.
+    keep = {new_version, prev_version}
+    try:
+        entries = os.listdir(root)
+    except OSError:
+        entries = []
+    for e in entries:
+        if re.fullmatch(r"v\d+", e) and e not in keep:
+            shutil.rmtree(os.path.join(root, e), ignore_errors=True)
     return True
 
 

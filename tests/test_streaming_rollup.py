@@ -204,3 +204,27 @@ def test_read_state_raises_on_non_missing_errors(spark, tmp_path_factory):
         f.write(b"this is not a parquet file")
     with _pytest.raises(Exception):
         _read_state(spark, corrupt).collect()
+
+
+def test_gc_keeps_previous_version_for_lazy_readers(spark, events_dir, tmp_path_factory):
+    """GC is deferred by one version: after fold N, version N-1's dir
+    survives so a lazy DataFrame handed out by read_state before fold N
+    still executes. Only versions older than N-1 are removed."""
+    import os
+    import re
+
+    from rag_lakehouse_spark.streaming.rollup_sink import fold_batch, read_state
+
+    state = str(tmp_path_factory.mktemp("rollup_gc")) + "/hourly"
+    raw = spark.read.parquet(events_dir)
+    b = raw.limit(100)
+
+    assert fold_batch(spark, state, b, 0) is True
+    assert fold_batch(spark, state, b.limit(50), 1) is True
+    lazy = read_state(spark, state)  # resolves to v1
+    assert fold_batch(spark, state, b.limit(25), 2) is True
+
+    versions = sorted(e for e in os.listdir(state) if re.fullmatch(r"v\d+", e))
+    assert versions == ["v1", "v2"], "keep N and N-1 only"
+    # the pre-fold reader still executes against the kept v1 files
+    assert lazy.agg(F.sum("n_events")).first()[0] == 150
