@@ -58,68 +58,78 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # checked queries are exactly registry positions 0-49). Every query is
 # green against the local DuckDB oracle replica, but the brief's bar is
 # a DRIVER row per operator — so each round the front of the registry
-# is rotated. Round 8 pays the rotation debt VERDICT r7 #4 flagged:
-# (a) 11 sentinels — the queries whose oracle twins or plans changed
-# this round (edge_trim tokenizer sweep, distributed-scan rewrites,
-# quantized percentiles) plus one sentinel each for the streaming-index
-# and timeseries families — then (b) the 39 oldest-vintage rows, all
-# last driver-checked in round 2. Still deferred (the 50-slot sample
-# is 3x outgrown): window_running_spend (r2; its window family keeps
-# three other rows in the sample) and the 28-query r3 cohort — next in
-# line for r9. COVERAGE.md records the per-round sample log.
+# is rotated. Round 9 closes the freshness debt (VERDICT r8 #1):
+# (a) the final 30-query stale cohort — `window_running_spend` (r2)
+# plus the 29-query r3 cohort (COVERAGE.md lists it) — after which NO
+# query's latest driver row predates r4; then (b) the 18 highest-risk
+# r8-new rows (drift suite, forecast folds, both `_incremental`
+# streaming twins, the rewritten `embedding_label_confusion`); then
+# (c) the two r9 portable twins that give `rag_mmr_diversify` and
+# `corpus_bpe_encode` their first hash-checked external evidence.
+# Deferred to r10 sentinels (best-evidenced pure-map/fuzz-locked
+# r8-new shapes): text_readability_scores, chunk_sliding_docs,
+# corpus_source_overlap, orders_ship_latency_profile,
+# events_ewma_daily (oracle shared with its driver-checked streaming
+# twin), orders_basket_affinity, events_daily_trend,
+# events_retention_cohorts, events_inter_arrival_stats — plus
+# rag_mmr_diversify / corpus_bpe_encode themselves (their rows-only
+# driver rows carry less evidence than the oracled twins shipping in
+# their place). COVERAGE.md records the per-round sample log.
 _PRIORITY: tuple[str, ...] = (
-    # -- r8 part (a): changed this round + family sentinels --
-    "corpus_heavy_tokens",         # edge_trim tokenizer twins (the r7 fuzz-red query) + MG family sentinel
-    "corpus_vocab_stats",          # edge_trim tokenizer twins
-    "text_unigram_surprisal",      # edge_trim tokenizer twins (surprisal CTE chain)
-    "text_repetition_stats",       # edge_trim tokenizer + line-trim twins
-    "corpus_boilerplate_strip",    # line-level edge_trim twins
-    "corpus_pack_sequences",       # REWRITTEN: two-phase distributed prefix scan (no per-source window)
-    "quality_gate_per_source",     # REWRITTEN: distributed-scan rank + broadcast per-source counts
-    "corpus_perplexity_buckets",   # CHANGED VALUES: tertile edges on the quantized integer grid
-    "exact_percentiles_by_type",   # CHANGED VALUES: milli-quantized percentile inputs (also r3-vintage)
-    "dedup_incremental_stream",    # streaming-incremental-index family sentinel
-    "events_gapfill_interpolate",  # timeseries/gap-fill family sentinel
-    # -- r8 part (b): oldest driver rows (all r2 vintage) --
-    "agg_global_stats",
-    "binary_content_stats",
-    "date_scalar_funcs",
-    "distinct_segments",
-    "docs_by_lang_source",
-    "embedding_label_stats",
-    "events_click_purchase_funnel",
-    "events_dedup_first",
-    "events_hour_profile",
-    "events_json_props",
-    "events_session_window_builtin",
-    "events_tumbling_hourly",
-    "events_user_activity",
-    "filter_predicates",
-    "group_cube_orders",
-    "group_rollup_nation",
-    "join_anti_idle_customers",
-    "join_cross_region_status",
-    "join_full_outer_daily",
-    "join_left_order_counts",
-    "join_nonequi_price_band",
-    "join_semi_active_suppliers",
-    "math_scalar_funcs",
-    "metadata_stamped_docs",
-    "pivot_priority_by_status",
-    "project_cast_null_repair",
-    "q5_nation_revenue",
-    "sample_stratified_docs",
-    "setop_intersect_except",
-    "string_scalar_funcs",
-    "text_bpe_token_count",
-    "text_fingerprint",
-    "text_lang_id",
-    "text_rolling_hash",
-    "text_token_stats",
-    "topk_orders",
-    "window_lag_lead_orders",
-    "window_ntile_share",
-    "window_rank_top_orders",
+    # -- r9 part (a): the last stale driver rows (r2/r3 vintage) --
+    "window_running_spend",
+    "ann_pq_topk",
+    "approx_distinct_stats",
+    "array_funcs_tokens",
+    "bitwise_funcs",
+    "date_interval_arithmetic",
+    "dedup_cluster_canonicals",
+    "dq_documents_report",
+    "dq_orders_report",
+    "knn_vectorized_topk",
+    "minby_maxby_agg",
+    "nation_customer_share",
+    "null_handling_funcs",
+    "orders_monthly_trend",
+    "passage_assembly",
+    "q10_returned_revenue",
+    "q12_ship_latency_priority",
+    "q14_promo_revenue_share",
+    "q18_large_orders",
+    "q21_waiting_suppliers",
+    "q4_late_order_priority",
+    "q7_volume_shipping",
+    "rag_batch_retrieve",
+    "regexp_extract_all_tokens",
+    "skew_key_report",
+    "string_extended_funcs",
+    "subquery_above_avg_orders",
+    "union_by_name_drift",
+    "unpivot_part_metrics",
+    "window_distribution_funcs",
+    # -- r9 part (b): highest-risk r8-new rows (first driver rows) --
+    "text_bigram_surprisal",
+    "dq_source_drift_ks",
+    "dq_source_psi",
+    "embedding_cluster_profile",
+    "embedding_outlier_flags",
+    "embedding_label_centroid_drift",
+    "corpus_quality_ensemble",
+    "corpus_source_divergence",
+    "events_ewma_incremental",
+    "events_cusum_changepoints",
+    "orders_rfm_segments",
+    "orders_revenue_concentration",
+    "text_tfidf_keywords",
+    "events_holt_forecast",
+    "corpus_quality_correlation",
+    "events_active_users_rolling",
+    "embedding_label_confusion",
+    "events_active_users_incremental",
+    # -- r9 part (c): new portable twins (external evidence for the
+    #    two weakest rows-only queries) --
+    "rag_mmr_diversify_exact",
+    "corpus_bpe_encode_portable",
 )
 
 
