@@ -834,67 +834,33 @@ def embedding_label_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
-@register(
-    "embedding_label_confusion",
-    oracle=f"""
-    WITH e AS ({_E_NORMED}),
-    s AS (
-      SELECT a.vec_id, a.label AS label_a, b.vec_id AS nb, b.label AS label_b,
-             {VEC.duckdb_dot("a.embedding", "b.embedding")}
-               / (a.nrm * b.nrm + 1e-24) AS cos
-      FROM e a JOIN e b ON b.vec_id <> a.vec_id
-    ), top1 AS (
-      SELECT vec_id, label_a, label_b,
-             ROW_NUMBER() OVER (PARTITION BY vec_id
-                                ORDER BY cos DESC, nb ASC) AS rn
-      FROM s
-    )
-    SELECT label_a, label_b, CAST(COUNT(*) AS BIGINT) AS n
-    FROM top1 WHERE rn = 1
-    GROUP BY 1, 2
-    """,
-    tags=("vector", "knn", "evaluation", "training-data"),
-)
-def embedding_label_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """1-NN label confusion matrix: for every embedding, the label of
-    its single nearest neighbor, aggregated as (own label × neighbor
-    label) counts — the classic embedding-space quality readout (the
-    diagonal mass is 1-NN accuracy; heavy off-diagonal cells name the
-    label pairs the space confuses, which is where hard negatives and
-    relabeling effort go).
+# SRP band layout for the confusion matrix: 3 bands x 4 sign bits over
+# axis-aligned hyperplanes (embedding dims 1..12, 1-indexed). Axis
+# alignment makes each band key a pure float sign test BOTH engines
+# compute bit-identically from the same parquet values - no shared
+# random state to replicate - while remaining a legitimate
+# sign-random-projection family (the embeddings are ~isotropic, so
+# fixed axes hash as well as sampled ones).
+CONF_BANDS, CONF_BITS = 3, 4
 
-    Exactness: left-fold cosine with hoisted norms and the zero-norm
-    guard, top-1 by max(struct(cos, -nb)) — same bit-identical
-    argmax/tie-break contract as ``embedding_cluster_profile``.
 
-    Scale: at fixture scale this scores all pairs (the exact
-    evaluation); a production corpus runs the identical aggregation
-    over ``knn_ivf``/LSH candidate pairs instead — the confusion
-    SHAPE (top-1 argmax → label×label count) is what this row locks.
-    The argmax combines map-side before its exchange; output is
-    |labels|² rows."""
-    e = _normed(load_table(spark, sf_dir, "embeddings"))
-    a = e.select("vec_id", F.col("label").alias("label_a"), "embedding", "nrm")
-    b = e.select(
-        F.col("vec_id").alias("nb"),
-        F.col("label").alias("label_b"),
-        F.col("embedding").alias("bemb"),
-        F.col("nrm").alias("bnrm"),
-    )
-    s = (
-        a.crossJoin(F.broadcast(b))
-        .filter(F.col("nb") != F.col("vec_id"))
-        .select(
-            "vec_id",
-            "label_a",
-            "label_b",
-            "nb",
-            (
-                VEC.dot("embedding", "bemb")
-                / (F.col("nrm") * F.col("bnrm") + F.lit(1e-24))
-            ).alias("cos"),
+def _conf_band_keys_sql() -> list[str]:
+    keys = []
+    for band in range(CONF_BANDS):
+        bits = " + ".join(
+            f"CASE WHEN embedding[{band * CONF_BITS + i + 1}] >= 0 "
+            f"THEN {1 << i} ELSE 0 END"
+            for i in range(CONF_BITS)
         )
-    )
+        keys.append(f"({bits})")
+    return keys
+
+
+def confusion_from_candidates(s: DataFrame) -> DataFrame:
+    """(vec_id, label_a, label_b, nb, cos) candidate pairs -> label
+    confusion counts via the duplicate-insensitive top-1 struct argmax.
+    Shared by the registered band-candidate query and the exact
+    all-pairs differential in tests."""
     top1 = (
         s.groupBy("vec_id", "label_a")
         .agg(
@@ -909,3 +875,109 @@ def embedding_label_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top1.groupBy("label_a", "label_b").agg(
         F.count(F.lit(1)).cast("bigint").alias("n")
     )
+
+
+@register(
+    "embedding_label_confusion",
+    oracle=f"""
+    WITH e AS ({_E_NORMED}),
+    kb AS (
+      {" UNION ALL ".join(
+        f"SELECT vec_id, label, embedding, nrm, {band} AS band, "
+        f"{key} AS bkey FROM e"
+        for band, key in enumerate(_conf_band_keys_sql())
+      )}
+    ), s AS (
+      SELECT a.vec_id, a.label AS label_a, b.vec_id AS nb, b.label AS label_b,
+             {VEC.duckdb_dot("a.embedding", "b.embedding")}
+               / (a.nrm * b.nrm + 1e-24) AS cos
+      FROM kb a JOIN kb b
+        ON a.band = b.band AND a.bkey = b.bkey AND b.vec_id <> a.vec_id
+    ), top1 AS (
+      SELECT vec_id, label_a, label_b,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY cos DESC, nb ASC) AS rn
+      FROM s
+    )
+    SELECT label_a, label_b, CAST(COUNT(*) AS BIGINT) AS n
+    FROM top1 WHERE rn = 1
+    GROUP BY 1, 2
+    """,
+    tags=("vector", "knn", "evaluation", "training-data"),
+)
+def embedding_label_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-NN label confusion matrix over SRP band candidates: for every
+    embedding, the label of its nearest CANDIDATE neighbor (candidates
+    = vectors sharing at least one of 3 x 4-bit sign-projection band
+    keys), aggregated as (own label x neighbor label) counts - the
+    embedding-space quality readout (diagonal mass ~ 1-NN accuracy;
+    heavy off-diagonal cells name the label pairs the space confuses,
+    which is where hard negatives and relabeling effort go).
+
+    Scale (the r8 VERDICT #1 rewrite): the r8 form was
+    ``a.crossJoin(broadcast(b))`` over the WHOLE corpus - O(n^2) work
+    under a corpus-sized broadcast. Candidates now come from an LSH
+    band equi-join exactly like ``dedup_minhash_lsh``'s: explode each
+    vector to its 3 band keys, shuffle-join on (band, bkey), score
+    only co-bucketed pairs. Bucket count (2^bits per band) is the
+    scale dial; duplicate pairs from multi-band collisions need NO
+    distinct shuffle - the top-1 argmax is duplicate-insensitive.
+    Vectors sharing no bucket with any other drop out
+    (deterministically, in both engines). ``tests/test_plans.py``
+    asserts no cartesian product / broadcast-nested-loop join remains;
+    the exact all-pairs form survives as the fixture-scale pytest
+    differential (candidate-vs-exact agreement is the recall readout).
+
+    Exactness: left-fold cosine with hoisted norms and the zero-norm
+    guard, top-1 by max(struct(cos, -nb)) - the same bit-identical
+    argmax/tie-break contract as ``embedding_cluster_profile``; band
+    keys are integer sums of float sign tests (>= 0) on identical
+    parquet floats."""
+    from functools import reduce
+
+    e = _normed(load_table(spark, sf_dir, "embeddings"))
+
+    def band_key(band: int):
+        return reduce(
+            lambda acc, i: acc
+            + (F.element_at("embedding", band * CONF_BITS + i + 1) >= 0).cast(
+                "int"
+            )
+            * F.lit(1 << i),
+            range(1, CONF_BITS),
+            (F.element_at("embedding", band * CONF_BITS + 1) >= 0).cast("int"),
+        )
+
+    kb = e.select(
+        "vec_id",
+        "label",
+        "embedding",
+        "nrm",
+        F.posexplode(
+            F.array(*[band_key(b) for b in range(CONF_BANDS)])
+        ).alias("band", "bkey"),
+    )
+    a = kb.select("vec_id", F.col("label").alias("label_a"), "embedding", "nrm", "band", "bkey")
+    b = kb.select(
+        F.col("vec_id").alias("nb"),
+        F.col("label").alias("label_b"),
+        F.col("embedding").alias("bemb"),
+        F.col("nrm").alias("bnrm"),
+        "band",
+        "bkey",
+    )
+    s = (
+        a.join(b, on=["band", "bkey"])
+        .filter(F.col("nb") != F.col("vec_id"))
+        .select(
+            "vec_id",
+            "label_a",
+            "label_b",
+            "nb",
+            (
+                VEC.dot("embedding", "bemb")
+                / (F.col("nrm") * F.col("bnrm") + F.lit(1e-24))
+            ).alias("cos"),
+        )
+    )
+    return confusion_from_candidates(s)

@@ -254,3 +254,20 @@ def test_tfidf_topk_is_window_group_limit(spark, sf_dir):
         .toString()
     )
     assert "WindowGroupLimit" in plan
+
+
+def test_label_confusion_has_no_allpairs_join(spark, sf_dir):
+    """The r9 rewrite contract (VERDICT r8 #1): candidates come from an
+    SRP band equi-join — no corpus×corpus cartesian product and no
+    broadcast-nested-loop join may reappear in the registered plan."""
+    plan = plan_of("embedding_label_confusion", spark, sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the candidate join must be a hash/merge EQUI-join on the band
+    # keys (strategy choice — broadcast-hash at fixture scale, SMJ at
+    # corpus scale — is Catalyst's to make)
+    assert (
+        "SortMergeJoin [band" in plan
+        or "ShuffledHashJoin [band" in plan
+        or "BroadcastHashJoin [band" in plan
+    )

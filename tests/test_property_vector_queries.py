@@ -22,7 +22,10 @@ from tests.oracle_harness import compare
 
 registry._load_all()
 
-DIM = 8
+# 12, not 8: embedding_label_confusion derives SRP band keys from sign
+# tests on dims 1..12 (CONF_BANDS × CONF_BITS) — generated vectors must
+# cover every banded dimension or the band keys would go out of range.
+DIM = 12
 
 _component = st.integers(min_value=-8, max_value=8).map(lambda v: v / 4)
 _vector = st.one_of(
@@ -109,3 +112,95 @@ def test_vector_query_matches_oracle_on_generated_embeddings(
 ):
     problems = _run(spark, tmp_path, rows, name)
     assert not problems, problems
+
+
+def _allpairs_confusion(spark, sf_dir):
+    """The exact (pre-r9) all-pairs 1-NN confusion matrix — kept as the
+    fixture-scale differential for the banded candidate query."""
+    from pyspark.sql import functions as F
+
+    from rag_lakehouse_spark.functions import vector as VEC
+    from rag_lakehouse_spark.plans.vector_queries import (
+        _normed,
+        confusion_from_candidates,
+    )
+    from rag_lakehouse_spark.sources.tables import load_table
+
+    e = _normed(load_table(spark, sf_dir, "embeddings"))
+    a = e.select("vec_id", F.col("label").alias("label_a"), "embedding", "nrm")
+    b = e.select(
+        F.col("vec_id").alias("nb"),
+        F.col("label").alias("label_b"),
+        F.col("embedding").alias("bemb"),
+        F.col("nrm").alias("bnrm"),
+    )
+    s = (
+        a.crossJoin(b)
+        .filter(F.col("nb") != F.col("vec_id"))
+        .select(
+            "vec_id",
+            "label_a",
+            "label_b",
+            "nb",
+            (
+                VEC.dot("embedding", "bemb")
+                / (F.col("nrm") * F.col("bnrm") + F.lit(1e-24))
+            ).alias("cos"),
+        )
+    )
+    return confusion_from_candidates(s)
+
+
+def test_label_confusion_equals_exact_when_buckets_are_total(spark, tmp_path):
+    """When every vector lands in the same SRP buckets (all banded dims
+    non-negative), the candidate set IS all pairs — the banded query
+    must reproduce the exact confusion matrix cell-for-cell."""
+    import random
+
+    from rag_lakehouse_spark.plans import registry as reg
+
+    rng = random.Random(7)
+    data = []
+    for i in range(40):
+        # dims 1..12 strictly positive → identical band keys (15,15,15);
+        # remaining dims free, incl. negatives
+        vec = [rng.uniform(0.05, 1.0) for _ in range(12)] + [
+            rng.uniform(-1.0, 1.0) for _ in range(4)
+        ]
+        data.append((i, [float(v) for v in vec], i % 4))
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        data, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(sf_dir, "embeddings.parquet")
+    )
+    got = {
+        (r.label_a, r.label_b): r.n
+        for r in reg.QUERIES["embedding_label_confusion"].fn(spark, sf_dir).collect()
+    }
+    want = {
+        (r.label_a, r.label_b): r.n for r in _allpairs_confusion(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_label_confusion_recall_floor_on_fixture(spark, sf_dir):
+    """Recall readout on the real sf0.001 embeddings: the banded
+    candidate top-1 must agree with the exact all-pairs top-1 on most
+    vectors (measured 417/500 cell overlap at 3 bands × 4 bits), and no
+    vector may silently drop (every sf0.001 vector shares ≥1 bucket)."""
+    from rag_lakehouse_spark.plans import registry as reg
+
+    cand = {
+        (r.label_a, r.label_b): r.n
+        for r in reg.QUERIES["embedding_label_confusion"].fn(spark, sf_dir).collect()
+    }
+    exact = {
+        (r.label_a, r.label_b): r.n for r in _allpairs_confusion(spark, sf_dir).collect()
+    }
+    n_exact = sum(exact.values())
+    assert sum(cand.values()) == n_exact, "no vector should drop at this scale"
+    overlap = sum(
+        min(exact.get(k, 0), cand.get(k, 0)) for k in set(exact) | set(cand)
+    )
+    assert overlap >= 0.7 * n_exact
