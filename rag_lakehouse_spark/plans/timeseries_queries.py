@@ -816,11 +816,12 @@ def events_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     short-horizon capacity forecast that EWMA (no trend term) lags on
     ramping series.
 
-    The recurrence carries TWO state variables, so the Spark fold
-    upgrades from the EWMA's scalar to a STRUCT accumulator
-    (``aggregate`` with a struct zero) — in scaled integers (K = 2^20)
-    with arithmetic ``>> 1`` (floor: Java and DuckDB agree on
-    negatives, so a falling trend stays bit-identical).
+    The recurrence carries TWO state variables and must emit EVERY
+    intermediate state, so the Spark side is one ``aggregate`` fold
+    whose accumulator is the running (level, trend) state ARRAY — each
+    step appends the next state from the last — in scaled integers
+    (K = 2^20) with arithmetic ``>> 1`` (floor: Java and DuckDB agree
+    on negatives, so a falling trend stays bit-identical).
     Zero-initialization is the documented semantics: level warms up
     from 0 exactly identically on both engines.
 
@@ -834,7 +835,18 @@ def events_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     as here.
 
     Same calendar-bounded grouped-series-fold legality argument as
-    ``events_ewma_daily``/``events_cusum_changepoints``."""
+    ``events_ewma_daily``/``events_cusum_changepoints``.
+
+    RULE (generalizes, next to the EWMA/CUSUM scaled-integer note): a
+    recurrence that must EMIT every intermediate state is still ONE
+    accumulating fold — the accumulator is the running state ARRAY and
+    each step appends ``f(last, x)`` (``get(acc, size-1)`` is NULL on
+    the empty accumulator → coalesce seeds the zero state). Never
+    re-fold a growing prefix per element (the r8 form ran
+    ``aggregate(slice(ser, 1, i), …)`` per day — O(days²) arithmetic
+    per event_type); the append fold is linear in fold steps and
+    bit-identical, since each state is computed once by the same
+    scaled-integer step."""
     K = 1 << 20
     e = load_table(spark, sf_dir, "events")
     daily = e.groupBy(
@@ -844,22 +856,25 @@ def events_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_sort(F.collect_list(F.struct("d", "c"))).alias("ser")
     )
     ser = F.col("ser")
-    zero = F.struct(
-        F.lit(0).cast("bigint").alias("l"), F.lit(0).cast("bigint").alias("t")
-    )
+    zero = F.expr("CAST(array() AS ARRAY<STRUCT<l: BIGINT, t: BIGINT>>)")
 
-    def step(a, s):
-        lp = s["c"] * K + a["l"] + a["t"]
+    def step(acc, s):
+        prev = F.get(acc, F.size(acc) - 1)  # NULL on the empty acc
+        pl = F.coalesce(prev["l"], F.lit(0).cast("bigint"))
+        pt = F.coalesce(prev["t"], F.lit(0).cast("bigint"))
+        lp = s["c"] * K + pl + pt
         l_new = F.shiftright(lp, 1)
-        t_new = F.shiftright(l_new - a["l"] + a["t"], 1)
-        return F.struct(l_new.alias("l"), t_new.alias("t"))
+        t_new = F.shiftright(l_new - pl + pt, 1)
+        return F.concat(
+            acc, F.array(F.struct(l_new.alias("l"), t_new.alias("t")))
+        )
 
-    items = F.transform(
-        F.sequence(F.lit(1), F.size(ser)),
-        lambda i: F.struct(
-            F.get(ser, i - 1)["d"].alias("d"),
-            F.get(ser, i - 1)["c"].alias("c"),
-            F.aggregate(F.slice(ser, F.lit(1), i), zero, step).alias("s"),
+    states = F.aggregate(ser, zero, step)
+    items = F.zip_with(
+        ser,
+        states,
+        lambda s, st: F.struct(
+            s["d"].alias("d"), s["c"].alias("c"), st.alias("s")
         ),
     )
     return (
