@@ -108,3 +108,93 @@ def mmr_diversify(
         .groupBy(query_col)
         .applyInPandas(per_query, out_schema)
     )
+
+
+def mmr_select_quantized(
+    ids: list,
+    rel_q: list[int],
+    sims_q: dict,
+    k: int,
+    lam_num: int = 7,
+    lam_comp: int = 3,
+) -> list[tuple[int, object, int]]:
+    """Integer-exact greedy MMR over one candidate list: maximize
+    ``lam_num * rel_q - lam_comp * max_sim_q`` per step (λ = 0.7 as the
+    integer pair 7/3 over a common ×10 scale). Inputs arrive in
+    (rel_q DESC, id ASC) order and ties keep the earliest position —
+    identical to the oracle's ``ORDER BY val DESC, rel_q DESC, id``.
+    ``sims_q[(a, b)]`` must cover every ordered candidate pair; a
+    missing pair is a caller bug and raises KeyError. Returns
+    [(rank, id, mmr_q)] — every value a plain int, so the DuckDB
+    recursive-CTE twin reproduces the selection bit-for-bit."""
+    n = len(ids)
+    k = min(k, n)
+    picked: list[int] = []
+    out: list[tuple[int, object, int]] = []
+    for rank in range(1, k + 1):
+        best_i, best_val = -1, None
+        for i in range(n):
+            if i in picked:
+                continue
+            pen = (
+                max(sims_q[(ids[i], ids[p])] for p in picked) if picked else 0
+            )
+            val = lam_num * rel_q[i] - lam_comp * pen
+            if best_val is None or val > best_val:  # strict > ⇒ earliest wins ties
+                best_i, best_val = i, val
+        picked.append(best_i)
+        out.append((rank, ids[best_i], int(best_val)))
+    return out
+
+
+def mmr_diversify_quantized(
+    candidates: DataFrame,
+    query_col: str = "query_id",
+    id_col: str = "vec_id",
+    k: int = 5,
+    lam_num: int = 7,
+    lam_comp: int = 3,
+) -> DataFrame:
+    """(query, rank, id, mmr_q): integer-exact diversified top-k per
+    query. ``candidates`` carries per-row ``rel_q`` (quantized
+    relevance, bigint) and ``sims`` (array<struct<nb, sim_q>> — the
+    quantized similarity to every OTHER candidate of the same query),
+    both produced by Spark-side bit-identical expressions, so the only
+    Python arithmetic is integer compares. Same applyInPandas plumbing
+    as ``mmr_diversify`` — one bounded group per query."""
+    out_schema = T.StructType(
+        [
+            candidates.schema[query_col],
+            T.StructField("rank", T.IntegerType()),
+            T.StructField(id_col, candidates.schema[id_col].dataType),
+            T.StructField("mmr_q", T.LongType()),
+        ]
+    )
+
+    def per_query(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["rel_q", id_col], ascending=[False, True], kind="mergesort"
+        ).reset_index(drop=True)
+        sims_q: dict = {}
+        for a, lst in zip(pdf[id_col], pdf["sims"]):
+            for s in lst:
+                sims_q[(a, s["nb"])] = int(s["sim_q"])
+        rows = mmr_select_quantized(
+            list(pdf[id_col]),
+            [int(x) for x in pdf["rel_q"]],
+            sims_q,
+            k,
+            lam_num,
+            lam_comp,
+        )
+        q = pdf[query_col].iloc[0]
+        return pd.DataFrame(
+            [(q, r, i, v) for r, i, v in rows],
+            columns=[query_col, "rank", id_col, "mmr_q"],
+        )
+
+    return (
+        candidates.select(query_col, id_col, "rel_q", "sims")
+        .groupBy(query_col)
+        .applyInPandas(per_query, out_schema)
+    )

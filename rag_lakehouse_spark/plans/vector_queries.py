@@ -981,3 +981,137 @@ def embedding_label_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return confusion_from_candidates(s)
+
+
+@register(
+    "rag_mmr_diversify_exact",
+    oracle=f"""
+    WITH RECURSIVE e AS ({_E_NORMED}),
+    q AS (SELECT embedding AS qe, nrm AS qn FROM e WHERE vec_id = 0),
+    scored AS (
+      SELECT e.vec_id, e.embedding, e.nrm,
+             {VEC.duckdb_dot("e.embedding", "q.qe")}
+               / (e.nrm * q.qn + 1e-24) AS cos
+      FROM e, q WHERE e.vec_id <> 0
+    ), cand AS (
+      SELECT vec_id, embedding, nrm,
+             CAST(floor(cos * 1048576) AS BIGINT) AS rel_q
+      FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id ASC) AS rn
+            FROM scored)
+      WHERE rn <= 12
+    ), sims AS (
+      SELECT a.vec_id AS ia, b.vec_id AS ib,
+             CAST(floor(({VEC.duckdb_dot("a.embedding", "b.embedding")}
+                          / (a.nrm * b.nrm + 1e-24)) * 1048576) AS BIGINT)
+               AS sim_q
+      FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
+    ), pick AS (
+      (SELECT 1 AS rank, vec_id, 7 * rel_q AS mmr_q, [vec_id] AS picked
+       FROM cand ORDER BY 7 * rel_q DESC, rel_q DESC, vec_id ASC LIMIT 1)
+      UNION ALL
+      (SELECT r.rank + 1, c.vec_id,
+              7 * c.rel_q - 3 * (SELECT MAX(s.sim_q) FROM sims s
+                                 WHERE s.ia = c.vec_id
+                                   AND list_contains(r.picked, s.ib)),
+              list_append(r.picked, c.vec_id)
+       FROM pick r, cand c
+       WHERE r.rank < 5 AND NOT list_contains(r.picked, c.vec_id)
+       ORDER BY 7 * c.rel_q - 3 * (SELECT MAX(s.sim_q) FROM sims s
+                                   WHERE s.ia = c.vec_id
+                                     AND list_contains(r.picked, s.ib)) DESC,
+                c.rel_q DESC, c.vec_id ASC
+       LIMIT 1)
+    )
+    SELECT CAST(0 AS INT) AS query_id, CAST(rank AS INT) AS rank,
+           vec_id, mmr_q
+    FROM pick
+    """,
+    tags=("vector", "rag", "diversification", "iterative"),
+)
+def rag_mmr_diversify_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact MMR twin (the external-evidence row for
+    ``rag_mmr_diversify``, VERDICT r8 #5): top-12 cosine candidates of
+    query vector 0, relevance and pairwise similarities quantized to
+    the 2^20 integer grid (floor of bit-identical left-fold cosines —
+    the standing percentile-quantization trick: quantize the INPUT,
+    never round the output), then the SAME ``applyInPandas`` greedy
+    machinery as the float path selects 5 results maximizing the
+    all-integer objective ``7*rel_q - 3*max_sim_q`` (λ = 0.7 over a
+    ×10 scale). Every comparison is integer, so the greedy argmax per
+    step — ties and all — is SQL-expressible: the oracle replays the
+    selection as a recursive CTE carrying the picked list, with
+    ``ORDER BY val DESC, rel_q DESC, vec_id LIMIT 1`` per step
+    mirroring the Python loop's earliest-position tie rule.
+
+    Scale: identical contract to ``rag_mmr_diversify`` — candidates
+    are bounded per query (12 here), the 12×12 similarity self-join is
+    bounded by construction, and thousands of query groups diversify
+    in parallel; the eager localCheckpoint is the standing
+    multi-consumer barrier (the candidate table feeds both sides of
+    the sims join and the final assembly)."""
+    from rag_lakehouse_spark.operators.mmr import mmr_diversify_quantized
+
+    K = 1 << 20
+    e = _normed(load_table(spark, sf_dir, "embeddings"))
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qvec"), F.col("nrm").alias("qnrm")
+    )
+    cand = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "embedding",
+            "nrm",
+            (
+                VEC.dot("embedding", "qvec")
+                / (F.col("nrm") * F.col("qnrm") + F.lit(1e-24))
+            ).alias("cos"),
+        )
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(12)
+        .select(
+            "vec_id",
+            "embedding",
+            "nrm",
+            F.floor(F.col("cos") * K).cast("bigint").alias("rel_q"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    a = cand.select(
+        F.col("vec_id").alias("ia"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = cand.select(
+        F.col("vec_id").alias("ib"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    sims = (
+        a.crossJoin(b)  # bounded 12x12 by the candidate contract
+        .filter(F.col("ia") != F.col("ib"))
+        .select(
+            "ia",
+            "ib",
+            F.floor(
+                (VEC.dot("ea", "eb") / (F.col("na") * F.col("nb") + F.lit(1e-24)))
+                * K
+            )
+            .cast("bigint")
+            .alias("sim_q"),
+        )
+    )
+    simarr = sims.groupBy("ia").agg(
+        F.collect_list(F.struct("ib", "sim_q")).alias("sims")
+    )
+    inp = cand.join(simarr, cand["vec_id"] == simarr["ia"]).select(
+        F.lit(0).cast("int").alias("query_id"),
+        "vec_id",
+        "rel_q",
+        F.transform(
+            "sims",
+            lambda s: F.struct(s["ib"].alias("nb"), s["sim_q"].alias("sim_q")),
+        ).alias("sims"),
+    )
+    return mmr_diversify_quantized(inp, k=5)

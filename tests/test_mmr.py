@@ -95,3 +95,61 @@ def test_mmr_query_row_runs(spark, sf_dir):
     assert len(rows) == 10
     assert sorted(r.rank for r in rows) == list(range(1, 11))
     assert len({r.vec_id for r in rows}) == 10
+
+
+def _naive_mmr_quantized(ids, rel_q, sims_q, k, lam_num=7, lam_comp=3):
+    """Independent integer reimplementation (set-based, not
+    position-based, so tie handling is derived from scratch: among
+    equal objective values pick max rel_q then min id)."""
+    remaining = set(ids)
+    picked = []
+    out = []
+    rel = dict(zip(ids, rel_q))
+    for rank in range(1, min(k, len(ids)) + 1):
+        scored = []
+        for cid in remaining:
+            pen = max((sims_q[(cid, p)] for p in picked), default=0)
+            scored.append((lam_num * rel[cid] - lam_comp * pen, rel[cid], cid))
+        val, _, cid = max(scored, key=lambda t: (t[0], t[1], -t[2]))
+        picked.append(cid)
+        remaining.discard(cid)
+        out.append((rank, cid, val))
+    return out
+
+
+def test_mmr_quantized_matches_naive():
+    import random
+
+    from rag_lakehouse_spark.operators.mmr import mmr_select_quantized
+
+    rng = random.Random(11)
+    for trial in range(50):
+        n = rng.randint(1, 12)
+        ids = list(range(n))
+        # small value range → frequent exact ties, stressing the
+        # earliest-position rule against the naive (max rel, min id) rule
+        rel_q = [rng.randint(-3, 3) for _ in ids]
+        sims_q = {
+            (a, b): rng.randint(-3, 3) for a in ids for b in ids if a != b
+        }
+        # symmetric like real cosine sims
+        for a in ids:
+            for b in ids:
+                if a < b:
+                    sims_q[(b, a)] = sims_q[(a, b)]
+        order = sorted(ids, key=lambda i: (-rel_q[i], i))
+        got = mmr_select_quantized(
+            [ids[i] for i in order], [rel_q[i] for i in order], sims_q, k=5
+        )
+        want = _naive_mmr_quantized(ids, rel_q, sims_q, k=5)
+        assert got == want, (trial, got, want)
+
+
+def test_mmr_quantized_partitioning_invariant(spark, sf_dir):
+    from rag_lakehouse_spark.plans import registry
+
+    registry._load_all()
+    fn = registry.QUERIES["rag_mmr_diversify_exact"].fn
+    rows = sorted(map(tuple, fn(spark, sf_dir).collect()))
+    again = sorted(map(tuple, fn(spark, sf_dir).collect()))
+    assert rows == again and len(rows) == 5

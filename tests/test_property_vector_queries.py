@@ -78,6 +78,11 @@ QUERIES = [
     # 1-NN confusion: duplicate vectors make exact score ties — the
     # (cos, -nb) struct-max must agree with the oracle's rn tiebreak
     "embedding_label_confusion",
+    # r9 integer-exact MMR twin: duplicate/zero vectors collapse rel_q
+    # and sim_q to exact integer ties — the Python loop's
+    # earliest-position rule must match the recursive CTE's
+    # (val, rel_q, vec_id) ORDER BY per step
+    "rag_mmr_diversify_exact",
 ]
 
 
