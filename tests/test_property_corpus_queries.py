@@ -151,6 +151,11 @@ def _run(spark, tmp_path, docs, query_name):
         # readability: no-sentence/no-word/unicode docs hit the
         # sentence floor and the n_words=0 NULL grade on both engines
         "text_readability_scores",
+        # r9 frozen-vocab BPE encode: unicode/whitespace-only/NULL
+        # docs stress the char seeding (codepoint indexing parity) and
+        # the empty-doc left-join path; repeated-letter runs stress
+        # leftmost non-overlapping pair merging in the list folds
+        "corpus_bpe_encode_portable",
     ],
 )
 def test_text_query_matches_oracle_on_generated_corpus(
