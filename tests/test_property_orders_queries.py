@@ -56,6 +56,13 @@ QUERIES = [
     "window_distribution_funcs",
     "window_range_frame_spend",
     "union_by_name_drift",
+    # r9 fuzz-coverage close-out (the two r8-new orders queries with no
+    # generated-table row): tiny dense customer sets force tied
+    # percentile edges / equal RFM tertiles, and duplicate spends force
+    # rank ties the (neg_cents, custkey) order key must resolve
+    # identically to the oracle's window
+    "orders_rfm_segments",
+    "orders_revenue_concentration",
 ]
 
 
@@ -73,11 +80,22 @@ def _run(spark, tmp_path, orders, query_name, dup_every=3):
     ).coalesce(1).write.mode("overwrite").parquet(
         os.path.join(sf_dir, "orders.parquet")
     )
-    con = duckdb.connect()
-    con.execute(
-        "CREATE OR REPLACE VIEW orders AS "
-        f"SELECT * FROM '{sf_dir}/orders.parquet/*.parquet'"
+    # minimal customer dimension for the join-bearing queries
+    # (orders_revenue_concentration): covers the generated custkeys
+    # 0..3 plus one customer with no orders (inner-join no-op) —
+    # written for every query so the harness stays uniform
+    spark.createDataFrame(
+        [(k, seg) for k, seg in zip(range(5), ["BUILDING", "MACHINERY", "BUILDING", "AUTOMOBILE", "FURNITURE"])],
+        "c_custkey long, c_mktsegment string",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(sf_dir, "customer.parquet")
     )
+    con = duckdb.connect()
+    for t in ("orders", "customer"):
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS "
+            f"SELECT * FROM '{sf_dir}/{t}.parquet/*.parquet'"
+        )
     q = registry.QUERIES[query_name]
     return compare(query_name, q.fn(spark, sf_dir), con, q.oracle)
 
