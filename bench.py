@@ -65,6 +65,10 @@ HEADLINE = (
     "corpus_pack_sequences",
     "knn_similarity_join",
     "knn_vectorized_topk",
+    # r9 canary: the SRP-band candidate join that replaced the
+    # all-pairs confusion matrix — first-measured this round; watch
+    # the band equi-join + argmax shape like the other LSH canaries
+    "embedding_label_confusion",
     "events_asof_purchase",
     "chunk_fixed_docs",
     "rag_retrieve_context",
