@@ -100,7 +100,13 @@ def read_state(spark: SparkSession, state_path: str) -> DataFrame | None:
     no state exists yet (first batch). Any OTHER read error —
     permission trouble, corrupt footer, transient storage failure —
     raises: silently resetting state to empty would drop all folded
-    history on a hiccup."""
+    history on a hiccup.
+
+    Reader contract: the returned DataFrame is lazy and resolves to
+    the version dir current at CALL time. GC keeps one superseded
+    version (N-1), so the plan survives exactly one further fold; a
+    consumer that may lag more than one fold behind concurrent
+    ingestion must re-call read_state per query."""
     v = _version_dir(state_path)
     if v is not None:
         return spark.read.parquet(os.path.join(state_path, v))
