@@ -1180,3 +1180,143 @@ def rag_mmr_diversify_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sims"),
     )
     return mmr_diversify_quantized(inp, k=5)
+
+
+# Frozen PQ codebook for the portable ADC twin: m=8 subspaces x k=4
+# centroids x 8 dims, components generated as exact binary quarters
+# from a fixed formula BOTH sides embed — a deployed quantizer is an
+# immutable artifact, same contract as the frozen BPE merge table.
+_PQ_M, _PQ_K, _PQ_SUB = 8, 4, 8
+
+
+def _pq_cb(j: int, c: int, t: int) -> float:
+    return ((j * 31 + c * 17 + t * 7) % 9 - 4) / 4.0
+
+
+def _pq_d_sql(src: str, j: int, c: int) -> str:
+    terms = [
+        f"(CAST({src}[{j * _PQ_SUB + t + 1}] AS DOUBLE) - ({_pq_cb(j, c, t)!r}))"
+        for t in range(_PQ_SUB)
+    ]
+    return " + ".join(f"{x} * {x}" for x in terms)
+
+
+def _pq_oracle() -> str:
+    enc_cols = []
+    for j in range(_PQ_M):
+        dlist = (
+            "[" + ", ".join(_pq_d_sql("embedding", j, c) for c in range(_PQ_K)) + "]"
+        )
+        enc_cols.append(
+            f"CAST(list_position({dlist}, list_min({dlist})) - 1 AS INT) AS c{j}"
+        )
+    lut_cols = [
+        f"{_pq_d_sql('qv', j, c)} AS l_{j}_{c}"
+        for j in range(_PQ_M)
+        for c in range(_PQ_K)
+    ]
+    adc = " + ".join(
+        f"([l_{j}_0, l_{j}_1, l_{j}_2, l_{j}_3])[c{j} + 1]" for j in range(_PQ_M)
+    )
+    codes = "concat_ws('-', " + ", ".join(f"c{j}" for j in range(_PQ_M)) + ")"
+    return f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    enc AS (
+      SELECT vec_id, {", ".join(enc_cols)}
+      FROM embeddings WHERE vec_id <> 0
+    ), lut AS (SELECT {", ".join(lut_cols)} FROM q)
+    SELECT vec_id AS neighbor_id, {codes} AS codes_str, {adc} AS adc_distance
+    FROM enc, lut
+    ORDER BY adc_distance ASC, vec_id ASC
+    LIMIT 10
+    """
+
+
+@register(
+    "ann_pq_portable",
+    oracle=_pq_oracle(),
+    tags=("vector", "ann", "pq", "portable-twin"),
+)
+def ann_pq_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC search under a FROZEN codebook — the
+    first externally hash-checked row for the PQ family (the trained
+    path ``ann_pq_topk`` stays rows-only: its codebooks come from
+    sampled k-means and its encode/ADC run float32 BLAS, whose
+    reduction order no SQL engine replicates). Same pipeline shape as
+    ``operators/pq.py``: ENCODE — per subspace, the nearest of k=4
+    codebook entries (argmin of unrolled exact squared distances; ties
+    resolve to the first index via array_position-of-min, identically
+    in both engines) — then ADC: the query's 32-entry lookup table is
+    computed once on the 1-row query side, broadcast, and each code
+    word's distance is a fixed-order sum of m table lookups; top-10 by
+    (adc, vec_id).
+
+    Exactness: codebook components are exact binary quarters embedded
+    as literals by BOTH engines from the same formula; every distance
+    is an unrolled left-to-right double sum (no HOF, no BLAS), so
+    codes AND distances are bit-identical — the oracle checks the
+    ENCODING (codes_str) alongside the ranking, not just the top-k
+    ids.
+
+    Scale: encode is a map-only projection (whole-stage codegen — the
+    expressions are plain arithmetic); the LUT is a 1-row broadcast;
+    top-10 is TakeOrderedAndProject. Identical to the production PQ
+    split (codebook = parameters, codes = data); 32x compression at
+    64 dims -> 8 bytes/vector."""
+    e = load_table(spark, sf_dir, "embeddings")
+
+    def dist(src: str, j: int, c: int):
+        expr = None
+        for t in range(_PQ_SUB):
+            term = F.element_at(src, j * _PQ_SUB + t + 1).cast("double") - F.lit(
+                _pq_cb(j, c, t)
+            )
+            sq = term * term
+            expr = sq if expr is None else expr + sq
+        return expr
+
+    enc = e.filter(F.col("vec_id") != 0).select(
+        "vec_id",
+        *[
+            (
+                F.array_position(
+                    F.array(*[dist("embedding", j, c) for c in range(_PQ_K)]),
+                    F.array_min(
+                        F.array(*[dist("embedding", j, c) for c in range(_PQ_K)])
+                    ),
+                )
+                - 1
+            )
+            .cast("int")
+            .alias(f"c{j}")
+            for j in range(_PQ_M)
+        ],
+    )
+    lut = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv")
+    ).select(
+        *[
+            dist("qv", j, c).alias(f"l_{j}_{c}")
+            for j in range(_PQ_M)
+            for c in range(_PQ_K)
+        ]
+    )
+    adc = None
+    for j in range(_PQ_M):
+        term = F.element_at(
+            F.array(*[F.col(f"l_{j}_{c}") for c in range(_PQ_K)]),
+            F.col(f"c{j}") + 1,
+        )
+        adc = term if adc is None else adc + term
+    return (
+        enc.crossJoin(F.broadcast(lut))
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.concat_ws("-", *[F.col(f"c{j}") for j in range(_PQ_M)]).alias(
+                "codes_str"
+            ),
+            adc.alias("adc_distance"),
+        )
+        .orderBy(F.asc("adc_distance"), F.asc("neighbor_id"))
+        .limit(10)
+    )

@@ -209,3 +209,52 @@ def test_label_confusion_recall_floor_on_fixture(spark, sf_dir):
         min(exact.get(k, 0), cand.get(k, 0)) for k in set(exact) | set(cand)
     )
     assert overlap >= 0.7 * n_exact
+
+
+# ann_pq_portable is NOT in the hypothesis QUERIES list: it indexes all
+# 64 embedding dims (8 subspaces × 8 dims) and the generated vectors are
+# DIM=12; raising the shared fuzz DIM to 64 would slow every row for one
+# query's benefit. Its generated-table coverage is the targeted
+# differential below, which forces the two spots fixture data cannot:
+# exact argmin TIES (midpoint vectors between two quarter-coordinate
+# centroids — products are exact in double, so both distances carry
+# identical bits and the first-index rule must fire identically in both
+# engines) and duplicated vectors (tied ADC → neighbor_id tiebreak).
+def test_ann_pq_portable_ties_on_constructed_vectors(spark, tmp_path):
+    from rag_lakehouse_spark.plans import registry as reg
+    from rag_lakehouse_spark.plans.vector_queries import (
+        _PQ_K,
+        _PQ_M,
+        _PQ_SUB,
+        _pq_cb,
+    )
+
+    rng_vals = [(-5, 3), (7, -2), (1, 1), (-3, -7), (2, 6), (0, -1)]
+    data = []
+    # vec 0 = the query: exact eighths
+    data.append((0, [((i * 3) % 9 - 4) / 8.0 for i in range(64)], 0))
+    # midpoint vectors: subspace j sits exactly between centroids 0 and 1
+    for n in range(1, 12):
+        vec = []
+        for j in range(_PQ_M):
+            for t in range(_PQ_SUB):
+                mid = (_pq_cb(j, 0, t) + _pq_cb(j, 1, t)) / 2.0  # exact eighth
+                vec.append(mid if (n + j) % 2 == 0 else ((n * 5 + t) % 9 - 4) / 8.0)
+        data.append((n, vec, n % 3))
+    # exact duplicates → tied ADC distances → vec_id tiebreak
+    data.append((12, data[3][1], 1))
+    data.append((13, data[3][1], 2))
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        data, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(sf_dir, "embeddings.parquet")
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE OR REPLACE VIEW embeddings AS "
+        f"SELECT * FROM '{sf_dir}/embeddings.parquet/*.parquet'"
+    )
+    q = reg.QUERIES["ann_pq_portable"]
+    problems = compare("ann_pq_portable", q.fn(spark, sf_dir), con, q.oracle)
+    assert not problems, problems
