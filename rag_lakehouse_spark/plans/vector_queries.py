@@ -1320,3 +1320,146 @@ def ann_pq_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.asc("adc_distance"), F.asc("neighbor_id"))
         .limit(10)
     )
+
+
+# Frozen IVF coarse quantizer for the portable probe twin: 8 cells x
+# 64 dims, exact binary quarters from a fixed formula both engines
+# embed — same frozen-artifact contract as the PQ codebook above.
+_IVF_C, _IVF_PROBE = 8, 2
+
+
+def _ivf_cent(c: int, t: int) -> float:
+    return ((c * 13 + t * 5) % 9 - 4) / 4.0
+
+
+def _ivf_d_sql(src: str, c: int) -> str:
+    terms = [
+        f"(CAST({src}[{t + 1}] AS DOUBLE) - ({_ivf_cent(c, t)!r}))"
+        for t in range(64)
+    ]
+    return " + ".join(f"{x} * {x}" for x in terms)
+
+
+def _ivf_oracle() -> str:
+    dlist_e = "[" + ", ".join(_ivf_d_sql("embedding", c) for c in range(_IVF_C)) + "]"
+    dlist_q = "[" + ", ".join(_ivf_d_sql("qv", c) for c in range(_IVF_C)) + "]"
+    qnorm = VEC.duckdb_dot("embedding", "embedding")
+    return f"""
+    WITH q AS (
+      SELECT embedding AS qv, sqrt({qnorm}) AS qn
+      FROM embeddings WHERE vec_id = 0
+    ), probe AS (
+      SELECT list_transform(
+               list_sort(list_transform(generate_series(1, {_IVF_C}),
+                         c -> {{'d': ({dlist_q})[c], 'cell': c - 1}}))[1:{_IVF_PROBE}],
+               s -> s.cell) AS cells
+      FROM q
+    ), assigned AS (
+      SELECT vec_id, embedding,
+             CAST(list_position({dlist_e}, list_min({dlist_e})) - 1 AS INT) AS cell
+      FROM embeddings WHERE vec_id <> 0
+    )
+    SELECT a.vec_id AS neighbor_id, a.cell,
+           {VEC.duckdb_dot("a.embedding", "q.qv")}
+             / (sqrt({VEC.duckdb_dot("a.embedding", "a.embedding")}) * q.qn + 1e-24)
+             AS score
+    FROM assigned a, q, probe
+    WHERE list_contains(probe.cells, a.cell)
+    ORDER BY score DESC, neighbor_id ASC
+    LIMIT 10
+    """
+
+
+@register(
+    "knn_ivf_portable",
+    oracle=_ivf_oracle(),
+    tags=("vector", "ann", "ivf", "portable-twin"),
+)
+def knn_ivf_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe search under a FROZEN coarse quantizer — the first
+    externally hash-checked row for the IVF family (the trained path
+    ``knn_ivf`` stays rows-only: k-means centroids come from float
+    iteration no SQL engine replicates; its evidence is
+    ``ann_recall_report`` + pytest). Same pipeline split as
+    ``operators/similarity.knn_ivf``: ASSIGN every vector to its
+    nearest of 8 literal centroids (argmin of unrolled exact squared
+    distances, first-index tie rule — identical in both engines),
+    PROBE the query's 2 nearest cells (top-2 by a struct sort — Spark
+    ``array_sort`` and DuckDB ``list_sort`` both order struct fields
+    lexicographically, (distance, cell)), then EXACT left-fold cosine
+    only within probed cells, top-10 by (score, vec_id).
+
+    Exactness: centroid components are exact binary quarters from a
+    shared formula; assignment distances are unrolled left-to-right
+    double sums; the in-cell rescore is the standing norm-hoisted
+    left-fold cosine dialect. Probing 2/8 cells makes the CANDIDATE
+    SET itself part of the checked contract — a wrong assignment or a
+    wrong probe order changes the result rows, not just their order.
+
+    Scale: assignment is a map-only projection; the probe set is a
+    1-row broadcast; only n_probe/n_cells of the corpus is rescored
+    (the IVF contract); top-10 is TakeOrderedAndProject. Centroids =
+    parameters, cells = data — the FAISS train/index split with the
+    trainer frozen out."""
+    e = _normed(load_table(spark, sf_dir, "embeddings"))
+
+    def dist(src: str, c: int):
+        expr = None
+        for t in range(64):
+            term = F.element_at(src, t + 1).cast("double") - F.lit(_ivf_cent(c, t))
+            sq = term * term
+            expr = sq if expr is None else expr + sq
+        return expr
+
+    assigned = e.filter(F.col("vec_id") != 0).select(
+        "vec_id",
+        "embedding",
+        "nrm",
+        (
+            F.array_position(
+                F.array(*[dist("embedding", c) for c in range(_IVF_C)]),
+                F.array_min(F.array(*[dist("embedding", c) for c in range(_IVF_C)])),
+            )
+            - 1
+        )
+        .cast("int")
+        .alias("cell"),
+    )
+    probe = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv"), F.col("nrm").alias("qn")
+    ).select(
+        "qv",
+        "qn",
+        F.transform(
+            F.slice(
+                F.array_sort(
+                    F.array(
+                        *[
+                            F.struct(
+                                dist("qv", c).alias("d"),
+                                F.lit(c).cast("int").alias("cell"),
+                            )
+                            for c in range(_IVF_C)
+                        ]
+                    )
+                ),
+                1,
+                _IVF_PROBE,
+            ),
+            lambda s: s["cell"],
+        ).alias("cells"),
+    )
+    return (
+        assigned.crossJoin(F.broadcast(probe))
+        .filter(F.array_contains(F.col("cells"), F.col("cell")))
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            "cell",
+            (
+                VEC.dot("embedding", "qv")
+                / (F.col("nrm") * F.col("qn") + F.lit(1e-24))
+            ).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("neighbor_id"))
+        .limit(10)
+    )

@@ -258,3 +258,42 @@ def test_ann_pq_portable_ties_on_constructed_vectors(spark, tmp_path):
     q = reg.QUERIES["ann_pq_portable"]
     problems = compare("ann_pq_portable", q.fn(spark, sf_dir), con, q.oracle)
     assert not problems, problems
+
+
+def test_knn_ivf_portable_ties_on_constructed_vectors(spark, tmp_path):
+    """Generated-table differential for the frozen-quantizer IVF twin
+    (64-dim, so outside the shared DIM=12 fuzz — same rationale as the
+    PQ twin above): midpoint vectors force exact assignment ties (the
+    first-index rule must fire identically), duplicates force tied
+    cosine scores (neighbor_id tiebreak), and a query placed at a
+    centroid pins the probe set."""
+    from rag_lakehouse_spark.plans import registry as reg
+    from rag_lakehouse_spark.plans.vector_queries import _ivf_cent
+
+    data = []
+    # query = exactly centroid 2 → probe cells deterministic
+    data.append((0, [_ivf_cent(2, t) for t in range(64)], 0))
+    # midpoints between centroids 0 and 1 → exact assignment tie
+    mid = [(_ivf_cent(0, t) + _ivf_cent(1, t)) / 2.0 for t in range(64)]
+    data.append((1, mid, 1))
+    data.append((2, mid, 2))  # duplicate → tied score
+    # vectors near each centroid (exact eighths offset)
+    for n in range(3, 20):
+        c = n % 8
+        data.append(
+            (n, [_ivf_cent(c, t) + ((n + t) % 3 - 1) / 8.0 for t in range(64)], n % 4)
+        )
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        data, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(sf_dir, "embeddings.parquet")
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE OR REPLACE VIEW embeddings AS "
+        f"SELECT * FROM '{sf_dir}/embeddings.parquet/*.parquet'"
+    )
+    q = reg.QUERIES["knn_ivf_portable"]
+    problems = compare("knn_ivf_portable", q.fn(spark, sf_dir), con, q.oracle)
+    assert not problems, problems
