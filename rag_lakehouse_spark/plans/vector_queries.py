@@ -1463,3 +1463,287 @@ def knn_ivf_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), F.asc("neighbor_id"))
         .limit(10)
     )
+
+
+# --- residual IVF-PQ portable twin: reuses the frozen IVF quantizer
+# (_ivf_cent) and the frozen PQ codebook formula (_pq_cb) above ---
+
+_IVFPQ_CENTMAT_SQL = (
+    "["
+    + ", ".join(
+        "[" + ", ".join(repr(_ivf_cent(c, t)) for t in range(64)) + "]"
+        for c in range(_IVF_C)
+    )
+    + "]"
+)
+_IVFPQ_CBMAT_SQL = (
+    "["
+    + ", ".join(
+        "["
+        + ", ".join(
+            "[" + ", ".join(repr(_pq_cb(j, c, t)) for t in range(_PQ_SUB)) + "]"
+            for c in range(_PQ_K)
+        )
+        + "]"
+        for j in range(_PQ_M)
+    )
+    + "]"
+)
+
+
+def _ivfpq_cell_d_sql(src: str) -> str:
+    return (
+        "list_transform(generate_series(1, %d), c -> list_sum(list_transform("
+        "generate_series(1, 64), i -> (CAST(%s[i] AS DOUBLE) - centmat[c][i])"
+        " * (CAST(%s[i] AS DOUBLE) - centmat[c][i]))))" % (_IVF_C, src, src)
+    )
+
+
+def _ivfpq_enc_d_sql(res: str, j: int, c: int) -> str:
+    lo, hi, off = j * _PQ_SUB + 1, j * _PQ_SUB + _PQ_SUB, j * _PQ_SUB
+    return (
+        "list_sum(list_transform(generate_series(%d, %d), "
+        "i -> ((%s)[i] - cbmat[%d][%d][i - %d]) * ((%s)[i] - cbmat[%d][%d][i - %d])))"
+        % (lo, hi, res, j + 1, c + 1, off, res, j + 1, c + 1, off)
+    )
+
+
+def _ivfpq_oracle() -> str:
+    enc_cols = []
+    for j in range(_PQ_M):
+        dl = (
+            "["
+            + ", ".join(_ivfpq_enc_d_sql("res", j, c) for c in range(_PQ_K))
+            + "]"
+        )
+        enc_cols.append(
+            f"CAST(list_position({dl}, list_min({dl})) - 1 AS INT) AS c{j}"
+        )
+    lut_cols = [
+        f"{_ivfpq_enc_d_sql(f'qres{k}', j, c)} AS l_{k}_{j}_{c}"
+        for k in range(_IVF_PROBE)
+        for j in range(_PQ_M)
+        for c in range(_PQ_K)
+    ]
+
+    def adc(k: int) -> str:
+        return " + ".join(
+            f"([l_{k}_{j}_0, l_{k}_{j}_1, l_{k}_{j}_2, l_{k}_{j}_3])[c{j} + 1]"
+            for j in range(_PQ_M)
+        )
+
+    codes = "concat_ws('-', " + ", ".join(f"c{j}" for j in range(_PQ_M)) + ")"
+    return f"""
+    WITH mats AS (SELECT {_IVFPQ_CENTMAT_SQL} AS centmat, {_IVFPQ_CBMAT_SQL} AS cbmat),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    probe AS (
+      SELECT qv, list_transform(
+               list_sort(list_transform(generate_series(1, {_IVF_C}),
+                         c -> {{'d': ({_ivfpq_cell_d_sql('qv')})[c], 'cell': c - 1}}))[1:{_IVF_PROBE}],
+               s -> s.cell) AS cells
+      FROM q, mats
+    ), qres AS (
+      SELECT cells,
+             list_transform(generate_series(1, 64),
+               i -> CAST(qv.qv[i] AS DOUBLE) - centmat[cells[1] + 1][i]) AS qres0,
+             list_transform(generate_series(1, 64),
+               i -> CAST(qv.qv[i] AS DOUBLE) - centmat[cells[2] + 1][i]) AS qres1
+      FROM probe qv, mats
+    ), dl AS (
+      SELECT vec_id, embedding, {_ivfpq_cell_d_sql('embedding')} AS dls
+      FROM embeddings, mats WHERE vec_id <> 0
+    ), withres AS (
+      SELECT vec_id,
+             CAST(list_position(dls, list_min(dls)) - 1 AS INT) AS cell,
+             list_transform(generate_series(1, 64),
+               i -> CAST(embedding[i] AS DOUBLE)
+                    - centmat[CAST(list_position(dls, list_min(dls)) AS INT)][i]) AS res
+      FROM dl, mats
+    ), enc AS (
+      SELECT vec_id, cell, {", ".join(enc_cols)}
+      FROM withres, mats
+    ), lut AS (SELECT cells, {", ".join(lut_cols)} FROM qres, mats)
+    SELECT e.vec_id AS neighbor_id, e.cell, {codes} AS codes_str,
+           CASE WHEN e.cell = lut.cells[1] THEN {adc(0)} ELSE {adc(1)} END AS adc_distance
+    FROM enc e, lut
+    WHERE list_contains(lut.cells, e.cell)
+    ORDER BY adc_distance ASC, neighbor_id ASC
+    LIMIT 10
+    """
+
+
+@register(
+    "ann_ivf_pq_portable",
+    oracle=_ivfpq_oracle(),
+    tags=("vector", "ann", "ivf", "pq", "portable-twin"),
+)
+def ann_ivf_pq_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual IVF-PQ (FAISS IVFADC) under FROZEN artifacts — the top
+    rung of the portable ANN ladder (`knn_ivf_portable` proves
+    assign+probe, `ann_pq_portable` proves encode+ADC; this composes
+    them the way `operators/pq.knn_ivf_pq` does): assign each vector
+    to its nearest frozen coarse cell, PQ-encode the RESIDUAL
+    (vector − cell centroid) with the frozen codebook, probe the
+    query's 2 nearest cells, and ADC-score codes against the
+    per-probed-cell query-residual lookup tables. Codes, cells, AND
+    distances are hash-checked — a wrong residual, assignment, probe
+    order, or LUT selection changes checked values, not just row
+    order.
+
+    Exactness: both engines fold every distance left-to-right from a
+    0.0 seed over the same index order (Spark ``aggregate``/``zip_with``
+    == DuckDB ``list_sum(list_transform(...))`` — the established dot
+    dialect), with the frozen matrices embedded once as literals
+    (hoisted to a 1-row ``mats`` CTE in SQL, closure literals in
+    Spark). Residuals subtract exact binary quarters, ties resolve
+    first-index via position-of-min in both engines.
+
+    Scale: same split as the trained ``knn_ivf_pq`` — assignment and
+    encode are map-only; the LUT is a 1-row broadcast; only
+    n_probe/n_cells of the code table is scanned; top-10 is
+    TakeOrderedAndProject. 8 B/vector at m=8 — the memory/recall dial
+    with the trainer frozen out."""
+    centmat = F.array(
+        *[
+            F.array(*[F.lit(_ivf_cent(c, t)) for t in range(64)])
+            for c in range(_IVF_C)
+        ]
+    )
+    cbmat = F.array(
+        *[
+            F.array(
+                *[
+                    F.array(*[F.lit(_pq_cb(j, c, t)) for t in range(_PQ_SUB)])
+                    for c in range(_PQ_K)
+                ]
+            )
+            for j in range(_PQ_M)
+        ]
+    )
+
+    def sq(x):
+        return x * x
+
+    def cell_dists(col):
+        return F.transform(
+            F.sequence(F.lit(1), F.lit(_IVF_C)),
+            lambda c: F.aggregate(
+                F.zip_with(
+                    col,
+                    F.element_at(centmat, c),
+                    lambda x, m: sq(x.cast("double") - m),
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ),
+        )
+
+    def enc_d(res_col, j: int, c: int):
+        cbrow = F.element_at(F.element_at(cbmat, j + 1), c + 1)
+        return F.aggregate(
+            F.transform(
+                F.sequence(F.lit(j * _PQ_SUB + 1), F.lit(j * _PQ_SUB + _PQ_SUB)),
+                lambda i: sq(
+                    F.element_at(res_col, i) - F.element_at(cbrow, i - j * _PQ_SUB)
+                ),
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    dl = e.filter(F.col("vec_id") != 0).select(
+        "vec_id", "embedding", cell_dists(F.col("embedding")).alias("dls")
+    )
+    withres = dl.select(
+        "vec_id",
+        (F.array_position("dls", F.array_min("dls")) - 1).cast("int").alias("cell"),
+        F.zip_with(
+            "embedding",
+            F.element_at(centmat, F.array_position("dls", F.array_min("dls")).cast("int")),
+            lambda x, m: x.cast("double") - m,
+        ).alias("res"),
+    )
+    enc = withres.select(
+        "vec_id",
+        "cell",
+        *[
+            (
+                F.array_position(
+                    F.array(*[enc_d(F.col("res"), j, c) for c in range(_PQ_K)]),
+                    F.array_min(
+                        F.array(*[enc_d(F.col("res"), j, c) for c in range(_PQ_K)])
+                    ),
+                )
+                - 1
+            )
+            .cast("int")
+            .alias(f"c{j}")
+            for j in range(_PQ_M)
+        ],
+    )
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    probe = q.select(
+        "qv",
+        F.transform(
+            F.slice(
+                F.array_sort(
+                    F.zip_with(
+                        cell_dists(F.col("qv")),
+                        F.sequence(F.lit(0), F.lit(_IVF_C - 1)),
+                        lambda d, c: F.struct(d.alias("d"), c.alias("cell")),
+                    )
+                ),
+                1,
+                _IVF_PROBE,
+            ),
+            lambda s: s["cell"],
+        ).alias("cells"),
+    )
+    qres = probe.select(
+        "cells",
+        *[
+            F.zip_with(
+                "qv",
+                F.element_at(centmat, F.element_at("cells", k + 1) + 1),
+                lambda x, m: x.cast("double") - m,
+            ).alias(f"qres{k}")
+            for k in range(_IVF_PROBE)
+        ],
+    )
+    lut = qres.select(
+        "cells",
+        *[
+            enc_d(F.col(f"qres{k}"), j, c).alias(f"l_{k}_{j}_{c}")
+            for k in range(_IVF_PROBE)
+            for j in range(_PQ_M)
+            for c in range(_PQ_K)
+        ],
+    )
+
+    def adc(k: int):
+        expr = None
+        for j in range(_PQ_M):
+            term = F.element_at(
+                F.array(*[F.col(f"l_{k}_{j}_{c}") for c in range(_PQ_K)]),
+                F.col(f"c{j}") + 1,
+            )
+            expr = term if expr is None else expr + term
+        return expr
+
+    return (
+        enc.crossJoin(F.broadcast(lut))
+        .filter(F.array_contains(F.col("cells"), F.col("cell")))
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            "cell",
+            F.concat_ws("-", *[F.col(f"c{j}") for j in range(_PQ_M)]).alias(
+                "codes_str"
+            ),
+            F.when(F.col("cell") == F.element_at("cells", 1), adc(0))
+            .otherwise(adc(1))
+            .alias("adc_distance"),
+        )
+        .orderBy(F.asc("adc_distance"), F.asc("neighbor_id"))
+        .limit(10)
+    )

@@ -297,3 +297,39 @@ def test_knn_ivf_portable_ties_on_constructed_vectors(spark, tmp_path):
     q = reg.QUERIES["knn_ivf_portable"]
     problems = compare("knn_ivf_portable", q.fn(spark, sf_dir), con, q.oracle)
     assert not problems, problems
+
+
+def test_ann_ivf_pq_portable_ties_on_constructed_vectors(spark, tmp_path):
+    """Generated-table differential for the residual IVF-PQ twin
+    (64-dim — outside the shared fuzz, same rationale as above):
+    centroid-exact vectors make residuals exactly zero (code argmin
+    over pure codebook norms), midpoints force assignment ties, and
+    duplicates force tied ADC distances."""
+    from rag_lakehouse_spark.plans import registry as reg
+    from rag_lakehouse_spark.plans.vector_queries import _ivf_cent
+
+    data = []
+    data.append((0, [_ivf_cent(2, t) for t in range(64)], 0))  # query at centroid 2
+    mid = [(_ivf_cent(0, t) + _ivf_cent(1, t)) / 2.0 for t in range(64)]
+    data.append((1, mid, 1))  # exact assignment tie
+    data.append((2, [_ivf_cent(3, t) for t in range(64)], 2))  # zero residual
+    data.append((3, [_ivf_cent(3, t) for t in range(64)], 1))  # duplicate → ADC tie
+    for n in range(4, 20):
+        c = n % 8
+        data.append(
+            (n, [_ivf_cent(c, t) + ((n * 3 + t) % 5 - 2) / 8.0 for t in range(64)], n % 4)
+        )
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        data, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(sf_dir, "embeddings.parquet")
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE OR REPLACE VIEW embeddings AS "
+        f"SELECT * FROM '{sf_dir}/embeddings.parquet/*.parquet'"
+    )
+    q = reg.QUERIES["ann_ivf_pq_portable"]
+    problems = compare("ann_ivf_pq_portable", q.fn(spark, sf_dir), con, q.oracle)
+    assert not problems, problems
