@@ -519,12 +519,13 @@ def events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the corpus-sized work is the daily rollup groupBy. The
     per-type day series is CALENDAR-bounded (one element per day), so
-    collecting it into an array and folding prefixes (quadratic in
-    days, inside one codegen'd expression) costs ~O(365²) per type per
-    year — independent of event volume. The grouped-series-fold
-    pattern holds whenever the grain is time-bounded; it would NOT
-    hold for a per-user series (unbounded keys, bounded series) or a
-    per-key unbounded series — those take the distributed_scan path."""
+    collecting it into an array and running ONE accumulating fold
+    (linear in days — the r9 rule, see events_holt_forecast) costs
+    O(days) per type — independent of event volume. The
+    grouped-series-fold pattern holds whenever the grain is
+    time-bounded; it would NOT hold for a per-user series (unbounded
+    keys, bounded series) or a per-key unbounded series — those take
+    the distributed_scan path."""
     e = load_table(spark, sf_dir, "events")
     daily = e.groupBy(
         "event_type", F.date_trunc("day", F.col("ts")).alias("d")
@@ -541,16 +542,26 @@ def ewma_from_daily(daily: DataFrame) -> DataFrame:
         F.array_sort(F.collect_list(F.struct("d", "c"))).alias("ser")
     )
     ser = F.col("ser")
-    items = F.transform(
-        F.sequence(F.lit(1), F.size(ser)),
-        lambda i: F.struct(
-            F.get(ser, i - 1)["d"].alias("d"),
-            F.get(ser, i - 1)["c"].alias("c"),
-            F.aggregate(
-                F.slice(ser, F.lit(1), i),
-                F.lit(0).cast("bigint"),
-                lambda a, s: F.shiftright(a + s["c"] * K, 1),
-            ).alias("e"),
+    # One accumulating fold emitting every running EWMA (the r9 Holt
+    # rule: never re-fold a growing prefix per element) — the
+    # accumulator is the running-E array, each step appends
+    # (last + c·K) >> 1 from the previous state (NULL on the empty
+    # accumulator → coalesce seeds zero). Bit-identical to the old
+    # per-day slice re-fold; the oracle is unchanged.
+    zero = F.expr("CAST(array() AS ARRAY<BIGINT>)")
+
+    def step(acc, s):
+        prev = F.coalesce(
+            F.get(acc, F.size(acc) - 1), F.lit(0).cast("bigint")
+        )
+        return F.concat(acc, F.array(F.shiftright(prev + s["c"] * K, 1)))
+
+    states = F.aggregate(ser, zero, step)
+    items = F.zip_with(
+        ser,
+        states,
+        lambda s, e: F.struct(
+            s["d"].alias("d"), s["c"].alias("c"), e.alias("e")
         ),
     )
     return (
@@ -614,9 +625,8 @@ def events_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     folded in day order — Spark ``aggregate`` == DuckDB
     ``list_reduce``, bit-identical. The alarm G > 3·S·N/N == G > 3S
     fires at ~3 mean-days of accumulated excess. Same calendar-bounded
-    grouped-series fold as ``events_ewma_daily`` (and the same
-    boundedness argument: one element per day, quadratic-in-days
-    prefix folds inside one codegen expression)."""
+    grouped-series fold as ``events_ewma_daily`` — one element per
+    day, one linear accumulating fold per type (the r9 rule)."""
     e = load_table(spark, sf_dir, "events")
     daily = e.groupBy(
         "event_type", F.date_trunc("day", F.col("ts")).alias("d")
@@ -629,19 +639,31 @@ def events_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "s", "n"
     ).agg(F.array_sort(F.collect_list(F.struct("d", "c"))).alias("ser"))
     ser = F.col("ser")
-    items = F.transform(
-        F.sequence(F.lit(1), F.size(ser)),
-        lambda i: F.struct(
-            F.get(ser, i - 1)["d"].alias("d"),
-            F.get(ser, i - 1)["c"].alias("c"),
-            F.aggregate(
-                F.slice(ser, F.lit(1), i),
-                F.lit(0).cast("bigint"),
-                lambda a, x: F.greatest(
+    # One accumulating fold (the r9 rule — see events_holt_forecast):
+    # the accumulator is the running-G array, each step appends
+    # max(0, last + c·N − S); bit-identical, oracle unchanged.
+    zero = F.expr("CAST(array() AS ARRAY<BIGINT>)")
+
+    def step(acc, x):
+        prev = F.coalesce(
+            F.get(acc, F.size(acc) - 1), F.lit(0).cast("bigint")
+        )
+        return F.concat(
+            acc,
+            F.array(
+                F.greatest(
                     F.lit(0).cast("bigint"),
-                    a + x["c"] * F.col("n") - F.col("s"),
-                ),
-            ).alias("g"),
+                    prev + x["c"] * F.col("n") - F.col("s"),
+                )
+            ),
+        )
+
+    states = F.aggregate(ser, zero, step)
+    items = F.zip_with(
+        ser,
+        states,
+        lambda x, g: F.struct(
+            x["d"].alias("d"), x["c"].alias("c"), g.alias("g")
         ),
     )
     return (
@@ -777,9 +799,7 @@ def events_ewma_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base, ignore_errors=True)
 
 
-@register(
-    "events_holt_forecast",
-    oracle="""
+_HOLT_ORACLE = """
     WITH RECURSIVE daily AS (
       SELECT event_type, date_trunc('day', ts) AS d, CAST(COUNT(*) AS BIGINT) AS c
       FROM events GROUP BY 1, 2
@@ -806,7 +826,12 @@ def events_ewma_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(t AS DOUBLE) / 1048576 AS trend,
            CAST(l + t AS DOUBLE) / 1048576 AS forecast_next
     FROM f
-    """,
+    """
+
+
+@register(
+    "events_holt_forecast",
+    oracle=_HOLT_ORACLE,
     tags=("events", "timeseries", "forecast", "monitoring"),
 )
 def events_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -847,11 +872,19 @@ def events_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     per event_type); the append fold is linear in fold steps and
     bit-identical, since each state is computed once by the same
     scaled-integer step."""
-    K = 1 << 20
     e = load_table(spark, sf_dir, "events")
     daily = e.groupBy(
         "event_type", F.date_trunc("day", F.col("ts")).alias("d")
     ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    return holt_from_daily(daily)
+
+
+def holt_from_daily(daily: DataFrame) -> DataFrame:
+    """(event_type, day, n_events, level, trend, forecast_next) from a
+    (event_type, d, c) daily-count relation — the shared serving fold
+    for the batch query above and the streaming-maintained twin below
+    (same pattern as ``ewma_from_daily``)."""
+    K = 1 << 20
     packed = daily.groupBy("event_type").agg(
         F.array_sort(F.collect_list(F.struct("d", "c"))).alias("ser")
     )
@@ -890,3 +923,57 @@ def events_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "events_holt_incremental",
+    oracle=_HOLT_ORACLE,
+    tags=("events", "timeseries", "forecast", "streaming"),
+)
+def events_holt_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Holt level/trend forecast served from the STREAMING-
+    maintained daily-count state, hash-checked against the SAME
+    oracle as the batch ``events_holt_forecast`` — the third serving
+    fold over the one maintained (event_type, day) count state
+    (EWMA and the monitoring family read it too): events replay
+    through an availableNow file stream (maxFilesPerTrigger=1 over a
+    4-file copy ⇒ ≥4 micro-batches folding counts via
+    ``streaming.rollup_sink.maintain_daily_type_counts``), then the
+    SAME ``holt_from_daily`` accumulating fold runs over the state.
+    Counts are mergeable, so batch boundaries cannot move the
+    smoothed level or trend — incremental must equal one-shot, bit
+    for bit.
+
+    One maintained state, many exact monitors — the analytics-side
+    mirror of the one-postings-index/two-serving-paths rule from the
+    search family."""
+    import os
+    import shutil
+    import tempfile
+
+    from rag_lakehouse_spark.streaming.rollup_sink import (
+        maintain_daily_type_counts,
+        read_state,
+    )
+
+    base = tempfile.mkdtemp(prefix="rls_holt_stream_")
+    try:
+        src = os.path.join(base, "events")
+        (
+            load_table(spark, sf_dir, "events")
+            .select("event_type", "ts")
+            .repartition(4)
+            .write.mode("overwrite")
+            .parquet(src)
+        )
+        stream = (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        state = os.path.join(base, "daily_counts")
+        maintain_daily_type_counts(spark, stream, state).awaitTermination()
+        daily = read_state(spark, state).drop("last_batch_id", "ckpt_id")
+        return holt_from_daily(daily).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
