@@ -1747,3 +1747,146 @@ def ann_ivf_pq_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.asc("adc_distance"), F.asc("neighbor_id"))
         .limit(10)
     )
+
+
+def _duckdb_l2sq(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(generate_series(1, len({a})), "
+        f"i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))"
+        f" * (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))))"
+    )
+
+
+def _exact_sets_sql() -> tuple[str, str]:
+    cos = f"""
+      SELECT b.vec_id AS neighbor_id
+      FROM ({_E_NORMED}) a JOIN ({_E_NORMED}) b ON b.vec_id <> 0
+      WHERE a.vec_id = 0
+      ORDER BY {VEC.duckdb_dot("b.embedding", "a.embedding")}
+                 / (b.nrm * a.nrm + 1e-24) DESC, b.vec_id ASC
+      LIMIT 10
+    """
+    l2 = f"""
+      SELECT b.vec_id AS neighbor_id
+      FROM embeddings a JOIN embeddings b ON b.vec_id <> 0
+      WHERE a.vec_id = 0
+      ORDER BY {_duckdb_l2sq("b.embedding", "a.embedding")} ASC, b.vec_id ASC
+      LIMIT 10
+    """
+    return cos, l2
+
+
+def _recall_oracle() -> str:
+    cos, l2 = _exact_sets_sql()
+    return f"""
+    WITH ec AS ({cos}),
+    el AS ({l2}),
+    m AS (
+      SELECT 'pq_frozen' AS method, neighbor_id FROM ({_pq_oracle()}) pqm
+      UNION ALL
+      SELECT 'ivf_frozen', neighbor_id FROM ({_ivf_oracle()}) ivfm
+      UNION ALL
+      SELECT 'ivf_pq_frozen', neighbor_id FROM ({_ivfpq_oracle()}) ivfpqm
+    )
+    SELECT method,
+           CAST(COUNT(*) AS BIGINT) AS n_returned,
+           CAST(SUM(CASE WHEN neighbor_id IN (SELECT neighbor_id FROM ec)
+                         THEN 1 ELSE 0 END) AS DOUBLE) / 10 AS recall_vs_cosine,
+           CAST(SUM(CASE WHEN neighbor_id IN (SELECT neighbor_id FROM el)
+                         THEN 1 ELSE 0 END) AS DOUBLE) / 10 AS recall_vs_l2
+    FROM m GROUP BY method
+    """
+
+
+@register(
+    "ann_portable_recall_report",
+    oracle=_recall_oracle(),
+    tags=("vector", "ann", "evaluation", "portable-twin"),
+)
+def ann_portable_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of every frozen-artifact ANN rung against BOTH exact
+    ground truths (cosine top-10 and squared-L2 top-10 of query
+    vector 0) — the fully-ORACLED sibling of ``ann_recall_report``
+    (which measures the trained/seeded paths and is rows-only by
+    design). Because the frozen twins and both exact baselines are
+    deterministic and SQL-expressible, the recall NUMBERS themselves
+    are hash-checked end-to-end through assign/encode/probe/ADC.
+
+    READ THE NUMBERS RIGHT: formula-frozen artifacts are UNTRAINED —
+    cells are arbitrary partitions of an isotropic corpus, so IVF
+    recall sits near its probe fraction (measured 0.2 at 2/8 cells,
+    sf0.1) and PQ/IVF-PQ near chance (0.0–0.1). That floor is the
+    point: ``ann_recall_report``'s trained 128-cell quantizer scores
+    ~0.85 at a comparable probe fraction, and the gap between the two
+    reports is the measured value of TRAINING the quantizer — with
+    the untrained side certified bit-exactly by an external engine
+    (the trained side cannot be, which is why both reports exist).
+    The L2 column is the native ADC metric; the cosine column shows
+    the metric mismatch a deployment must mind when reranking
+    compressed candidates by cosine.
+
+    Scale: each rung's plan is its registered twin's (map-only
+    encode, 1-row broadcast LUTs, probe-pruned scans); the report
+    itself joins four 10-row sets."""
+    methods = [
+        ("pq_frozen", ann_pq_portable),
+        ("ivf_frozen", knn_ivf_portable),
+        ("ivf_pq_frozen", ann_ivf_pq_portable),
+    ]
+    m = None
+    for name, fn in methods:
+        part = fn(spark, sf_dir).select(
+            F.lit(name).alias("method"), F.col("neighbor_id")
+        )
+        m = part if m is None else m.unionByName(part)
+
+    e = _normed(load_table(spark, sf_dir, "embeddings"))
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv"), F.col("nrm").alias("qn")
+    )
+    scored = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                VEC.dot("embedding", "qv")
+                / (F.col("nrm") * F.col("qn") + F.lit(1e-24))
+            ).alias("cos"),
+            F.aggregate(
+                F.zip_with(
+                    "embedding",
+                    "qv",
+                    lambda x, y: (x.cast("double") - y.cast("double"))
+                    * (x.cast("double") - y.cast("double")),
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ).alias("d2"),
+        )
+        .localCheckpoint(eager=True)  # feeds both exact top-10 cuts
+    )
+    ec = (
+        scored.orderBy(F.desc("cos"), F.asc("neighbor_id"))
+        .limit(10)
+        .select("neighbor_id", F.lit(1).alias("in_cos"))
+    )
+    el = (
+        scored.orderBy(F.asc("d2"), F.asc("neighbor_id"))
+        .limit(10)
+        .select("neighbor_id", F.lit(1).alias("in_l2"))
+    )
+    return (
+        m.join(F.broadcast(ec), "neighbor_id", "left")
+        .join(F.broadcast(el), "neighbor_id", "left")
+        .groupBy("method")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_returned"),
+            (F.sum(F.coalesce("in_cos", F.lit(0))).cast("double") / 10).alias(
+                "recall_vs_cosine"
+            ),
+            (F.sum(F.coalesce("in_l2", F.lit(0))).cast("double") / 10).alias(
+                "recall_vs_l2"
+            ),
+        )
+    )
