@@ -1,0 +1,196 @@
+"""End-to-end hypothesis fuzz for the multi-table relational family
+(TPC-H joins/aggs, set ops, rollup/cube, DQ reports): generate tiny
+FK-CONSISTENT region/nation/customer/supplier/part/orders/lineitem
+tables stressing what the fixture generator never concentrates —
+filter-boundary order dates and totalprice band edges (50000/150000
+under >=/<), 30/60-day ship-latency boundaries, customers with no
+orders (anti join), an ORPHAN o_custkey (the dq orphan check),
+zero/negative account balances, PROMO vs non-PROMO part types, and
+orders whose lineitems tie on every group key — and demand each
+registered Spark plan and its DuckDB oracle agree exactly.
+
+Prices are exact quarters so every DECIMAL cast is lossless; dates are
+drawn from the exact instants the registered predicates compare
+against (1995/1996 cohort years, the 1997 promo year, the 2001-07-01
+and 2001-01-01 cutoffs).
+"""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime, timedelta
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from rag_lakehouse_spark.plans import registry
+from tests.oracle_harness import compare
+
+registry._load_all()
+
+_DATES = [
+    datetime(1995, 6, 15),
+    datetime(1995, 12, 31),
+    datetime(1996, 1, 1),   # q5 lower bound, setop year flip
+    datetime(1996, 7, 4),
+    datetime(1997, 3, 3),   # q14 promo year
+    datetime(1997, 12, 31),
+    datetime(2001, 6, 30),  # just below the full-outer-daily cutoff
+    datetime(2001, 7, 1),   # exactly the cutoff
+    datetime(2001, 7, 2),
+]
+_PRICES = [0.25, 49999.75, 50000.0, 50000.25, 149999.75, 150000.0, 175000.5]
+_SHIP_DELTAS = [0, 15, 30, 31, 60, 61, 90]  # q12 bands break at 30/60
+
+_order = st.tuples(
+    st.integers(min_value=0, max_value=5),  # custkey 5 = ORPHAN (no customer row)
+    st.sampled_from(["O", "F", "P"]),
+    st.sampled_from(["1-URGENT", "2-HIGH", "3-MEDIUM", "5-LOW"]),
+    st.sampled_from(_PRICES),
+    st.sampled_from(_DATES),
+    st.lists(  # lineitems of this order
+        st.tuples(
+            st.integers(min_value=0, max_value=3),  # partkey
+            st.integers(min_value=0, max_value=2),  # suppkey
+            st.integers(min_value=1, max_value=50),  # quantity
+            st.sampled_from([100.0, 250.25, 999.75, 5000.5]),  # extendedprice
+            st.sampled_from([0.0, 0.05, 0.1]),  # discount
+            st.sampled_from(["R", "N", "A"]),
+            st.sampled_from(["O", "F"]),
+            st.sampled_from(_SHIP_DELTAS),
+        ),
+        min_size=0,
+        max_size=3,
+    ),
+)
+_orders = st.lists(_order, min_size=2, max_size=10)
+
+_customers = st.lists(  # attrs for custkeys 0..4 (custkey 5 never exists)
+    st.tuples(
+        st.integers(min_value=0, max_value=3),  # nationkey
+        st.sampled_from([-500.25, 0.0, 0.25, 1000.5]),  # acctbal (0/neg edges)
+        st.sampled_from(["BUILDING", "MACHINERY", "AUTOMOBILE"]),
+    ),
+    min_size=5,
+    max_size=5,
+)
+
+_parts = st.lists(  # attrs for partkeys 0..3
+    st.tuples(
+        st.sampled_from(["PROMO BRASS", "PROMO STEEL", "ECONOMY TIN", "STANDARD COPPER"]),
+        st.sampled_from(["Brand#11", "Brand#24"]),
+        st.integers(min_value=1, max_value=50),
+    ),
+    min_size=4,
+    max_size=4,
+)
+
+_SETTINGS = dict(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+QUERIES = [
+    "q5_nation_revenue",
+    "q7_volume_shipping",
+    "q10_returned_revenue",
+    "q12_ship_latency_priority",
+    "q14_promo_revenue_share",
+    "q21_waiting_suppliers",
+    "join_anti_idle_customers",
+    "join_semi_active_suppliers",
+    "join_full_outer_daily",
+    "join_cross_region_status",
+    "join_nonequi_price_band",
+    "nation_customer_share",
+    "group_rollup_nation",
+    "group_cube_orders",
+    "pivot_priority_by_status",
+    "subquery_above_avg_orders",
+    "setop_intersect_except",
+    "distinct_segments",
+    "grouping_sets_revenue",
+    "skew_key_report",
+    "dq_orders_report",
+]
+
+
+def _write(spark, sf_dir, name, rows, schema):
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(sf_dir, f"{name}.parquet")
+    )
+
+
+def _build_tables(spark, sf_dir, orders, customers, parts):
+    _write(spark, sf_dir, "region", [(0, "ASIA"), (1, "AMERICA")],
+           "r_regionkey int, r_name string")
+    _write(spark, sf_dir, "nation",
+           [(k, f"NATION_{k}", k % 2) for k in range(4)],
+           "n_nationkey int, n_name string, n_regionkey int")
+    _write(spark, sf_dir, "customer",
+           [(k, f"cust_{k}", nk, bal, seg) for k, (nk, bal, seg) in enumerate(customers)],
+           "c_custkey long, c_name string, c_nationkey int, c_acctbal double, c_mktsegment string")
+    _write(spark, sf_dir, "supplier",
+           [(k, f"supp_{k}", k % 4, 100.25 * (k + 1)) for k in range(3)],
+           "s_suppkey long, s_name string, s_nationkey int, s_acctbal double")
+    _write(spark, sf_dir, "part",
+           [(k, f"part_{k}", brand, ptype, size, 500.25 + k)
+            for k, (ptype, brand, size) in enumerate(parts)],
+           "p_partkey long, p_name string, p_brand string, p_type string, p_size int, p_retailprice double")
+    o_rows, l_rows = [], []
+    for okey, (cust, status, prio, price, date, lines) in enumerate(orders):
+        o_rows.append((okey, cust, status, price, date, prio))
+        for ln, (pk, sk, qty, ep, disc, rf, ls, delta) in enumerate(lines):
+            l_rows.append(
+                (okey, pk, sk, ln + 1, float(qty), ep, disc, 0.05, rf, ls,
+                 date + timedelta(days=delta))
+            )
+    _write(spark, sf_dir, "orders", o_rows,
+           "o_orderkey long, o_custkey long, o_orderstatus string, "
+           "o_totalprice double, o_orderdate timestamp, o_orderpriority string")
+    if not l_rows:  # parquet needs a schema; an empty lineitem table is legal input
+        l_rows = []
+    _write(spark, sf_dir, "lineitem", l_rows,
+           "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+           "l_quantity double, l_extendedprice double, l_discount double, "
+           "l_tax double, l_returnflag string, l_linestatus string, l_shipdate timestamp")
+    # Minimal non-relational stubs: subquery_above_avg_orders (and any
+    # other register_views caller) loads EVERY driver table, so the
+    # generated sf_dir must be a complete one even though these fuzzes
+    # only exercise the relational seven.
+    _write(spark, sf_dir, "events",
+           [(0, datetime(1995, 1, 1), 0, "view", 1.0, "{}")],
+           "event_id long, ts timestamp, user_id long, event_type string, "
+           "value double, props string")
+    _write(spark, sf_dir, "documents",
+           [(0, "stub", "en", "web", 4)],
+           "doc_id long, text string, lang string, source string, n_chars long")
+    _write(spark, sf_dir, "embeddings",
+           [(0, [0.25] * 8, 0)],
+           "vec_id long, embedding array<float>, label int")
+
+
+def _run(spark, tmp_path, orders, customers, parts, query_name):
+    sf_dir = str(tmp_path)
+    _build_tables(spark, sf_dir, orders, customers, parts)
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "part", "orders", "lineitem"):
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS "
+            f"SELECT * FROM '{sf_dir}/{t}.parquet/*.parquet'"
+        )
+    q = registry.QUERIES[query_name]
+    return compare(query_name, q.fn(spark, sf_dir), con, q.oracle)
+
+
+@settings(**_SETTINGS)
+@given(orders=_orders, customers=_customers, parts=_parts)
+@pytest.mark.parametrize("name", QUERIES)
+def test_relational_query_matches_oracle_on_generated_tables(
+    spark, tmp_path, name, orders, customers, parts
+):
+    problems = _run(spark, tmp_path, orders, customers, parts, name)
+    assert not problems, problems
