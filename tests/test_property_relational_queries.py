@@ -79,9 +79,10 @@ _customers = st.lists(  # attrs for custkeys 0..4 (custkey 5 never exists)
 
 _parts = st.lists(  # attrs for partkeys 0..3
     st.tuples(
+        st.sampled_from(["gearbox small", "steel gear kit", "widget", "anvil"]),  # q9 LIKE '%gear%'
         st.sampled_from(["PROMO BRASS", "PROMO STEEL", "ECONOMY TIN", "STANDARD COPPER"]),
-        st.sampled_from(["Brand#11", "Brand#24"]),
-        st.integers(min_value=1, max_value=50),
+        st.sampled_from(["Brand#1", "Brand#2", "Brand#3", "Brand#11"]),  # q17/q19 brand bands
+        st.sampled_from([1, 5, 10, 15, 20, 25, 30, 35, 3, 42]),  # q16 IN-list + q20 <=5
     ),
     min_size=4,
     max_size=4,
@@ -115,6 +116,17 @@ QUERIES = [
     "grouping_sets_revenue",
     "skew_key_report",
     "dq_orders_report",
+    # the rest of the TPC-H suite over the same seven tables
+    "q2_min_cost_supplier",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "q11_important_part_values",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue",
+    "q20_dominant_share_suppliers",
+    "q22_idle_rich_customers",
 ]
 
 
@@ -125,7 +137,7 @@ def _write(spark, sf_dir, name, rows, schema):
 
 
 def _build_tables(spark, sf_dir, orders, customers, parts):
-    _write(spark, sf_dir, "region", [(0, "ASIA"), (1, "AMERICA")],
+    _write(spark, sf_dir, "region", [(0, "ASIA"), (1, "AFRICA")],
            "r_regionkey int, r_name string")
     _write(spark, sf_dir, "nation",
            [(k, f"NATION_{k}", k % 2) for k in range(4)],
@@ -133,12 +145,13 @@ def _build_tables(spark, sf_dir, orders, customers, parts):
     _write(spark, sf_dir, "customer",
            [(k, f"cust_{k}", nk, bal, seg) for k, (nk, bal, seg) in enumerate(customers)],
            "c_custkey long, c_name string, c_nationkey int, c_acctbal double, c_mktsegment string")
+    # supplier 0 has a NEGATIVE balance so q16's NOT IN subquery has teeth
     _write(spark, sf_dir, "supplier",
-           [(k, f"supp_{k}", k % 4, 100.25 * (k + 1)) for k in range(3)],
+           [(k, f"supp_{k}", k % 4, [-50.25, 100.25, 300.75][k]) for k in range(3)],
            "s_suppkey long, s_name string, s_nationkey int, s_acctbal double")
     _write(spark, sf_dir, "part",
-           [(k, f"part_{k}", brand, ptype, size, 500.25 + k)
-            for k, (ptype, brand, size) in enumerate(parts)],
+           [(k, name, brand, ptype, size, 500.25 + k)
+            for k, (name, ptype, brand, size) in enumerate(parts)],
            "p_partkey long, p_name string, p_brand string, p_type string, p_size int, p_retailprice double")
     o_rows, l_rows = [], []
     for okey, (cust, status, prio, price, date, lines) in enumerate(orders):
