@@ -58,78 +58,69 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # checked queries are exactly registry positions 0-49). Every query is
 # green against the local DuckDB oracle replica, but the brief's bar is
 # a DRIVER row per operator — so each round the front of the registry
-# is rotated. Round 9 closes the freshness debt (VERDICT r8 #1):
-# (a) the final 30-query stale cohort — `window_running_spend` (r2)
-# plus the 29-query r3 cohort (COVERAGE.md lists it) — after which NO
-# query's latest driver row predates r4; then (b) the 18 highest-risk
-# r8-new rows (drift suite, forecast folds, both `_incremental`
-# streaming twins, the rewritten `embedding_label_confusion`); then
-# (c) the two r9 portable twins that give `rag_mmr_diversify` and
-# `corpus_bpe_encode` their first hash-checked external evidence.
-# Deferred to r10 sentinels (best-evidenced pure-map/fuzz-locked
-# r8-new shapes): text_readability_scores, chunk_sliding_docs,
-# corpus_source_overlap, orders_ship_latency_profile,
-# events_ewma_daily (oracle shared with its driver-checked streaming
-# twin), orders_basket_affinity, events_daily_trend,
-# events_retention_cohorts, events_inter_arrival_stats — plus
-# rag_mmr_diversify / corpus_bpe_encode themselves (their rows-only
-# driver rows carry less evidence than the oracled twins shipping in
-# their place). COVERAGE.md records the per-round sample log.
+# is rotated. Round 10 closes FULL external coverage (VERDICT r9 #1):
+# (a) the 16 never-driver-checked rows — the 9 deferred pure-map r8
+# rows, the 2 rows-only originals whose oracled twins shipped in r9
+# (`rag_mmr_diversify`, `corpus_bpe_encode`), and the 5 r9
+# ANN-ladder/streaming rows — after which EVERY registry query has at
+# least one external driver row; then (b) queries NEW this round; then
+# (c) green sentinels spread across families (strongest prior
+# evidence, re-confirmation not first evidence). COVERAGE.md records
+# the per-round sample log.
 _PRIORITY: tuple[str, ...] = (
-    # -- r9 part (a): the last stale driver rows (r2/r3 vintage) --
-    "window_running_spend",
-    "ann_pq_topk",
-    "approx_distinct_stats",
-    "array_funcs_tokens",
-    "bitwise_funcs",
-    "date_interval_arithmetic",
-    "dedup_cluster_canonicals",
-    "dq_documents_report",
-    "dq_orders_report",
-    "knn_vectorized_topk",
-    "minby_maxby_agg",
-    "nation_customer_share",
-    "null_handling_funcs",
-    "orders_monthly_trend",
-    "passage_assembly",
-    "q10_returned_revenue",
-    "q12_ship_latency_priority",
-    "q14_promo_revenue_share",
-    "q18_large_orders",
-    "q21_waiting_suppliers",
-    "q4_late_order_priority",
-    "q7_volume_shipping",
-    "rag_batch_retrieve",
-    "regexp_extract_all_tokens",
-    "skew_key_report",
-    "string_extended_funcs",
-    "subquery_above_avg_orders",
-    "union_by_name_drift",
-    "unpivot_part_metrics",
-    "window_distribution_funcs",
-    # -- r9 part (b): highest-risk r8-new rows (first driver rows) --
-    "text_bigram_surprisal",
-    "dq_source_drift_ks",
-    "dq_source_psi",
-    "embedding_cluster_profile",
-    "embedding_outlier_flags",
-    "embedding_label_centroid_drift",
-    "corpus_quality_ensemble",
-    "corpus_source_divergence",
-    "events_ewma_incremental",
-    "events_cusum_changepoints",
-    "orders_rfm_segments",
-    "orders_revenue_concentration",
-    "text_tfidf_keywords",
-    "events_holt_forecast",
-    "corpus_quality_correlation",
-    "events_active_users_rolling",
-    "embedding_label_confusion",
-    "events_active_users_incremental",
-    # -- r9 part (c): new portable twins (external evidence for the
-    #    two weakest rows-only queries) --
-    "rag_mmr_diversify_exact",
-    "corpus_bpe_encode_portable",
+    # -- r10 part (a): the final 16 never-driver-checked rows --
+    "ann_pq_portable",
+    "knn_ivf_portable",
+    "ann_ivf_pq_portable",
+    "ann_portable_recall_report",
+    "events_holt_incremental",
+    "text_readability_scores",
+    "chunk_sliding_docs",
+    "corpus_source_overlap",
+    "orders_ship_latency_profile",
+    "events_ewma_daily",
+    "orders_basket_affinity",
+    "events_daily_trend",
+    "events_retention_cohorts",
+    "events_inter_arrival_stats",
+    "rag_mmr_diversify",
+    "corpus_bpe_encode",
+    # -- r10 part (b): queries new this round --
+    "media_metadata_report",
+    "embed_and_search_portable",
+    "media_features_portable",
+    # -- r10 part (c): green sentinels (family re-confirmation) --
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q15_top_supplier",
+    "q19_disjunctive_revenue",
+    "join_nonequi_price_band",
+    "grouping_sets_revenue",
+    "exact_percentiles_by_type",
+    "customer_scd2_merge",
+    "dedup_exact_docs",
+    "dedup_minhash_portable",
+    "dedup_canonicals_portable",
+    "dedup_incremental_stream",
+    "dedup_edit_verified",
+    "corpus_export_manifest",
+    "corpus_pack_sequences",
+    "corpus_heavy_tokens",
+    "corpus_split_leakage",
+    "corpus_weighted_sample",
+    "corpus_boilerplate_strip",
+    "text_repetition_stats",
+    "text_unigram_surprisal",
+    "rag_retrieve_rerank",
+    "rag_rm3_expansion",
+    "rag_hybrid_rrf",
+    "rag_bm25_incremental",
+    "knn_topk_exact",
+    "embedding_mutual_nn",
+    "corpus_semantic_decontaminate",
+    "events_gapfill_interpolate",
+    "events_interval_overlap_join",
+    "graph_triangle_counts",
 )
 
 
