@@ -129,12 +129,13 @@ def mmr_select_quantized(
     recursive-CTE twin reproduces the selection bit-for-bit."""
     n = len(ids)
     k = min(k, n)
-    picked: list[int] = []
+    picked: list[int] = []  # order matters for the penalty max
+    picked_set: set[int] = set()  # O(1) membership for the skip test
     out: list[tuple[int, object, int]] = []
     for rank in range(1, k + 1):
         best_i, best_val = -1, None
         for i in range(n):
-            if i in picked:
+            if i in picked_set:
                 continue
             pen = (
                 max(sims_q[(ids[i], ids[p])] for p in picked) if picked else 0
@@ -142,7 +143,15 @@ def mmr_select_quantized(
             val = lam_num * rel_q[i] - lam_comp * pen
             if best_val is None or val > best_val:  # strict > ⇒ earliest wins ties
                 best_i, best_val = i, val
+        # No `best_i < 0` guard here, unlike mmr_select_reference: the
+        # `best_val is None` seed accepts the FIRST unpicked candidate
+        # unconditionally, and all-integer inputs cannot be NaN, so
+        # best_i >= 0 holds by construction (k <= n guarantees an
+        # unpicked candidate exists each round). Don't "fix" this to
+        # match the float sibling — its guard exists only because
+        # float NaN makes `val > best_val` universally false.
         picked.append(best_i)
+        picked_set.add(best_i)
         out.append((rank, ids[best_i], int(best_val)))
     return out
 

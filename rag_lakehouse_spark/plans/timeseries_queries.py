@@ -871,7 +871,13 @@ def events_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``aggregate(slice(ser, 1, i), …)`` per day — O(days²) arithmetic
     per event_type); the append fold is linear in fold steps and
     bit-identical, since each state is computed once by the same
-    scaled-integer step."""
+    scaled-integer step. Precision on the cost claim: the ARITHMETIC
+    is linear, but ``concat(acc, array(...))`` copies the growing
+    accumulator each step, so element COPIES are still O(days²) —
+    harmless on calendar-bounded series (days ≤ thousands; copies are
+    memmoves, not recurrence steps), and Spark exposes no cheaper
+    in-place append. Unbounded series take ``distributed_scan``, not
+    this fold."""
     e = load_table(spark, sf_dir, "events")
     daily = e.groupBy(
         "event_type", F.date_trunc("day", F.col("ts")).alias("d")

@@ -1170,13 +1170,21 @@ def rag_mmr_diversify_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     simarr = sims.groupBy("ia").agg(
         F.collect_list(F.struct("ib", "sim_q")).alias("sims")
     )
-    inp = cand.join(simarr, cand["vec_id"] == simarr["ia"]).select(
+    # LEFT join + empty-array coalesce: with a single candidate, sims is
+    # empty and an inner join would drop the candidate entirely (0 rows)
+    # while the recursive-CTE oracle still emits the rank-1 row. The
+    # greedy loop handles an empty sims dict (nothing picked yet ⇒ no
+    # penalty lookup), so the engine/oracle contract holds down to n=1.
+    inp = cand.join(simarr, cand["vec_id"] == simarr["ia"], "left").select(
         F.lit(0).cast("int").alias("query_id"),
         "vec_id",
         "rel_q",
-        F.transform(
-            "sims",
-            lambda s: F.struct(s["ib"].alias("nb"), s["sim_q"].alias("sim_q")),
+        F.coalesce(
+            F.transform(
+                "sims",
+                lambda s: F.struct(s["ib"].alias("nb"), s["sim_q"].alias("sim_q")),
+            ),
+            F.array().cast("array<struct<nb:bigint,sim_q:bigint>>"),
         ).alias("sims"),
     )
     return mmr_diversify_quantized(inp, k=5)
@@ -1258,63 +1266,90 @@ def ann_pq_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     ENCODING (codes_str) alongside the ranking, not just the top-k
     ids.
 
-    Scale: encode is a map-only projection (whole-stage codegen — the
-    expressions are plain arithmetic); the LUT is a 1-row broadcast;
-    top-10 is TakeOrderedAndProject. Identical to the production PQ
-    split (codebook = parameters, codes = data); 32x compression at
-    64 dims -> 8 bytes/vector."""
-    e = load_table(spark, sf_dir, "embeddings")
+    Scale: encode is a map-only projection; the LUT is a 1-row
+    broadcast; top-10 is TakeOrderedAndProject. Identical to the
+    production PQ split (codebook = parameters, codes = data); 32x
+    compression at 64 dims -> 8 bytes/vector.
 
-    def dist(src: str, j: int, c: int):
-        expr = None
-        for t in range(_PQ_SUB):
-            term = F.element_at(src, j * _PQ_SUB + t + 1).cast("double") - F.lit(
-                _pq_cb(j, c, t)
+    Codegen budget (r10): codes and the LUT are single nested-HOF
+    array columns (same restructure as the IVF/IVF-PQ twins — the r9
+    unrolled form put ~512 arithmetic terms into one projection; it
+    still compiled here but ran 3x slower than the fold form). Folds
+    are 0.0-seeded left-to-right over ascending indices —
+    bit-identical to the oracle's unrolled left-to-right sums of
+    non-negative squares."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cbmat = F.array(
+        *[
+            F.array(
+                *[
+                    F.array(*[F.lit(_pq_cb(j, c, t)) for t in range(_PQ_SUB)])
+                    for c in range(_PQ_K)
+                ]
             )
-            sq = term * term
-            expr = sq if expr is None else expr + sq
-        return expr
+            for j in range(_PQ_M)
+        ]
+    )
+
+    def sub_d(src_col, j, c):
+        # Squared distance of src's subspace j to codebook entry c;
+        # j, c are 0-based Column indices.
+        cbrow = F.element_at(F.element_at(cbmat, j + 1), c + 1)
+        return F.aggregate(
+            F.transform(
+                F.sequence(j * _PQ_SUB + 1, j * _PQ_SUB + F.lit(_PQ_SUB)),
+                lambda i: (
+                    F.element_at(src_col, i).cast("double")
+                    - F.element_at(cbrow, i - j * _PQ_SUB)
+                )
+                * (
+                    F.element_at(src_col, i).cast("double")
+                    - F.element_at(cbrow, i - j * _PQ_SUB)
+                ),
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+
+    def per_j_code(src_col):
+        def code(j):
+            dl = F.transform(
+                F.sequence(F.lit(0), F.lit(_PQ_K - 1)),
+                lambda c: sub_d(src_col, j, c),
+            )
+            return (F.array_position(dl, F.array_min(dl)) - 1).cast("int")
+
+        return F.transform(F.sequence(F.lit(0), F.lit(_PQ_M - 1)), code)
 
     enc = e.filter(F.col("vec_id") != 0).select(
-        "vec_id",
-        *[
-            (
-                F.array_position(
-                    F.array(*[dist("embedding", j, c) for c in range(_PQ_K)]),
-                    F.array_min(
-                        F.array(*[dist("embedding", j, c) for c in range(_PQ_K)])
-                    ),
-                )
-                - 1
-            )
-            .cast("int")
-            .alias(f"c{j}")
-            for j in range(_PQ_M)
-        ],
+        "vec_id", per_j_code(F.col("embedding")).alias("codes")
     )
     lut = e.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("qv")
     ).select(
-        *[
-            dist("qv", j, c).alias(f"l_{j}_{c}")
-            for j in range(_PQ_M)
-            for c in range(_PQ_K)
-        ]
+        F.transform(
+            F.sequence(F.lit(0), F.lit(_PQ_M - 1)),
+            lambda j: F.transform(
+                F.sequence(F.lit(0), F.lit(_PQ_K - 1)),
+                lambda c: sub_d(F.col("qv"), j, c),
+            ),
+        ).alias("luts")
     )
-    adc = None
-    for j in range(_PQ_M):
-        term = F.element_at(
-            F.array(*[F.col(f"l_{j}_{c}") for c in range(_PQ_K)]),
-            F.col(f"c{j}") + 1,
-        )
-        adc = term if adc is None else adc + term
+    adc = F.aggregate(
+        F.sequence(F.lit(1), F.lit(_PQ_M)),
+        F.lit(0.0),
+        lambda a, j: a
+        + F.element_at(
+            F.element_at("luts", j), F.element_at(F.col("codes"), j) + 1
+        ),
+    )
     return (
         enc.crossJoin(F.broadcast(lut))
         .select(
             F.col("vec_id").alias("neighbor_id"),
-            F.concat_ws("-", *[F.col(f"c{j}") for j in range(_PQ_M)]).alias(
-                "codes_str"
-            ),
+            F.array_join(
+                F.transform(F.col("codes"), lambda c: c.cast("string")), "-"
+            ).alias("codes_str"),
             adc.alias("adc_distance"),
         )
         .orderBy(F.asc("adc_distance"), F.asc("neighbor_id"))
@@ -1400,30 +1435,48 @@ def knn_ivf_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-row broadcast; only n_probe/n_cells of the corpus is rescored
     (the IVF contract); top-10 is TakeOrderedAndProject. Centroids =
     parameters, cells = data — the FAISS train/index split with the
-    trainer frozen out."""
+    trainer frozen out.
+
+    Codegen budget (r10): cell distances are ONE fold-form array
+    column (transform over cells of a 0.0-seeded left-to-right
+    ``aggregate`` — bit-identical to the oracle's unrolled
+    left-to-right sums since every term is a non-negative square),
+    not 8 unrolled 64-term expressions duplicated under
+    ``array_min`` — that r9 form janino refused to compile, dropping
+    the stage to interpreted execution."""
     e = _normed(load_table(spark, sf_dir, "embeddings"))
 
-    def dist(src: str, c: int):
-        expr = None
-        for t in range(64):
-            term = F.element_at(src, t + 1).cast("double") - F.lit(_ivf_cent(c, t))
-            sq = term * term
-            expr = sq if expr is None else expr + sq
-        return expr
+    centmat = F.array(
+        *[
+            F.array(*[F.lit(_ivf_cent(c, t)) for t in range(64)])
+            for c in range(_IVF_C)
+        ]
+    )
+
+    def cell_dists(col):
+        return F.transform(
+            F.sequence(F.lit(1), F.lit(_IVF_C)),
+            lambda c: F.aggregate(
+                F.zip_with(
+                    col,
+                    F.element_at(centmat, c),
+                    lambda x, m: (x.cast("double") - m) * (x.cast("double") - m),
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ),
+        )
 
     assigned = e.filter(F.col("vec_id") != 0).select(
         "vec_id",
         "embedding",
         "nrm",
-        (
-            F.array_position(
-                F.array(*[dist("embedding", c) for c in range(_IVF_C)]),
-                F.array_min(F.array(*[dist("embedding", c) for c in range(_IVF_C)])),
-            )
-            - 1
-        )
-        .cast("int")
-        .alias("cell"),
+        cell_dists(F.col("embedding")).alias("dls"),
+    ).select(
+        "vec_id",
+        "embedding",
+        "nrm",
+        (F.array_position("dls", F.array_min("dls")) - 1).cast("int").alias("cell"),
     )
     probe = e.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("qv"), F.col("nrm").alias("qn")
@@ -1433,14 +1486,12 @@ def knn_ivf_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(
             F.slice(
                 F.array_sort(
-                    F.array(
-                        *[
-                            F.struct(
-                                dist("qv", c).alias("d"),
-                                F.lit(c).cast("int").alias("cell"),
-                            )
-                            for c in range(_IVF_C)
-                        ]
+                    F.zip_with(
+                        cell_dists(F.col("qv")),
+                        F.sequence(F.lit(0), F.lit(_IVF_C - 1)),
+                        lambda d, c: F.struct(
+                            d.alias("d"), c.cast("int").alias("cell")
+                        ),
                     )
                 ),
                 1,
@@ -1602,7 +1653,18 @@ def ann_ivf_pq_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     encode are map-only; the LUT is a 1-row broadcast; only
     n_probe/n_cells of the code table is scanned; top-10 is
     TakeOrderedAndProject. 8 B/vector at m=8 — the memory/recall dial
-    with the trainer frozen out."""
+    with the trainer frozen out.
+
+    Codegen budget (r10): codes and LUTs are SINGLE nested-HOF array
+    columns (transform over subspace/cell indices), not m unrolled
+    scalar columns of k unrolled folds each — the r9 unrolled form
+    put 64 aggregate expressions (each re-embedding the 256-literal
+    codebook) into one projection, whose generated ``processNext()``
+    janino refused to compile, silently dropping the whole stage to
+    interpreted execution. Values are bit-identical: per-subspace
+    folds still run left-to-right from a 0.0 seed in ascending index
+    order, and ADC sums ascending-j from 0.0 (identity on the
+    non-negative distances)."""
     centmat = F.array(
         *[
             F.array(*[F.lit(_ivf_cent(c, t)) for t in range(64)])
@@ -1638,11 +1700,17 @@ def ann_ivf_pq_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
 
-    def enc_d(res_col, j: int, c: int):
+    def enc_d(res_col, j, c):
+        # j, c are Column indices (0-based): nearest-codebook distance of
+        # residual subspace j to entry c, folded left-to-right (0.0 seed)
+        # in ascending element order — same order as the oracle's
+        # list_sum(list_transform(...)).
         cbrow = F.element_at(F.element_at(cbmat, j + 1), c + 1)
         return F.aggregate(
             F.transform(
-                F.sequence(F.lit(j * _PQ_SUB + 1), F.lit(j * _PQ_SUB + _PQ_SUB)),
+                F.sequence(
+                    j * _PQ_SUB + 1, j * _PQ_SUB + F.lit(_PQ_SUB)
+                ),
                 lambda i: sq(
                     F.element_at(res_col, i) - F.element_at(cbrow, i - j * _PQ_SUB)
                 ),
@@ -1650,6 +1718,18 @@ def ann_ivf_pq_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0.0),
             lambda a, x: a + x,
         )
+
+    def codes_col(res_col):
+        # array<int> of m codes via ONE nested HOF (argmin per subspace,
+        # first-index tie rule via position-of-min).
+        def per_j(j):
+            dl = F.transform(
+                F.sequence(F.lit(0), F.lit(_PQ_K - 1)),
+                lambda c: enc_d(res_col, j, c),
+            )
+            return (F.array_position(dl, F.array_min(dl)) - 1).cast("int")
+
+        return F.transform(F.sequence(F.lit(0), F.lit(_PQ_M - 1)), per_j)
 
     e = load_table(spark, sf_dir, "embeddings")
     dl = e.filter(F.col("vec_id") != 0).select(
@@ -1665,22 +1745,7 @@ def ann_ivf_pq_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("res"),
     )
     enc = withres.select(
-        "vec_id",
-        "cell",
-        *[
-            (
-                F.array_position(
-                    F.array(*[enc_d(F.col("res"), j, c) for c in range(_PQ_K)]),
-                    F.array_min(
-                        F.array(*[enc_d(F.col("res"), j, c) for c in range(_PQ_K)])
-                    ),
-                )
-                - 1
-            )
-            .cast("int")
-            .alias(f"c{j}")
-            for j in range(_PQ_M)
-        ],
+        "vec_id", "cell", codes_col(F.col("res")).alias("codes")
     )
     q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
     probe = q.select(
@@ -1702,47 +1767,55 @@ def ann_ivf_pq_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qres = probe.select(
         "cells",
-        *[
-            F.zip_with(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(_IVF_PROBE)),
+            lambda k: F.zip_with(
                 "qv",
-                F.element_at(centmat, F.element_at("cells", k + 1) + 1),
+                F.element_at(centmat, F.element_at("cells", k) + 1),
                 lambda x, m: x.cast("double") - m,
-            ).alias(f"qres{k}")
-            for k in range(_IVF_PROBE)
-        ],
+            ),
+        ).alias("qress"),
     )
+    # luts[k][j][c] — one nested-HOF column instead of probe*m*k scalars.
     lut = qres.select(
         "cells",
-        *[
-            enc_d(F.col(f"qres{k}"), j, c).alias(f"l_{k}_{j}_{c}")
-            for k in range(_IVF_PROBE)
-            for j in range(_PQ_M)
-            for c in range(_PQ_K)
-        ],
+        F.transform(
+            F.sequence(F.lit(1), F.lit(_IVF_PROBE)),
+            lambda k: F.transform(
+                F.sequence(F.lit(0), F.lit(_PQ_M - 1)),
+                lambda j: F.transform(
+                    F.sequence(F.lit(0), F.lit(_PQ_K - 1)),
+                    lambda c: enc_d(F.element_at("qress", k), j, c),
+                ),
+            ),
+        ).alias("luts"),
     )
-
-    def adc(k: int):
-        expr = None
-        for j in range(_PQ_M):
-            term = F.element_at(
-                F.array(*[F.col(f"l_{k}_{j}_{c}") for c in range(_PQ_K)]),
-                F.col(f"c{j}") + 1,
-            )
-            expr = term if expr is None else expr + term
-        return expr
-
+    # ADC: fold ascending j from 0.0 (identity — distances are >= +0.0),
+    # indexing the probed cell's LUT by each code word.
+    lutk = F.element_at(
+        "luts",
+        F.when(F.col("cell") == F.element_at("cells", 1), F.lit(1)).otherwise(
+            F.lit(2)
+        ),
+    )
+    adc = F.aggregate(
+        F.sequence(F.lit(1), F.lit(_PQ_M)),
+        F.lit(0.0),
+        lambda a, j: a
+        + F.element_at(
+            F.element_at(lutk, j), F.element_at(F.col("codes"), j) + 1
+        ),
+    )
     return (
         enc.crossJoin(F.broadcast(lut))
         .filter(F.array_contains(F.col("cells"), F.col("cell")))
         .select(
             F.col("vec_id").alias("neighbor_id"),
             "cell",
-            F.concat_ws("-", *[F.col(f"c{j}") for j in range(_PQ_M)]).alias(
-                "codes_str"
-            ),
-            F.when(F.col("cell") == F.element_at("cells", 1), adc(0))
-            .otherwise(adc(1))
-            .alias("adc_distance"),
+            F.array_join(
+                F.transform(F.col("codes"), lambda c: c.cast("string")), "-"
+            ).alias("codes_str"),
+            adc.alias("adc_distance"),
         )
         .orderBy(F.asc("adc_distance"), F.asc("neighbor_id"))
         .limit(10)

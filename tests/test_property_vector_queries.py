@@ -119,6 +119,17 @@ def test_vector_query_matches_oracle_on_generated_embeddings(
     assert not problems, problems
 
 
+def test_mmr_exact_single_candidate(spark, tmp_path):
+    """r9 ADVICE: with exactly ONE candidate (query vec 0 + one other
+    vector) the pairwise-sims relation is empty — the left join +
+    empty-array coalesce must keep the candidate and emit the rank-1
+    row exactly like the recursive-CTE oracle (the old inner join
+    silently returned 0 rows)."""
+    rows = [([1.0] * DIM, 0), ([0.5] * DIM, 1)]
+    problems = _run(spark, tmp_path, rows, "rag_mmr_diversify_exact")
+    assert not problems, problems
+
+
 def _allpairs_confusion(spark, sf_dir):
     """The exact (pre-r9) all-pairs 1-NN confusion matrix — kept as the
     fixture-scale differential for the banded candidate query."""
