@@ -64,3 +64,37 @@ def duckdb_cosine(a: str, b: str) -> str:
         f"({duckdb_dot(a, b)} / "
         f"(sqrt({duckdb_dot(a, a)}) * sqrt({duckdb_dot(b, b)}) + 1e-24))"
     )
+
+
+def md5_embed(col: Column | str, dim: int = 16) -> Column:
+    """Portable pseudo-embedding: component t is hex digit t of
+    md5(text) mapped to the exact binary quarter (digit − 8) / 4 —
+    every value an exact double in [−2.0, 1.75], so downstream fold
+    cosines are bit-identical cross-engine (the frozen-formula-artifact
+    trick from the ANN twins, applied to the EMBEDDER itself; the
+    production hash-seeded ``pseudo_embed_udf``/real-model path stays
+    the throughput embedder). dim ≤ 32 (md5 has 32 hex chars).
+
+    Built on the proven Spark ``conv(substring(md5(s)))`` == DuckDB
+    ``('0x' || substr(md5(s)))::BIGINT`` idiom (operators/
+    dedup_portable.py), including Unicode inputs."""
+    c = F.col(col) if isinstance(col, str) else col
+    h = F.md5(c.cast("binary"))
+    return F.array(
+        *[
+            (
+                (F.conv(F.substring(h, t, 1), 16, 10).cast("double") - F.lit(8.0))
+                / F.lit(4.0)
+            )
+            for t in range(1, dim + 1)
+        ]
+    )
+
+
+def duckdb_md5_embed(s: str, dim: int = 16) -> str:
+    """The DuckDB twin of ``md5_embed`` — identical digits, identical
+    quarters."""
+    return (
+        f"list_transform(generate_series(1, {dim}), i -> "
+        f"(CAST(('0x' || substr(md5({s}), i, 1)) AS BIGINT) - 8) / 4.0)"
+    )

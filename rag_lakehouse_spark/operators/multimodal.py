@@ -58,14 +58,176 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
 
 
 def _decode_image_bytes(content: bytes) -> tuple[int, int]:
-    """STUB DECODER. Parses PNG IHDR dims for real; any other format
-    raises NotImplementedError (no codec libs in this container) —
-    production swaps this for PIL/turbojpeg via the ``decode_fn``
-    parameter of ``image_features``."""
-    if content[:8] == b"\x89PNG\r\n\x1a\n":
+    """Header decoder, pure stdlib. Parses REAL container headers for
+    PNG (IHDR, big-endian dims at offset 16), BMP (BITMAPINFOHEADER,
+    signed little-endian dims at offset 18 — negative height means
+    top-down rows, so dims report abs), and GIF (logical screen
+    descriptor, unsigned little-endian dims at offset 6). Pixel DECODE
+    (not header parse) still needs a codec lib — formats beyond these
+    raise NotImplementedError; production swaps in PIL/turbojpeg via
+    the ``decode_fn`` parameter of ``image_features``."""
+    if content[:8] == b"\x89PNG\r\n\x1a\n" and len(content) >= 24:
         w, h = struct.unpack(">II", content[16:24])
         return int(w), int(h)
-    raise NotImplementedError("only PNG headers supported by the stub decoder")
+    if content[:2] == b"BM" and len(content) >= 26:
+        w, h = struct.unpack("<ii", content[18:26])
+        return abs(int(w)), abs(int(h))
+    if content[:6] in (b"GIF87a", b"GIF89a") and len(content) >= 10:
+        w, h = struct.unpack("<HH", content[6:10])
+        return int(w), int(h)
+    raise NotImplementedError(
+        "stub decoder parses PNG/BMP/GIF headers only"
+    )
+
+
+def _decode_wav_header(content: bytes) -> tuple[int, int, int]:
+    """(channels, sample_rate, n_samples) from a canonical RIFF/WAVE
+    header (PCM 'fmt ' chunk directly after 'WAVE', then 'data') —
+    the layout every stdlib-written WAV uses. Walks chunks, so an
+    optional chunk between fmt and data is tolerated."""
+    if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise NotImplementedError("not a RIFF/WAVE stream")
+    pos, channels, rate, bits, data_len = 12, None, None, None, None
+    while pos + 8 <= len(content):
+        cid, clen = content[pos : pos + 4], struct.unpack(
+            "<I", content[pos + 4 : pos + 8]
+        )[0]
+        if cid == b"fmt ":
+            channels, rate = struct.unpack("<HI", content[pos + 10 : pos + 16])
+            bits = struct.unpack("<H", content[pos + 22 : pos + 24])[0]
+        elif cid == b"data":
+            data_len = clen
+        pos += 8 + clen + (clen & 1)  # RIFF chunks are word-aligned
+    if channels is None or data_len is None or not bits:
+        raise NotImplementedError("missing fmt /data chunk")
+    return int(channels), int(rate), int(data_len // (channels * (bits // 8)))
+
+
+def synth_media_bytes(
+    kind: str,
+    width: int = 0,
+    height: int = 0,
+    channels: int = 1,
+    sample_rate: int = 8000,
+    n_samples: int = 0,
+) -> bytes:
+    """Deterministic REAL container bytes, pure stdlib — a minimal but
+    format-valid PNG (signature + CRC'd IHDR + IEND), BMP (54-byte
+    BITMAPINFOHEADER file), GIF (logical screen descriptor + trailer),
+    or canonical 44-byte-header PCM16 WAV with a zeroed payload. The
+    synthesizer writes byte layouts; the decoders above re-parse them
+    from bytes alone, so a synth→parse round-trip checks both sides'
+    offset/endianness arithmetic (the oracle for
+    ``media_metadata_report`` recomputes the expected values — and the
+    exact byte counts — from the closed formulas)."""
+    import zlib
+
+    if kind == "png":
+        ihdr = b"IHDR" + struct.pack(">II5B", width, height, 8, 2, 0, 0, 0)
+        iend = b"IEND"
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + struct.pack(">I", 13)
+            + ihdr
+            + struct.pack(">I", zlib.crc32(ihdr) & 0xFFFFFFFF)
+            + struct.pack(">I", 0)
+            + iend
+            + struct.pack(">I", zlib.crc32(iend) & 0xFFFFFFFF)
+        )  # 8 + 25 + 12 = 45 bytes
+    if kind == "bmp":
+        info = struct.pack(
+            "<IiiHHIIiiII", 40, width, height, 1, 24, 0, 0, 2835, 2835, 0, 0
+        )
+        return b"BM" + struct.pack("<IHHI", 54, 0, 0, 54) + info  # 54 bytes
+    if kind == "gif":
+        return (
+            b"GIF89a" + struct.pack("<HHBBB", width, height, 0, 0, 0) + b"\x3b"
+        )  # 14 bytes
+    if kind == "wav":
+        data_len = 2 * channels * n_samples  # PCM16
+        return (
+            b"RIFF"
+            + struct.pack("<I", 36 + data_len)
+            + b"WAVE"
+            + b"fmt "
+            + struct.pack(
+                "<IHHIIHH",
+                16,
+                1,
+                channels,
+                sample_rate,
+                sample_rate * channels * 2,
+                channels * 2,
+                16,
+            )
+            + b"data"
+            + struct.pack("<I", data_len)
+            + bytes(data_len)
+        )  # 44 + data_len bytes
+    raise ValueError(f"unknown media kind: {kind}")
+
+
+MEDIA_METADATA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("fmt", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+
+def media_metadata(
+    df: DataFrame,
+    id_col: str = "media_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """Sniff + header-parse media binaries into one typed metadata row
+    per item: images carry (width, height), audio carries (channels,
+    sample_rate, n_samples), everything carries n_bytes; undecodable
+    content gets fmt NULL with n_bytes only. Same mapInPandas seam as
+    ``image_features`` — bytes never leave the executor, Arrow batches
+    carry them, and the parse is per-row independent (map-only at any
+    scale)."""
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, content in zip(pdf[id_col], pdf[content_col]):
+                b = bytes(content) if content is not None else b""
+                fmt = w = h = ch = sr = ns = None
+                try:
+                    if b[:4] == b"RIFF":
+                        ch, sr, ns = _decode_wav_header(b)
+                        fmt = "wav"
+                    else:
+                        w, h = _decode_image_bytes(b)
+                        fmt = {0x89: "png", 0x42: "bmp", 0x47: "gif"}[b[0]]
+                except (NotImplementedError, IndexError):
+                    fmt = None
+                rows.append((rid, fmt, w, h, ch, sr, ns, len(b)))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "fmt",
+                    "width",
+                    "height",
+                    "channels",
+                    "sample_rate",
+                    "n_samples",
+                    "n_bytes",
+                ],
+            )
+
+    fanned = df.select(id_col, content_col).repartition(
+        max(df.sparkSession.sparkContext.defaultParallelism, 1)
+    )
+    return fanned.mapInPandas(parse, MEDIA_METADATA_SCHEMA)
 
 
 def image_features(

@@ -1,0 +1,200 @@
+"""Multimodal-column queries: the first externally HASH-CHECKED rows
+for the binary-media family (previously pytest-only plumbing).
+
+``media_metadata_report`` round-trips REAL container formats: Spark
+synthesizes format-valid PNG/BMP/GIF/WAV bytes from closed per-id
+formulas (operators/multimodal.synth_media_bytes), the stdlib header
+decoders re-parse them FROM BYTES ALONE, and the DuckDB oracle
+recomputes every parsed field — and the exact byte counts — from the
+same formulas. A wrong offset, endianness, or chunk-size rule in
+either the writer or the parser breaks the hash.
+
+``media_features_portable`` is the oracled twin of the rows-only
+``media_features_pipeline`` (plans/tpch_more.py): same shape —
+binary content → byte features → media embedding → cosine top-k —
+with every step replaced by its portable-exact form (octet length,
+sha256, the md5-hex quarter embedding), so the END-TO-END pipeline
+gets external evidence while the hash-seeded pseudo-embedder stays
+the production throughput path.
+
+Reference parity: the reference stores media-less text only
+(jobs/scraper.py fetches HTML pages); this family is part of the
+training-data-pipeline surface beyond it (brief: multimodal columns
+as opaque binary + typed metadata).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from rag_lakehouse_spark.functions import vector as VEC
+from rag_lakehouse_spark.plans.registry import register
+from rag_lakehouse_spark.sources.tables import load_table
+
+# Closed parameter formulas shared by the Spark synth step and the
+# DuckDB oracle: kind cycles png/bmp/gif/wav by doc_id % 4; image dims
+# and audio params are small deterministic ranges. Byte counts are
+# exact per format: PNG = 45 (sig + CRC'd IHDR + IEND), BMP = 54
+# (header-only BITMAPINFOHEADER file), GIF = 14 (screen descriptor +
+# trailer), WAV = 44 + 2 * channels * n_samples (canonical PCM16).
+_MEDIA_PARAMS_SQL = """
+  SELECT doc_id AS media_id,
+         CAST(doc_id % 4 AS INT) AS k,
+         CAST(16 + doc_id % 32 AS INT) AS w,
+         CAST(8 + doc_id % 16 AS INT) AS h,
+         CAST(1 + doc_id % 2 AS INT) AS ch,
+         CAST(8000 * (1 + doc_id % 3) AS INT) AS sr,
+         CAST(50 + doc_id % 100 AS INT) AS ns
+  FROM documents
+"""
+
+
+@register(
+    "media_metadata_report",
+    oracle=f"""
+    WITH p AS ({_MEDIA_PARAMS_SQL})
+    SELECT media_id,
+           CASE k WHEN 0 THEN 'png' WHEN 1 THEN 'bmp'
+                  WHEN 2 THEN 'gif' ELSE 'wav' END AS fmt,
+           CASE WHEN k < 3 THEN w END AS width,
+           CASE WHEN k < 3 THEN h END AS height,
+           CASE WHEN k = 3 THEN ch END AS channels,
+           CASE WHEN k = 3 THEN sr END AS sample_rate,
+           CASE WHEN k = 3 THEN ns END AS n_samples,
+           CAST(CASE k WHEN 0 THEN 45 WHEN 1 THEN 54 WHEN 2 THEN 14
+                       ELSE 44 + 2 * ch * ns END AS BIGINT) AS n_bytes
+    FROM p
+    """,
+    tags=("multimodal", "codec", "pandas"),
+)
+def media_metadata_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synth → parse round-trip over real container formats: one media
+    row per document (kind cycling PNG/BMP/GIF/WAV), bytes written by
+    ``synth_media_bytes`` and re-parsed by the stdlib header decoders —
+    width/height from PNG IHDR / BMP BITMAPINFOHEADER / GIF screen
+    descriptor, (channels, sample_rate, n_samples) from the RIFF fmt
+    and data chunks. The oracle recomputes all fields AND the exact
+    byte counts from the closed formulas, so the parse is verified
+    against an external engine, not against the writer's variables.
+
+    Scale: map-only — parameter projection, one mapInPandas for
+    synth+parse (bytes never leave the executor), no shuffle. Real
+    deployments swap the synth step for a binary-column scan; the
+    parse seam (``media_metadata``) is unchanged."""
+    import pandas as pd
+
+    from rag_lakehouse_spark.operators.multimodal import (
+        media_metadata,
+        synth_media_bytes,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    kinds = ["png", "bmp", "gif", "wav"]
+    params = d.select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("doc_id") % 4).cast("int").alias("k"),
+        (16 + F.col("doc_id") % 32).cast("int").alias("w"),
+        (8 + F.col("doc_id") % 16).cast("int").alias("h"),
+        (1 + F.col("doc_id") % 2).cast("int").alias("ch"),
+        (8000 * (1 + F.col("doc_id") % 3)).cast("int").alias("sr"),
+        (50 + F.col("doc_id") % 100).cast("int").alias("ns"),
+    )
+
+    def build(batches):
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                kind = kinds[r.k]
+                out.append(
+                    (
+                        r.media_id,
+                        synth_media_bytes(
+                            kind,
+                            width=int(r.w),
+                            height=int(r.h),
+                            channels=int(r.ch),
+                            sample_rate=int(r.sr),
+                            n_samples=int(r.ns),
+                        ),
+                    )
+                )
+            yield pd.DataFrame(out, columns=["media_id", "content"])
+
+    media = params.mapInPandas(build, "media_id long, content binary")
+    return media_metadata(media)
+
+
+@register(
+    "media_features_portable",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             encode(coalesce(text, '')) AS content,
+             {VEC.duckdb_md5_embed("coalesce(text, '')")} AS embedding
+      FROM documents
+    ), q AS (
+      SELECT embedding AS q_emb FROM m WHERE media_id = 0
+    ), ranked AS (
+      SELECT m.media_id AS neighbor_id, m.content,
+             {VEC.duckdb_cosine("m.embedding", "q.q_emb")} AS score,
+             ROW_NUMBER() OVER (
+               ORDER BY {VEC.duckdb_cosine("m.embedding", "q.q_emb")} DESC,
+                        m.media_id ASC) AS rank
+      FROM m, q WHERE m.media_id <> 0
+    )
+    SELECT 0 AS query_id, neighbor_id, CAST(rank AS INT) AS rank, score,
+           CAST(octet_length(content) AS BIGINT) AS n_bytes,
+           sha256(coalesce((SELECT text FROM documents d
+                            WHERE d.doc_id = neighbor_id), '')) AS sha_hex
+    FROM ranked WHERE rank <= 5
+    """,
+    tags=("multimodal", "portable-twin", "vector"),
+)
+def media_features_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracled twin of ``media_features_pipeline``: document bytes as
+    opaque media content → byte-exact features (octet length, sha256)
+    → md5-hex quarter embedding (``VEC.md5_embed`` — the frozen-formula
+    embedder both engines compute bit-identically) → exact cosine
+    top-5 of media 0. The rows-only original keeps the
+    blake2b-seeded pseudo-embedder and mapInPandas byte statistics as
+    the throughput path; this twin proves the same pipeline SHAPE —
+    features + embed + rank — end-to-end against DuckDB.
+
+    Scale: the query side is a 1-row broadcast; scoring is one fold
+    per corpus row (norms hoisted inside ``VEC.cosine``'s guard
+    expression); top-5 is ``orderBy().limit()`` →
+    TakeOrderedAndProject; rank assignment happens on the 5-row
+    result, never a global window over the corpus."""
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.coalesce("text", F.lit("")).alias("text"),
+    )
+    m = d.select(
+        "media_id",
+        F.encode("text", "UTF-8").alias("content"),
+        VEC.md5_embed("text").alias("embedding"),
+    )
+    q = m.filter(F.col("media_id") == 0).select(F.col("embedding").alias("q_emb"))
+    top = (
+        m.filter(F.col("media_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("media_id").alias("neighbor_id"),
+            VEC.cosine("embedding", "q_emb").alias("score"),
+            F.length("content").cast("bigint").alias("n_bytes"),
+            F.sha2("content", 256).alias("sha_hex"),
+        )
+        .orderBy(F.desc("score"), F.asc("neighbor_id"))
+        .limit(5)
+    )
+    w = W.orderBy(F.desc("score"), F.asc("neighbor_id"))  # 5 rows — bounded
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        F.lit(0).cast("int").alias("query_id"),
+        "neighbor_id",
+        "rank",
+        "score",
+        "n_bytes",
+        "sha_hex",
+    )

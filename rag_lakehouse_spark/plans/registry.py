@@ -150,6 +150,7 @@ def _load_all() -> None:
     import rag_lakehouse_spark.plans.corpus_queries  # noqa: F401
     import rag_lakehouse_spark.plans.quality_queries  # noqa: F401
     import rag_lakehouse_spark.plans.search_queries  # noqa: F401
+    import rag_lakehouse_spark.plans.media_queries  # noqa: F401
 
 
 def queries() -> dict[str, QueryFn]:

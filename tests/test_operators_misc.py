@@ -101,6 +101,92 @@ def test_image_features_stub_decode(media):
     assert all(f.sha1 for f in feats.values())
 
 
+def test_synth_parse_round_trip():
+    """Every synthesized container must re-parse to its own parameters
+    from BYTES ALONE, and its length must match the closed formula the
+    media_metadata_report oracle uses."""
+    from rag_lakehouse_spark.operators.multimodal import (
+        _decode_image_bytes,
+        _decode_wav_header,
+        synth_media_bytes,
+    )
+
+    for w, h in [(1, 1), (16, 8), (47, 23), (60000, 33)]:
+        png = synth_media_bytes("png", width=w, height=h)
+        assert len(png) == 45 and _decode_image_bytes(png) == (w, h)
+        bmp = synth_media_bytes("bmp", width=w, height=h)
+        assert len(bmp) == 54 and _decode_image_bytes(bmp) == (w, h)
+        if w <= 0xFFFF:  # GIF dims are u16
+            gif = synth_media_bytes("gif", width=w, height=h)
+            assert len(gif) == 14 and _decode_image_bytes(gif) == (w, h)
+    for ch, sr, ns in [(1, 8000, 0), (2, 16000, 149), (1, 24000, 50)]:
+        wav = synth_media_bytes("wav", channels=ch, sample_rate=sr, n_samples=ns)
+        assert len(wav) == 44 + 2 * ch * ns
+        assert _decode_wav_header(wav) == (ch, sr, ns)
+
+
+def test_decode_bmp_top_down_height():
+    """Negative biHeight means top-down row order — dims report abs."""
+    from rag_lakehouse_spark.operators.multimodal import _decode_image_bytes
+
+    info = struct.pack("<IiiHHIIiiII", 40, 32, -24, 1, 24, 0, 0, 0, 0, 0, 0)
+    bmp = b"BM" + struct.pack("<IHHI", 54, 0, 0, 54) + info
+    assert _decode_image_bytes(bmp) == (32, 24)
+
+
+def test_decode_wav_walks_extra_and_odd_chunks():
+    """The RIFF walker must skip an optional chunk between fmt and data
+    and honor word-alignment padding for odd-length chunks."""
+    from rag_lakehouse_spark.operators.multimodal import _decode_wav_header
+
+    fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 2, 22050, 22050 * 4, 4, 16)
+    extra = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"  # odd → padded
+    data = b"data" + struct.pack("<I", 8) + bytes(8)  # 2 samples x 2ch x 2B
+    body = b"WAVE" + fmt + extra + data
+    wav = b"RIFF" + struct.pack("<I", len(body)) + body
+    assert _decode_wav_header(wav) == (2, 22050, 2)
+
+
+def test_decoders_reject_garbage():
+    from rag_lakehouse_spark.operators.multimodal import (
+        _decode_image_bytes,
+        _decode_wav_header,
+    )
+
+    for b in [b"", b"\xff\xd8\xff notajpeg", b"RIFFxxxx????"]:
+        with pytest.raises(NotImplementedError):
+            _decode_image_bytes(b)
+        with pytest.raises(NotImplementedError):
+            _decode_wav_header(b)
+
+
+def test_media_metadata_operator_mixed(spark):
+    """media_metadata over a mixed batch: typed rows for every codec,
+    fmt NULL + byte count only for undecodable content."""
+    from rag_lakehouse_spark.operators.multimodal import (
+        media_metadata,
+        synth_media_bytes,
+    )
+
+    rows = [
+        (1, bytearray(synth_media_bytes("png", width=9, height=7))),
+        (2, bytearray(synth_media_bytes("bmp", width=5, height=6))),
+        (3, bytearray(synth_media_bytes("gif", width=3, height=4))),
+        (4, bytearray(synth_media_bytes("wav", channels=2, sample_rate=8000, n_samples=10))),
+        (5, bytearray(b"\xff\xd8\xff garbage")),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    got = {r.media_id: r for r in media_metadata(df).collect()}
+    assert (got[1].fmt, got[1].width, got[1].height) == ("png", 9, 7)
+    assert (got[2].fmt, got[2].width, got[2].height) == ("bmp", 5, 6)
+    assert (got[3].fmt, got[3].width, got[3].height) == ("gif", 3, 4)
+    assert (got[4].fmt, got[4].channels, got[4].sample_rate, got[4].n_samples) == (
+        "wav", 2, 8000, 10,
+    )
+    assert got[4].n_bytes == 44 + 2 * 2 * 10
+    assert got[5].fmt is None and got[5].n_bytes == len(rows[4][1])
+
+
 def test_media_embed_shape(media):
     rows = media_embed(media, dim=16).collect()
     assert all(len(r.embedding) == 16 for r in rows)
