@@ -35,14 +35,22 @@ _DATES = [
     datetime(1995, 12, 31),
     datetime(1996, 1, 1),   # q5 lower bound, setop year flip
     datetime(1996, 7, 4),
-    datetime(1997, 3, 3),   # q14 promo year
+    datetime(1997, 3, 3),   # q14 promo year, q6 ship year
     datetime(1997, 12, 31),
+    datetime(1998, 3, 14),  # just below the q3 cutoff
+    datetime(1998, 3, 15),  # exactly the q3 cutoff (o < AND l > — both exclude)
+    datetime(1998, 9, 2),   # exactly the q1 cutoff (l_shipdate <= keeps)
     datetime(2001, 6, 30),  # just below the full-outer-daily cutoff
     datetime(2001, 7, 1),   # exactly the cutoff
     datetime(2001, 7, 2),
 ]
 _PRICES = [0.25, 49999.75, 50000.0, 50000.25, 149999.75, 150000.0, 175000.5]
-_SHIP_DELTAS = [0, 15, 30, 31, 60, 61, 90]  # q12 bands break at 30/60
+_SHIP_DELTAS = [0, 15, 30, 31, 60, 61, 90]  # q12 bands break at 30/60; q4 at 60
+# q6 brackets quantity < 24 and q17 compares against 0.2*avg(quantity);
+# 50-heavy draws let 3-line orders hit the q18 HAVING boundary SUM=150
+# exactly (excluded by strict >) and 4-line orders exceed it.
+_QTYS = [1, 7, 23, 24, 25, 50, 50]
+_DISCOUNTS = [0.0, 0.05, 0.07, 0.1]  # q6 band edges 0.05/0.07 inclusive
 
 _order = st.tuples(
     st.integers(min_value=0, max_value=5),  # custkey 5 = ORPHAN (no customer row)
@@ -54,15 +62,15 @@ _order = st.tuples(
         st.tuples(
             st.integers(min_value=0, max_value=3),  # partkey
             st.integers(min_value=0, max_value=2),  # suppkey
-            st.integers(min_value=1, max_value=50),  # quantity
+            st.sampled_from(_QTYS),  # quantity
             st.sampled_from([100.0, 250.25, 999.75, 5000.5]),  # extendedprice
-            st.sampled_from([0.0, 0.05, 0.1]),  # discount
+            st.sampled_from(_DISCOUNTS),
             st.sampled_from(["R", "N", "A"]),
             st.sampled_from(["O", "F"]),
             st.sampled_from(_SHIP_DELTAS),
         ),
         min_size=0,
-        max_size=3,
+        max_size=4,  # 4 × qty 50 crosses the q18 HAVING SUM(qty) > 150
     ),
 )
 _orders = st.lists(_order, min_size=2, max_size=10)
@@ -127,6 +135,13 @@ QUERIES = [
     "q19_disjunctive_revenue",
     "q20_dominant_share_suppliers",
     "q22_idle_rich_customers",
+    # r10: the final six — every TPC-H query is now in the fuzz matrix
+    "q1_pricing_summary",   # 1998-09-02 <= boundary in _DATES
+    "q3_shipping_priority",  # 1998-03-15 both-exclude cutoff in _DATES
+    "q4_late_order_priority",  # 60/61-day deltas in _SHIP_DELTAS
+    "q6_forecast_revenue",  # 0.05/0.07 discount edges, qty 23/24
+    "q13_order_count_distribution",  # zero-order customers + 1-URGENT
+    "q18_large_orders",     # 3×50 = exactly-150 HAVING tie (excluded)
 ]
 
 
@@ -207,3 +222,25 @@ def test_relational_query_matches_oracle_on_generated_tables(
 ):
     problems = _run(spark, tmp_path, orders, customers, parts, name)
     assert not problems, problems
+
+
+def test_q15_max_revenue_tie(spark, tmp_path):
+    """VERDICT r9 #4: force the q15 scalar-MAX tie deterministically —
+    suppliers 0 and 1 carry bit-identical exact-decimal 1997 revenue,
+    so BOTH must come back, matching the oracle row-for-row (random
+    draws rarely collide on revenue, so the fuzz alone under-stresses
+    this branch)."""
+    orders = [
+        (0, "O", "2-HIGH", 100.0, datetime(1997, 3, 3),
+         [(0, 0, 1, 999.75, 0.05, "N", "O", 0)]),
+        (1, "O", "2-HIGH", 100.0, datetime(1997, 3, 3),
+         [(1, 1, 1, 999.75, 0.05, "N", "O", 0)]),
+        (2, "O", "2-HIGH", 100.0, datetime(1997, 3, 3),
+         [(2, 2, 1, 100.0, 0.0, "N", "O", 0)]),
+    ]
+    customers = [(k % 4, 0.25, "BUILDING") for k in range(5)]
+    parts = [("widget", "PROMO BRASS", "Brand#1", 5)] * 4
+    problems = _run(spark, tmp_path, orders, customers, parts, "q15_top_supplier")
+    assert not problems, problems
+    rows = registry.QUERIES["q15_top_supplier"].fn(spark, str(tmp_path)).collect()
+    assert sorted(r.s_suppkey for r in rows) == [0, 1]
