@@ -1312,12 +1312,21 @@ def ann_pq_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     def per_j_code(src_col):
+        # argmin as ONE array_min over (d, c) structs: struct ordering
+        # breaks distance ties by the smaller c — exactly the oracle's
+        # first-position-of-min — and computes each sub_d fold ONCE
+        # (position-of-min referenced the distance array twice, and
+        # projection collapse duplicated the 2K folds per subspace).
         def code(j):
-            dl = F.transform(
-                F.sequence(F.lit(0), F.lit(_PQ_K - 1)),
-                lambda c: sub_d(src_col, j, c),
-            )
-            return (F.array_position(dl, F.array_min(dl)) - 1).cast("int")
+            return F.array_min(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(_PQ_K - 1)),
+                    lambda c: F.struct(
+                        sub_d(src_col, j, c).alias("d"),
+                        c.cast("int").alias("c"),
+                    ),
+                )
+            )["c"]
 
         return F.transform(F.sequence(F.lit(0), F.lit(_PQ_M - 1)), code)
 
@@ -1720,14 +1729,20 @@ def ann_ivf_pq_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     def codes_col(res_col):
-        # array<int> of m codes via ONE nested HOF (argmin per subspace,
-        # first-index tie rule via position-of-min).
+        # array<int> of m codes via ONE nested HOF. Argmin is a single
+        # array_min over (d, c) structs — struct ordering breaks ties
+        # by the smaller c (== the oracle's first-position-of-min) and
+        # computes each enc_d fold once instead of twice.
         def per_j(j):
-            dl = F.transform(
-                F.sequence(F.lit(0), F.lit(_PQ_K - 1)),
-                lambda c: enc_d(res_col, j, c),
-            )
-            return (F.array_position(dl, F.array_min(dl)) - 1).cast("int")
+            return F.array_min(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(_PQ_K - 1)),
+                    lambda c: F.struct(
+                        enc_d(res_col, j, c).alias("d"),
+                        c.cast("int").alias("c"),
+                    ),
+                )
+            )["c"]
 
         return F.transform(F.sequence(F.lit(0), F.lit(_PQ_M - 1)), per_j)
 
