@@ -271,3 +271,34 @@ def test_label_confusion_has_no_allpairs_join(spark, sf_dir):
         or "ShuffledHashJoin [band" in plan
         or "BroadcastHashJoin [band" in plan
     )
+
+
+def test_embed_and_search_portable_plan(spark, sf_dir):
+    """The portable embed→search pipeline must keep its scale shape:
+    queries broadcast, per-query top-3 truncated map-side by
+    WindowGroupLimit, and the chunk explode never shuffled before
+    scoring (the only exchange feeds the rank window)."""
+    plan = plan_of("embed_and_search_portable", spark, sf_dir)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_media_features_portable_is_take_ordered(spark, sf_dir):
+    """Top-5 must be TakeOrderedAndProject (per-partition partial
+    top-k); the rank window may only run over the 5-row result."""
+    plan = plan_of("media_features_portable", spark, sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_media_metadata_report_is_map_only(spark, sf_dir):
+    """Synth → parse is a pure per-row pipeline: no exchange anywhere
+    except the mapInPandas fan-out repartition (RoundRobin), which
+    must be the ONLY shuffle."""
+    plan = plan_of("media_metadata_report", spark, sf_dir)
+    import re
+
+    exchanges = re.findall(r"Exchange \w+", plan)
+    assert all("RoundRobin" in e or "SinglePartition" in e for e in exchanges), exchanges
+    assert "SortMergeJoin" not in plan and "HashAggregate" not in plan
