@@ -62,6 +62,79 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_decontaminate_containment",
+    oracle=f"""
+    WITH bench_sh AS (
+      SELECT DISTINCT bench_id, sh FROM (
+        SELECT doc_id AS bench_id,
+               unnest({TX.duckdb_char_shingles('text', 13)}) AS sh
+        FROM documents WHERE doc_id < 10)
+    ), bench_n AS (
+      SELECT bench_id, CAST(COUNT(*) AS BIGINT) AS n_bench
+      FROM bench_sh GROUP BY bench_id
+    ), corpus_sh AS (
+      SELECT doc_id, unnest({TX.duckdb_char_shingles('text', 13)}) AS sh
+      FROM documents WHERE doc_id >= 10
+    ), hits AS (
+      SELECT c.doc_id, b.bench_id,
+             CAST(COUNT(DISTINCT c.sh) AS BIGINT) AS n_shared
+      FROM corpus_sh c JOIN bench_sh b USING (sh)
+      GROUP BY c.doc_id, b.bench_id
+    )
+    SELECT h.doc_id, h.bench_id, h.n_shared, n.n_bench,
+           CAST(h.n_shared AS DOUBLE) / n.n_bench AS containment,
+           h.n_shared * 10 >= n.n_bench * 8 AS contaminated
+    FROM hits h JOIN bench_n n USING (bench_id)
+    """,
+    tags=("text", "decontamination", "training-data"),
+)
+def corpus_decontaminate_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-benchmark-item CONTAINMENT decontamination — the
+    complement of ``corpus_decontaminate``'s pooled collision count:
+    for every (corpus doc, benchmark item) pair sharing any normalized
+    13-gram, report |∩| / |benchmark item's shingles|. Containment
+    (not Jaccard) is the right asymmetric measure here: a benchmark
+    question quoted inside a much larger page scores near 1.0 even
+    though the page's Jaccard to the item is tiny — the case pooled
+    counting under-attributes. The θ=0.8 flag is the integer compare
+    ``n_shared * 10 >= n_bench * 8`` (no float threshold divergence);
+    the reported containment double is one exact int/int division,
+    bit-identical cross-engine.
+
+    Scale: benchmark shingles are bounded (eval suites, not corpora)
+    → both the per-item sets and their sizes broadcast; the corpus
+    side explodes once and never shuffles its text; the only shuffle
+    carries (doc_id, bench_id, shingle) join hits into the pair
+    count. Dedup happens via COUNT(DISTINCT) inside that aggregate,
+    not a pre-join distinct over the full corpus shingle set."""
+    d = load_table(spark, sf_dir, "documents")
+    bench_sh = (
+        TX.shingle_relation(d.filter(F.col("doc_id") < 10), "text", "doc_id", 13)
+        .select(F.col("doc_id").alias("bench_id"), F.explode("shingles").alias("sh"))
+        .distinct()
+    )
+    bench_n = bench_sh.groupBy("bench_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bench")
+    )
+    corpus = TX.shingle_relation(
+        d.filter(F.col("doc_id") >= 10), "text", "doc_id", 13
+    ).select("doc_id", F.explode("shingles").alias("sh"))
+    hits = (
+        corpus.join(F.broadcast(bench_sh), "sh")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.countDistinct("sh").alias("n_shared"))
+    )
+    return hits.join(F.broadcast(bench_n), "bench_id").select(
+        "doc_id",
+        "bench_id",
+        "n_shared",
+        "n_bench",
+        (F.col("n_shared").cast("double") / F.col("n_bench")).alias("containment"),
+        (F.col("n_shared") * 10 >= F.col("n_bench") * 8).alias("contaminated"),
+    )
+
+
+@register(
     "text_pii_redact",
     oracle=f"""
     WITH synth AS (

@@ -89,6 +89,7 @@ _PRIORITY: tuple[str, ...] = (
     "media_metadata_report",
     "embed_and_search_portable",
     "media_features_portable",
+    "corpus_decontaminate_containment",
     # -- r10 part (c): green sentinels (family re-confirmation) --
     "q1_pricing_summary",
     "q3_shipping_priority",

@@ -163,3 +163,54 @@ def test_text_query_matches_oracle_on_generated_corpus(
 ):
     problems = _run(spark, tmp_path, docs, name)
     assert not problems, problems
+
+
+# Long repeated phrases guarantee real 13-gram overlap between the
+# bench (doc_id < 10) and corpus (doc_id >= 10) sides — the generic
+# generator's ids never cross the split, so the decontamination pair
+# (pooled collisions + per-item containment) gets its own fuzz whose
+# rows straddle it, including full-quote contamination (containment
+# 1.0) and NULL/empty docs on both sides.
+_PHRASES = [
+    "the quick brown fox jumps over the lazy dog",
+    "pack my box with five dozen liquor jugs",
+    "sphinx of black quartz judge my vow",
+]
+_contam_doc = st.one_of(
+    st.none(),
+    st.just(""),
+    st.lists(st.sampled_from(_PHRASES), min_size=1, max_size=3).map(". ".join),
+)
+
+
+@settings(**_SETTINGS)
+@given(
+    bench=st.lists(_contam_doc, min_size=1, max_size=3),
+    corpus=st.lists(_contam_doc, min_size=1, max_size=4),
+)
+@pytest.mark.parametrize(
+    "name", ["corpus_decontaminate", "corpus_decontaminate_containment"]
+)
+def test_decontamination_matches_oracle_across_the_id_split(
+    spark, tmp_path, name, bench, corpus
+):
+    docs = {i: t for i, t in enumerate(bench)}
+    docs.update({10 + i: t for i, t in enumerate(corpus)})
+    rows = [
+        (i, t, "en", f"src{i % 2}", len(t) if t else 0)
+        for i, t in sorted(docs.items())
+    ]
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE OR REPLACE VIEW documents AS "
+        f"SELECT * FROM '{sf_dir}/documents.parquet/*.parquet'"
+    )
+    q = registry.QUERIES[name]
+    problems = compare(name, q.fn(spark, sf_dir), con, q.oracle)
+    assert not problems, problems
