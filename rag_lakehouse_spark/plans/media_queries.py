@@ -51,9 +51,7 @@ _MEDIA_PARAMS_SQL = """
 """
 
 
-@register(
-    "media_metadata_report",
-    oracle=f"""
+_MEDIA_META_ORACLE = f"""
     WITH p AS ({_MEDIA_PARAMS_SQL})
     SELECT media_id,
            CASE k WHEN 0 THEN 'png' WHEN 1 THEN 'bmp'
@@ -66,7 +64,12 @@ _MEDIA_PARAMS_SQL = """
            CAST(CASE k WHEN 0 THEN 45 WHEN 1 THEN 54 WHEN 2 THEN 14
                        ELSE 44 + 2 * ch * ns END AS BIGINT) AS n_bytes
     FROM p
-    """,
+    """
+
+
+@register(
+    "media_metadata_report",
+    oracle=_MEDIA_META_ORACLE,
     tags=("multimodal", "codec", "pandas"),
 )
 def media_metadata_report(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -83,12 +86,19 @@ def media_metadata_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     synth+parse (bytes never leave the executor), no shuffle. Real
     deployments swap the synth step for a binary-column scan; the
     parse seam (``media_metadata``) is unchanged."""
+    from rag_lakehouse_spark.operators.multimodal import media_metadata
+
+    return media_metadata(_synth_media(spark, sf_dir))
+
+
+def _synth_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(media_id, content): one format-valid media binary per document
+    from the closed ``_MEDIA_PARAMS_SQL`` formulas — the deterministic
+    stand-in for a binary-column scan, shared by the batch report and
+    the streaming index twin."""
     import pandas as pd
 
-    from rag_lakehouse_spark.operators.multimodal import (
-        media_metadata,
-        synth_media_bytes,
-    )
+    from rag_lakehouse_spark.operators.multimodal import synth_media_bytes
 
     d = load_table(spark, sf_dir, "documents")
     kinds = ["png", "bmp", "gif", "wav"]
@@ -122,8 +132,53 @@ def media_metadata_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame(out, columns=["media_id", "content"])
 
-    media = params.mapInPandas(build, "media_id long, content binary")
-    return media_metadata(media)
+    return params.mapInPandas(build, "media_id long, content binary")
+
+
+@register(
+    "media_metadata_incremental",
+    oracle=_MEDIA_META_ORACLE,  # union of deltas == the one-shot parse
+    tags=("multimodal", "codec", "streaming"),
+)
+def media_metadata_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING-maintained media-metadata index, hash-checked
+    against the batch oracle: the synthesized media replay through an
+    availableNow file stream (maxFilesPerTrigger=1 over a 4-file copy,
+    so ≥4 micro-batches), each batch header-parsed ONCE and appended
+    as an immutable O(batch) delta (``streaming.media_sink``); the
+    index then reads back as a batch DataFrame. Batches partition
+    media ids disjointly, so the union of deltas must equal the
+    one-shot parse — same oracle as ``media_metadata_report``.
+
+    Scale: continuous multimodal ingest never re-decodes history; per
+    micro-batch cost is one parse of the batch plus one delta write,
+    and the serving read is a parquet union. Bytes stay executor-side
+    and never enter the state — only typed metadata rows do."""
+    import os
+    import shutil
+    import tempfile
+
+    from rag_lakehouse_spark.streaming.media_sink import (
+        maintain_media_index,
+        read_media_index,
+    )
+
+    base = tempfile.mkdtemp(prefix="rls_media_stream_")
+    try:
+        src = os.path.join(base, "media")
+        _synth_media(spark, sf_dir).repartition(4).write.mode(
+            "overwrite"
+        ).parquet(src)
+        stream = (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        state = os.path.join(base, "media_index")
+        maintain_media_index(spark, stream, state).awaitTermination()
+        return read_media_index(spark, state).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
 
 
 @register(

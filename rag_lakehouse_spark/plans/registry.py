@@ -90,6 +90,7 @@ _PRIORITY: tuple[str, ...] = (
     "embed_and_search_portable",
     "media_features_portable",
     "corpus_decontaminate_containment",
+    "media_metadata_incremental",
     # -- r10 part (c): green sentinels (family re-confirmation) --
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -116,8 +117,8 @@ _PRIORITY: tuple[str, ...] = (
     "rag_rm3_expansion",
     "rag_hybrid_rrf",
     "rag_bm25_incremental",
-    "knn_topk_exact",
-    "embedding_mutual_nn",
+    # (knn_topk_exact / embedding_mutual_nn trimmed r10: the vector
+    # family already holds six front slots via the ANN ladder + twins)
     "corpus_semantic_decontaminate",
     "events_gapfill_interpolate",
     "events_interval_overlap_join",
