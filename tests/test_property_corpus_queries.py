@@ -156,6 +156,15 @@ def _run(spark, tmp_path, docs, query_name):
         # the empty-doc left-join path; repeated-letter runs stress
         # leftmost non-overlapping pair merging in the list folds
         "corpus_bpe_encode_portable",
+        # r10: the portable embed->search pipeline (md5-hex quarter
+        # embedder over generated unicode/NULL/empty chunks — duplicate
+        # texts force exact cosine ties on the (score, chunk_id)
+        # tiebreak) and the media twins (byte features + codec
+        # round-trip; single-doc corpora empty the knn side on BOTH
+        # engines)
+        "embed_and_search_portable",
+        "media_features_portable",
+        "media_metadata_report",
     ],
 )
 def test_text_query_matches_oracle_on_generated_corpus(
