@@ -91,6 +91,7 @@ _PRIORITY: tuple[str, ...] = (
     "media_features_portable",
     "corpus_decontaminate_containment",
     "media_metadata_incremental",
+    "rag_eval_retrieval",
     # -- r10 part (c): green sentinels (family re-confirmation) --
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -115,7 +116,8 @@ _PRIORITY: tuple[str, ...] = (
     "text_unigram_surprisal",
     "rag_retrieve_rerank",
     "rag_rm3_expansion",
-    "rag_hybrid_rrf",
+    # (rag_hybrid_rrf trimmed r10: the RAG family keeps four other
+    # front slots incl. the new rag_eval_retrieval)
     "rag_bm25_incremental",
     # (knn_topk_exact / embedding_mutual_nn trimmed r10: the vector
     # family already holds six front slots via the ANN ladder + twins)

@@ -748,3 +748,157 @@ def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("doc_id", F.col("rank").cast("bigint").alias("rank"), "term", "score")
     )
+
+
+# Retrieval-evaluation gains: DCG discount 1/log2(rank+1) and its ideal
+# prefix sums, computed ONCE in Python at import and embedded as the
+# SAME literal doubles in both engines — no transcendental runs at
+# query time, so NDCG needs no rounding precedent at all.
+import math as _math  # noqa: E402
+
+_NDCG_GAIN = tuple(1.0 / _math.log2(r + 1) for r in range(1, 11))
+_NDCG_IDEAL = []
+_acc = 0.0
+for _g in _NDCG_GAIN:  # left-to-right prefix, same adds both engines
+    _acc += _g
+    _NDCG_IDEAL.append(_acc)
+_NDCG_IDEAL = tuple(_NDCG_IDEAL)
+_GAIN_SQL = "[" + ", ".join(repr(g) for g in _NDCG_GAIN) + "]"
+_IDEAL_SQL = "[" + ", ".join(repr(x) for x in _NDCG_IDEAL) + "]"
+
+
+@register(
+    "rag_eval_retrieval",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, coalesce(text, '') AS text FROM documents
+    ), chunks AS (
+      SELECT doc_id,
+             'doc_' || doc_id || '_chunk_' ||
+               unnest(generate_series(0, (greatest(length(text),1)-1)//200))
+               AS chunk_id,
+             unnest(list_transform(
+                 generate_series(0, (greatest(length(text),1)-1)//200),
+                 i -> substring(text, i*200+1, 200)))
+               AS chunk_text
+      FROM d
+    ), emb AS (
+      SELECT doc_id, chunk_id,
+             {VEC.duckdb_md5_embed("chunk_text")} AS embedding
+      FROM chunks
+    ), q AS (
+      SELECT doc_id AS query_id,
+             {VEC.duckdb_md5_embed("substring(text, 1, 120)")} AS q_emb
+      FROM d WHERE doc_id < 5
+    ), ranked AS (
+      SELECT q.query_id, e.doc_id, e.chunk_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.query_id
+               ORDER BY {VEC.duckdb_cosine("e.embedding", "q.q_emb")} DESC,
+                        e.chunk_id ASC) AS rank
+      FROM emb e, q
+    ), nrel AS (
+      SELECT doc_id AS query_id, CAST(COUNT(*) AS BIGINT) AS n_rel
+      FROM chunks WHERE doc_id < 5 GROUP BY doc_id
+    ), hits AS (
+      SELECT query_id, rank FROM ranked
+      WHERE rank <= 10 AND doc_id = query_id
+    ), agg AS (
+      SELECT query_id,
+             CAST(MIN(rank) AS INT) AS first_rel_rank,
+             CAST(COUNT(*) AS BIGINT) AS n_hit,
+             list_reduce(
+               list_prepend(0e0, list_transform(
+                 list_sort(array_agg(rank)), r -> ({_GAIN_SQL})[r])),
+               (a, x) -> a + x) AS dcg
+      FROM hits GROUP BY query_id
+    )
+    SELECT n.query_id, a.first_rel_rank,
+           coalesce(1.0 / a.first_rel_rank, 0.0) AS rr,
+           n.n_rel,
+           CAST(coalesce(a.n_hit, 0) AS BIGINT) AS n_hit,
+           coalesce(CAST(a.n_hit AS DOUBLE) / n.n_rel, 0.0) AS recall_at_10,
+           coalesce(a.dcg / ({_IDEAL_SQL})[CAST(least(n.n_rel, 10) AS INT)], 0.0)
+             AS ndcg_at_10
+    FROM nrel n LEFT JOIN agg a USING (query_id)
+    """,
+    tags=("rag", "evaluation", "portable-twin"),
+)
+def rag_eval_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation — MRR, recall@10, NDCG@10 — over
+    the portable embed→search pipeline, fully hash-checked: queries
+    are the first 5 document prefixes and a chunk is RELEVANT iff it
+    came from the query's own document (self-retrieval ground truth,
+    the standard synthetic-relevance protocol when no judgment set
+    exists). Per query: the first relevant rank (NULL if none in the
+    top-10), reciprocal rank, hit/relevant counts, recall@10, and
+    NDCG@10 whose discount gains 1/log2(rank+1) are PYTHON-computed
+    literals shared by both engines — DCG folds the sorted hit ranks
+    left-to-right, IDCG indexes a literal prefix-sum array, so no
+    transcendental is evaluated at query time and the division is the
+    only float op on non-literal inputs.
+
+    Scale: the candidate scoring reuses the ``embed_and_search``
+    shape (broadcast queries, WindowGroupLimit top-10 per query); the
+    metric aggregation touches ≤10 rows per query. Evaluating a real
+    judgment set swaps the relevance predicate for a join against the
+    qrels table — the metric plan is unchanged."""
+    from rag_lakehouse_spark.operators.chunking import chunk_fixed
+
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "text", F.coalesce("text", F.lit(""))
+    )
+    chunks = chunk_fixed(d, text_col="text", id_col="doc_id", size=200, id_prefix="doc")
+    emb = chunks.select(
+        "doc_id", "chunk_id", VEC.md5_embed("chunk_text").alias("embedding")
+    )
+    qs = d.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"),
+        VEC.md5_embed(F.substring("text", 1, 120)).alias("q_emb"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("chunk_id"))
+    ranked = (
+        emb.crossJoin(F.broadcast(qs))
+        .select(
+            "query_id",
+            "doc_id",
+            "chunk_id",
+            VEC.cosine("embedding", "q_emb").alias("score"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+    )
+    hits = ranked.filter(F.col("doc_id") == F.col("query_id")).select(
+        "query_id", "rank"
+    )
+    gain = F.array(*[F.lit(g) for g in _NDCG_GAIN])
+    ideal = F.array(*[F.lit(x) for x in _NDCG_IDEAL])
+    agg = hits.groupBy("query_id").agg(
+        F.min("rank").cast("int").alias("first_rel_rank"),
+        F.count(F.lit(1)).cast("bigint").alias("n_hit"),
+        F.aggregate(
+            F.array_sort(F.collect_list("rank")),
+            F.lit(0.0),
+            lambda a, r: a + F.element_at(gain, r),
+        ).alias("dcg"),
+    )
+    nrel = (
+        chunks.filter(F.col("doc_id") < 5)
+        .groupBy(F.col("doc_id").alias("query_id"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rel"))
+    )
+    return nrel.join(agg, "query_id", "left").select(
+        "query_id",
+        "first_rel_rank",
+        F.coalesce(F.lit(1.0) / F.col("first_rel_rank"), F.lit(0.0)).alias("rr"),
+        "n_rel",
+        F.coalesce(F.col("n_hit"), F.lit(0)).cast("bigint").alias("n_hit"),
+        F.coalesce(
+            F.col("n_hit").cast("double") / F.col("n_rel"), F.lit(0.0)
+        ).alias("recall_at_10"),
+        F.coalesce(
+            F.col("dcg")
+            / F.element_at(ideal, F.least(F.col("n_rel"), F.lit(10)).cast("int")),
+            F.lit(0.0),
+        ).alias("ndcg_at_10"),
+    )

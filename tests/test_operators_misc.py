@@ -125,6 +125,38 @@ def test_synth_parse_round_trip():
         assert _decode_wav_header(wav) == (ch, sr, ns)
 
 
+def test_synth_parse_round_trip_property():
+    """Hypothesis over the full parameter domains: any synthesized
+    container must re-parse to its own parameters and match the closed
+    byte-count formulas — not just the fixture grid."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from rag_lakehouse_spark.operators.multimodal import (
+        _decode_image_bytes,
+        _decode_wav_header,
+        synth_media_bytes,
+    )
+
+    @settings(max_examples=80, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=0xFFFF),
+        h=st.integers(min_value=1, max_value=0xFFFF),
+        ch=st.sampled_from([1, 2]),
+        sr=st.integers(min_value=1, max_value=192000),
+        ns=st.integers(min_value=0, max_value=500),
+    )
+    def check(w, h, ch, sr, ns):
+        assert _decode_image_bytes(synth_media_bytes("png", width=w, height=h)) == (w, h)
+        assert _decode_image_bytes(synth_media_bytes("bmp", width=w, height=h)) == (w, h)
+        assert _decode_image_bytes(synth_media_bytes("gif", width=w, height=h)) == (w, h)
+        wav = synth_media_bytes("wav", channels=ch, sample_rate=sr, n_samples=ns)
+        assert len(wav) == 44 + 2 * ch * ns
+        assert _decode_wav_header(wav) == (ch, sr, ns)
+
+    check()
+
+
 def test_decode_bmp_top_down_height():
     """Negative biHeight means top-down row order — dims report abs."""
     from rag_lakehouse_spark.operators.multimodal import _decode_image_bytes

@@ -165,6 +165,10 @@ def _run(spark, tmp_path, docs, query_name):
         "embed_and_search_portable",
         "media_features_portable",
         "media_metadata_report",
+        # retrieval-eval metrics: tiny corpora give empty top-10 hits
+        # (rr/recall/ndcg coalesce to 0.0), duplicate texts force
+        # rank ties, and n_rel < 10 exercises the ideal-prefix index
+        "rag_eval_retrieval",
     ],
 )
 def test_text_query_matches_oracle_on_generated_corpus(
