@@ -78,6 +78,11 @@ def md5_embed(col: Column | str, dim: int = 16) -> Column:
     Built on the proven Spark ``conv(substring(md5(s)))`` == DuckDB
     ``('0x' || substr(md5(s)))::BIGINT`` idiom (operators/
     dedup_portable.py), including Unicode inputs."""
+    if not 1 <= dim <= 32:
+        # past the 32 hex chars the twins would fail DIFFERENTLY:
+        # Spark substring('') -> conv NULL (silent NULL components),
+        # DuckDB CAST('0x' AS BIGINT) -> loud error
+        raise ValueError(f"md5_embed dim must be in [1, 32], got {dim}")
     c = F.col(col) if isinstance(col, str) else col
     h = F.md5(c.cast("binary"))
     return F.array(
@@ -94,6 +99,8 @@ def md5_embed(col: Column | str, dim: int = 16) -> Column:
 def duckdb_md5_embed(s: str, dim: int = 16) -> str:
     """The DuckDB twin of ``md5_embed`` — identical digits, identical
     quarters."""
+    if not 1 <= dim <= 32:
+        raise ValueError(f"duckdb_md5_embed dim must be in [1, 32], got {dim}")
     return (
         f"list_transform(generate_series(1, {dim}), i -> "
         f"(CAST(('0x' || substr(md5({s}), i, 1)) AS BIGINT) - 8) / 4.0)"

@@ -84,17 +84,29 @@ def _decode_wav_header(content: bytes) -> tuple[int, int, int]:
     """(channels, sample_rate, n_samples) from a canonical RIFF/WAVE
     header (PCM 'fmt ' chunk directly after 'WAVE', then 'data') —
     the layout every stdlib-written WAV uses. Walks chunks, so an
-    optional chunk between fmt and data is tolerated."""
+    optional chunk between fmt and data is tolerated.
+
+    Malformed streams raise NotImplementedError, NEVER struct.error /
+    ZeroDivisionError: every fmt field is bounds- and sanity-checked
+    (declared chunk length >= 16, buffer long enough, channels >= 1,
+    whole-byte sample width) so a corrupt row degrades to the
+    fmt-NULL path in ``media_metadata`` instead of failing the task."""
     if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
         raise NotImplementedError("not a RIFF/WAVE stream")
     pos, channels, rate, bits, data_len = 12, None, None, None, None
     while pos + 8 <= len(content):
-        cid, clen = content[pos : pos + 4], struct.unpack(
-            "<I", content[pos + 4 : pos + 8]
-        )[0]
+        cid = content[pos : pos + 4]
+        clen = struct.unpack("<I", content[pos + 4 : pos + 8])[0]
         if cid == b"fmt ":
+            # A valid PCM fmt body is >= 16 bytes and must fit the
+            # buffer — a shorter declared length would make the fixed
+            # offsets below read the NEXT chunk's bytes as fields.
+            if clen < 16 or pos + 24 > len(content):
+                raise NotImplementedError("truncated fmt chunk")
             channels, rate = struct.unpack("<HI", content[pos + 10 : pos + 16])
             bits = struct.unpack("<H", content[pos + 22 : pos + 24])[0]
+            if channels < 1 or bits < 8 or bits % 8:
+                raise NotImplementedError("non-PCM or corrupt fmt fields")
         elif cid == b"data":
             data_len = clen
         pos += 8 + clen + (clen & 1)  # RIFF chunks are word-aligned
@@ -207,7 +219,11 @@ def media_metadata(
                     else:
                         w, h = _decode_image_bytes(b)
                         fmt = {0x89: "png", 0x42: "bmp", 0x47: "gif"}[b[0]]
-                except (NotImplementedError, IndexError):
+                except (NotImplementedError, IndexError, struct.error):
+                    # decoders contract to NotImplementedError on
+                    # malformed input; struct.error stays here as the
+                    # defensive backstop — ONE corrupt row must never
+                    # fail the task (it degrades to fmt NULL + n_bytes)
                     fmt = None
                 rows.append((rid, fmt, w, h, ch, sr, ns, len(b)))
             yield pd.DataFrame(

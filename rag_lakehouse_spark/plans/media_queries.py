@@ -220,36 +220,38 @@ def media_features_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the query side is a 1-row broadcast; scoring is one fold
     per corpus row (norms hoisted inside ``VEC.cosine``'s guard
     expression); top-5 is ``orderBy().limit()`` →
-    TakeOrderedAndProject; rank assignment happens on the 5-row
+    TakeOrderedAndProject carrying ONLY (id, score); the byte
+    features (sha256, octet length) compute on the 5 winners via the
+    join-back — never per corpus row (the oracle's correlated
+    subselect does the same). Rank assignment happens on the 5-row
     result, never a global window over the corpus."""
     d = load_table(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("media_id"),
         F.coalesce("text", F.lit("")).alias("text"),
     )
-    m = d.select(
-        "media_id",
-        F.encode("text", "UTF-8").alias("content"),
-        VEC.md5_embed("text").alias("embedding"),
+    emb = d.select("media_id", VEC.md5_embed("text").alias("embedding"))
+    q = emb.filter(F.col("media_id") == 0).select(
+        F.col("embedding").alias("q_emb")
     )
-    q = m.filter(F.col("media_id") == 0).select(F.col("embedding").alias("q_emb"))
     top = (
-        m.filter(F.col("media_id") != 0)
+        emb.filter(F.col("media_id") != 0)
         .crossJoin(F.broadcast(q))
         .select(
             F.col("media_id").alias("neighbor_id"),
             VEC.cosine("embedding", "q_emb").alias("score"),
-            F.length("content").cast("bigint").alias("n_bytes"),
-            F.sha2("content", 256).alias("sha_hex"),
         )
         .orderBy(F.desc("score"), F.asc("neighbor_id"))
         .limit(5)
     )
     w = W.orderBy(F.desc("score"), F.asc("neighbor_id"))  # 5 rows — bounded
-    return top.withColumn("rank", F.row_number().over(w)).select(
+    ranked = top.withColumn("rank", F.row_number().over(w))
+    return d.join(  # 5-row winners broadcast; the corpus side streams
+        F.broadcast(ranked), d["media_id"] == ranked["neighbor_id"]
+    ).select(
         F.lit(0).cast("int").alias("query_id"),
         "neighbor_id",
         "rank",
         "score",
-        "n_bytes",
-        "sha_hex",
+        F.length(F.encode("text", "UTF-8")).cast("bigint").alias("n_bytes"),
+        F.sha2(F.encode("text", "UTF-8"), 256).alias("sha_hex"),
     )

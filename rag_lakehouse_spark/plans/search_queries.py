@@ -767,30 +767,16 @@ _GAIN_SQL = "[" + ", ".join(repr(g) for g in _NDCG_GAIN) + "]"
 _IDEAL_SQL = "[" + ", ".join(repr(x) for x in _NDCG_IDEAL) + "]"
 
 
+from rag_lakehouse_spark.plans.embed_common import (  # noqa: E402
+    CHUNK_EMB_CTES as _EMBED_CTES,
+    chunked_embeddings as _chunked_embeddings,
+)
+
+
 @register(
     "rag_eval_retrieval",
     oracle=f"""
-    WITH d AS (
-      SELECT doc_id, coalesce(text, '') AS text FROM documents
-    ), chunks AS (
-      SELECT doc_id,
-             'doc_' || doc_id || '_chunk_' ||
-               unnest(generate_series(0, (greatest(length(text),1)-1)//200))
-               AS chunk_id,
-             unnest(list_transform(
-                 generate_series(0, (greatest(length(text),1)-1)//200),
-                 i -> substring(text, i*200+1, 200)))
-               AS chunk_text
-      FROM d
-    ), emb AS (
-      SELECT doc_id, chunk_id,
-             {VEC.duckdb_md5_embed("chunk_text")} AS embedding
-      FROM chunks
-    ), q AS (
-      SELECT doc_id AS query_id,
-             {VEC.duckdb_md5_embed("substring(text, 1, 120)")} AS q_emb
-      FROM d WHERE doc_id < 5
-    ), ranked AS (
+    WITH {_EMBED_CTES}, ranked AS (
       SELECT q.query_id, e.doc_id, e.chunk_id,
              ROW_NUMBER() OVER (
                PARTITION BY q.query_id
@@ -842,20 +828,10 @@ def rag_eval_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape (broadcast queries, WindowGroupLimit top-10 per query); the
     metric aggregation touches ≤10 rows per query. Evaluating a real
     judgment set swaps the relevance predicate for a join against the
-    qrels table — the metric plan is unchanged."""
-    from rag_lakehouse_spark.operators.chunking import chunk_fixed
-
-    d = load_table(spark, sf_dir, "documents").withColumn(
-        "text", F.coalesce("text", F.lit(""))
-    )
-    chunks = chunk_fixed(d, text_col="text", id_col="doc_id", size=200, id_prefix="doc")
-    emb = chunks.select(
-        "doc_id", "chunk_id", VEC.md5_embed("chunk_text").alias("embedding")
-    )
-    qs = d.filter(F.col("doc_id") < 5).select(
-        F.col("doc_id").alias("query_id"),
-        VEC.md5_embed(F.substring("text", 1, 120)).alias("q_emb"),
-    )
+    qrels table — the metric plan is unchanged. The chunk→embed→query
+    scaffolding is shared with ``embed_and_search_portable``
+    (plans/embed_common.py) so the twins cannot drift apart."""
+    chunks, emb, qs = _chunked_embeddings(spark, sf_dir)
     w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("chunk_id"))
     ranked = (
         emb.crossJoin(F.broadcast(qs))

@@ -9,6 +9,10 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from rag_lakehouse_spark.functions import vector as VEC
+from rag_lakehouse_spark.plans.embed_common import (
+    CHUNK_EMB_CTES as _EMBED_CTES,
+    chunked_embeddings,
+)
 from rag_lakehouse_spark.plans.registry import register
 from rag_lakehouse_spark.sources.tables import load_table
 
@@ -175,26 +179,7 @@ def embed_and_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "embed_and_search_portable",
     oracle=f"""
-    WITH d AS (
-      SELECT doc_id, coalesce(text, '') AS text FROM documents
-    ), chunks AS (
-      SELECT doc_id,
-             'doc_' || doc_id || '_chunk_' ||
-               unnest(generate_series(0, (greatest(length(text),1)-1)//200))
-               AS chunk_id,
-             unnest(list_transform(
-                 generate_series(0, (greatest(length(text),1)-1)//200),
-                 i -> substring(text, i*200+1, 200)))
-               AS chunk_text
-      FROM d
-    ), emb AS (
-      SELECT chunk_id, {VEC.duckdb_md5_embed("chunk_text")} AS embedding
-      FROM chunks
-    ), q AS (
-      SELECT doc_id AS query_id,
-             {VEC.duckdb_md5_embed("substring(text, 1, 120)")} AS q_emb
-      FROM d WHERE doc_id < 5
-    ), ranked AS (
+    WITH {_EMBED_CTES}, ranked AS (
       SELECT q.query_id, e.chunk_id,
              {VEC.duckdb_cosine("e.embedding", "q.q_emb")} AS score,
              ROW_NUMBER() OVER (
@@ -223,20 +208,10 @@ def embed_and_search_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     column expressions (JVM-side, no Python); the 5 query vectors
     broadcast; the per-query rank window shuffles only on query_id
     with WindowGroupLimit keeping 3 rows per partition pre-shuffle —
-    the ``knn_exact`` plan shape with the embedder inlined."""
-    from rag_lakehouse_spark.operators.chunking import chunk_fixed
-
-    d = load_table(spark, sf_dir, "documents").withColumn(
-        "text", F.coalesce("text", F.lit(""))
-    )
-    chunks = chunk_fixed(d, text_col="text", id_col="doc_id", size=200, id_prefix="doc")
-    emb = chunks.select(
-        "chunk_id", VEC.md5_embed("chunk_text").alias("embedding")
-    )
-    qs = d.filter(F.col("doc_id") < 5).select(
-        F.col("doc_id").alias("query_id"),
-        VEC.md5_embed(F.substring("text", 1, 120)).alias("q_emb"),
-    )
+    the ``knn_exact`` plan shape with the embedder inlined. The
+    chunk→embed→query scaffolding is shared with ``rag_eval_retrieval``
+    (plans/embed_common.py) so the twins cannot drift apart."""
+    _, emb, qs = chunked_embeddings(spark, sf_dir)
     w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("chunk_id"))
     return (
         emb.crossJoin(F.broadcast(qs))

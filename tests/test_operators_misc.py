@@ -192,6 +192,46 @@ def test_decoders_reject_garbage():
             _decode_wav_header(b)
 
 
+def test_wav_decoder_degrades_on_malformed_not_crashes():
+    """r10 review finding: malformed RIFF streams must raise
+    NotImplementedError (the media_metadata fmt-NULL path), never
+    struct.error or ZeroDivisionError — one corrupt row must not fail
+    a whole task."""
+    from rag_lakehouse_spark.operators.multimodal import _decode_wav_header
+
+    cases = [
+        # fmt declares 16 bytes but the buffer ends — fixed-offset
+        # reads would hit an empty slice (struct.error before the fix)
+        b"RIFF" + struct.pack("<I", 12) + b"WAVEfmt " + struct.pack("<I", 16),
+        # channels=0 — n_samples division (ZeroDivisionError before)
+        b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 0, 8000, 0, 0, 16)
+        + b"data" + struct.pack("<I", 4) + bytes(4),
+        # fmt chunk declares only 8 bytes — field reads would overlap
+        # the next chunk's header (silent garbage before)
+        b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 8) + bytes(8)
+        + b"data" + struct.pack("<I", 0),
+        # 7-bit samples — not whole-byte PCM
+        b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 2, 8000, 32000, 4, 7)
+        + b"data" + struct.pack("<I", 4) + bytes(4),
+    ]
+    for b in cases:
+        with pytest.raises(NotImplementedError):
+            _decode_wav_header(b)
+
+
+def test_md5_embed_rejects_out_of_range_dim():
+    from rag_lakehouse_spark.functions import vector as VEC
+
+    for bad in (0, 33):
+        with pytest.raises(ValueError):
+            VEC.md5_embed("text", dim=bad)
+        with pytest.raises(ValueError):
+            VEC.duckdb_md5_embed("text", dim=bad)
+
+
 def test_media_metadata_operator_mixed(spark):
     """media_metadata over a mixed batch: typed rows for every codec,
     fmt NULL + byte count only for undecodable content."""
