@@ -763,8 +763,17 @@ for _g in _NDCG_GAIN:  # left-to-right prefix, same adds both engines
     _acc += _g
     _NDCG_IDEAL.append(_acc)
 _NDCG_IDEAL = tuple(_NDCG_IDEAL)
-_GAIN_SQL = "[" + ", ".join(repr(g) for g in _NDCG_GAIN) + "]"
-_IDEAL_SQL = "[" + ", ".join(repr(x) for x in _NDCG_IDEAL) + "]"
+# EXPONENT notation is load-bearing (r10 fuzz catch): DuckDB lexes a
+# bare 17-digit literal like 0.38685280723454163 as DECIMAL, and its
+# DECIMAL->DOUBLE conversion can land one ulp off Python's correctly-
+# rounded parse — 3.86852807234541630e-01 parses as DOUBLE directly
+# (fast_float, correctly rounded, bit-equal to the Spark F.lit). The
+# ANN-twin literals are unaffected: binary quarters are exact in
+# few-digit decimal, so their DECIMAL->DOUBLE conversion is exact.
+# RULE: any non-dyadic double embedded in an oracle string must carry
+# an exponent.
+_GAIN_SQL = "[" + ", ".join(f"{g:.17e}" for g in _NDCG_GAIN) + "]"
+_IDEAL_SQL = "[" + ", ".join(f"{x:.17e}" for x in _NDCG_IDEAL) + "]"
 
 
 from rag_lakehouse_spark.plans.embed_common import (  # noqa: E402

@@ -179,9 +179,14 @@ def embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _duckdb_plane_dot(vec: str, plane: list[float]) -> str:
     """DuckDB fragment: left-fold dot of a vector column against a
-    LITERAL hyperplane (repr() round-trips each double exactly, so both
-    engines fold the identical products)."""
-    arr = "[" + ", ".join(repr(float(x)) for x in plane) + "]::DOUBLE[]"
+    LITERAL hyperplane. Exponent notation is load-bearing (the r10
+    NDCG-literal lesson): bare 17-digit decimals lex as DECIMAL and
+    DuckDB's DECIMAL->DOUBLE conversion can land one ulp off the
+    correctly-rounded parse Spark's F.lit carries — an e-notation
+    literal parses as DOUBLE directly, bit-equal. For SRP only a
+    near-zero dot could ever flip a sign bit, but the literals should
+    be identical, not merely almost-always-equivalent."""
+    arr = "[" + ", ".join(f"{float(x):.17e}" for x in plane) + "]::DOUBLE[]"
     return (
         f"list_sum(list_transform(generate_series(1, {len(plane)}), "
         f"i -> CAST({vec}[i] AS DOUBLE) * ({arr})[i]))"

@@ -178,6 +178,18 @@ def test_text_query_matches_oracle_on_generated_corpus(
     assert not problems, problems
 
 
+def test_rag_eval_all_empty_docs_regression(spark, tmp_path):
+    """r10 fuzz catch, pinned deterministically: five NULL docs
+    collapse every chunk to the same empty-string embedding, so each
+    query's own chunk lands at a TIED rank > 1 (query 4's at rank 5
+    under the chunk_id tiebreak) — exercising the non-unit NDCG gain
+    literals whose bare-decimal form DuckDB lexed as DECIMAL and
+    converted to DOUBLE one ulp off Python's parse. The fix formats
+    oracle-embedded non-dyadic doubles in e-notation."""
+    problems = _run(spark, tmp_path, [None] * 5, "rag_eval_retrieval")
+    assert not problems, problems
+
+
 # Long repeated phrases guarantee real 13-gram overlap between the
 # bench (doc_id < 10) and corpus (doc_id >= 10) sides — the generic
 # generator's ids never cross the split, so the decontamination pair
