@@ -115,6 +115,98 @@ def _decode_wav_header(content: bytes) -> tuple[int, int, int]:
     return int(channels), int(rate), int(data_len // (channels * (bits // 8)))
 
 
+def _decode_wav_pcm(content: bytes) -> tuple[int, int, "np.ndarray"]:
+    """(channels, sample_rate, int16 sample array) — the payload-level
+    sibling of ``_decode_wav_header``: same chunk walk and the same
+    NotImplementedError-on-malformed contract, but also slices the
+    PCM16 data chunk (truncated payloads raise instead of silently
+    reading short)."""
+    channels, rate, n_samples = _decode_wav_header(content)
+    pos = 12
+    while pos + 8 <= len(content):
+        cid = content[pos : pos + 4]
+        clen = struct.unpack("<I", content[pos + 4 : pos + 8])[0]
+        if cid == b"data":
+            if pos + 8 + clen > len(content):
+                raise NotImplementedError("truncated data chunk")
+            data = content[pos + 8 : pos + 8 + clen]
+            return channels, rate, np.frombuffer(data, dtype="<i2")
+        pos += 8 + clen + (clen & 1)
+    raise NotImplementedError("missing data chunk")  # pragma: no cover
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("sum_sq", T.LongType()),
+        T.StructField("peak_abs", T.IntegerType()),
+        T.StructField("rms", T.DoubleType()),
+    ]
+)
+
+
+def audio_features(
+    df: DataFrame,
+    id_col: str = "media_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """PCM-payload feature extraction — the audio DECODE step, not
+    just header metadata: per file, the exact integer energy
+    (sum of squared int16 samples), peak |amplitude|, and RMS
+    (sqrt of the exact mean square — IEEE-correctly-rounded, so it is
+    engine-reproducible from the integers). Undecodable rows yield
+    NULL features with the id preserved.
+
+    Same mapInPandas seam as ``media_metadata``: bytes stay on the
+    executor, one Arrow batch in, one typed row per file out; the
+    int16 math runs vectorized in NumPy per row. Real deployments
+    swap in mel/spectrogram extractors behind the same signature —
+    those need DSP libs this container lacks; energy/peak/RMS are the
+    lib-free features."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, content in zip(pdf[id_col], pdf[content_col]):
+                b = bytes(content) if content is not None else b""
+                ch = sr = ns = ss = pk = rms = None
+                try:
+                    ch, sr, samples = _decode_wav_pcm(b)
+                    ns = len(samples) // ch if ch else 0
+                    s64 = samples.astype(np.int64)
+                    ss = int((s64 * s64).sum())
+                    pk = int(np.abs(s64).max()) if len(s64) else 0
+                    # math.sqrt is IEEE-correctly-rounded (x**0.5 via
+                    # pow is not guaranteed to be) — the oracle's
+                    # sqrt(sum_sq / N) must match bit-for-bit
+                    import math
+
+                    rms = math.sqrt(ss / len(s64)) if len(s64) else 0.0
+                except (NotImplementedError, IndexError, struct.error):
+                    pass
+                rows.append((rid, ch, sr, ns, ss, pk, rms))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "channels",
+                    "sample_rate",
+                    "n_samples",
+                    "sum_sq",
+                    "peak_abs",
+                    "rms",
+                ],
+            )
+
+    fanned = df.select(id_col, content_col).repartition(
+        max(df.sparkSession.sparkContext.defaultParallelism, 1)
+    )
+    return fanned.mapInPandas(extract, AUDIO_FEATURES_SCHEMA)
+
+
 def synth_media_bytes(
     kind: str,
     width: int = 0,
@@ -122,6 +214,7 @@ def synth_media_bytes(
     channels: int = 1,
     sample_rate: int = 8000,
     n_samples: int = 0,
+    payload: bytes | None = None,
 ) -> bytes:
     """Deterministic REAL container bytes, pure stdlib — a minimal but
     format-valid PNG (signature + CRC'd IHDR + IEND), BMP (54-byte
@@ -157,6 +250,9 @@ def synth_media_bytes(
         )  # 14 bytes
     if kind == "wav":
         data_len = 2 * channels * n_samples  # PCM16
+        payload = payload if payload is not None else bytes(data_len)
+        if len(payload) != data_len:
+            raise ValueError("payload length must be 2 * channels * n_samples")
         return (
             b"RIFF"
             + struct.pack("<I", 36 + data_len)
@@ -174,7 +270,7 @@ def synth_media_bytes(
             )
             + b"data"
             + struct.pack("<I", data_len)
-            + bytes(data_len)
+            + payload
         )  # 44 + data_len bytes
     raise ValueError(f"unknown media kind: {kind}")
 

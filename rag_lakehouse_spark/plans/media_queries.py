@@ -182,6 +182,95 @@ def media_metadata_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "media_audio_features",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id AS media_id,
+             CAST(1 + doc_id % 2 AS INT) AS ch,
+             CAST(8000 * (1 + doc_id % 3) AS INT) AS sr,
+             CAST(50 + doc_id % 100 AS INT) AS ns
+      FROM documents WHERE doc_id % 4 = 3
+    ), s AS (
+      SELECT media_id, ch, sr, ns,
+             list_transform(generate_series(0, ch * ns - 1),
+                            i -> (media_id * 31 + i * 7) % 2001 - 1000) AS smp
+      FROM p
+    )
+    SELECT media_id, ch AS channels, sr AS sample_rate, ns AS n_samples,
+           CAST(list_sum(list_transform(smp, x -> x * x)) AS BIGINT) AS sum_sq,
+           CAST(list_max(list_transform(smp, x -> abs(x))) AS INT) AS peak_abs,
+           sqrt(CAST(list_sum(list_transform(smp, x -> x * x)) AS DOUBLE)
+                / (ch * ns)) AS rms
+    FROM s
+    """,
+    tags=("multimodal", "audio", "pandas"),
+)
+def media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio FEATURE EXTRACTION over the PCM payload — the decode
+    step beyond header metadata: every wav-kind document synthesizes
+    a format-valid PCM16 WAV whose samples follow the closed formula
+    ``s_i = (media_id*31 + i*7) % 2001 - 1000``, and
+    ``operators.multimodal.audio_features`` re-reads channels/rate
+    AND the samples FROM BYTES ALONE, emitting the exact integer
+    energy (sum of squares), peak |amplitude|, and RMS. The oracle
+    recomputes all of it from the formula — a wrong byte offset,
+    endianness, or width in either the writer or the reader changes
+    sum_sq/peak/rms and breaks the hash. RMS is the one float: an
+    exact-integer division then one IEEE-correctly-rounded sqrt on
+    both engines.
+
+    Scale: map-only (parameter projection → synth+parse mapInPandas);
+    the int16 math is vectorized NumPy per row; real mel/spectrogram
+    extractors swap in behind the same signature when DSP libs
+    exist."""
+    import pandas as pd
+
+    from rag_lakehouse_spark.operators.multimodal import (
+        audio_features,
+        synth_media_bytes,
+    )
+
+    params = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 4 == 3)
+        .select(
+            F.col("doc_id").alias("media_id"),
+            (1 + F.col("doc_id") % 2).cast("int").alias("ch"),
+            (8000 * (1 + F.col("doc_id") % 3)).cast("int").alias("sr"),
+            (50 + F.col("doc_id") % 100).cast("int").alias("ns"),
+        )
+    )
+
+    def build(batches):
+        import struct as _struct
+
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                n = int(r.ch) * int(r.ns)
+                smp = [
+                    (int(r.media_id) * 31 + i * 7) % 2001 - 1000
+                    for i in range(n)
+                ]
+                out.append(
+                    (
+                        r.media_id,
+                        synth_media_bytes(
+                            "wav",
+                            channels=int(r.ch),
+                            sample_rate=int(r.sr),
+                            n_samples=int(r.ns),
+                            payload=_struct.pack(f"<{n}h", *smp),
+                        ),
+                    )
+                )
+            yield pd.DataFrame(out, columns=["media_id", "content"])
+
+    media = params.mapInPandas(build, "media_id long, content binary")
+    return audio_features(media)
+
+
+@register(
     "media_features_portable",
     oracle=f"""
     WITH m AS (

@@ -92,6 +92,7 @@ _PRIORITY: tuple[str, ...] = (
     "corpus_decontaminate_containment",
     "media_metadata_incremental",
     "rag_eval_retrieval",
+    "media_audio_features",
     # -- r10 part (c): green sentinels (family re-confirmation) --
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -119,9 +120,9 @@ _PRIORITY: tuple[str, ...] = (
     # (rag_hybrid_rrf trimmed r10: the RAG family keeps four other
     # front slots incl. the new rag_eval_retrieval)
     "rag_bm25_incremental",
-    # (knn_topk_exact / embedding_mutual_nn trimmed r10: the vector
-    # family already holds six front slots via the ANN ladder + twins)
-    "corpus_semantic_decontaminate",
+    # (knn_topk_exact / embedding_mutual_nn / corpus_semantic_decontaminate
+    # trimmed r10: their families hold multiple other front slots via
+    # the ANN ladder, twins, and the corpus block)
     "events_gapfill_interpolate",
     "events_interval_overlap_join",
     "graph_triangle_counts",

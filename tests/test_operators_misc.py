@@ -222,6 +222,39 @@ def test_wav_decoder_degrades_on_malformed_not_crashes():
             _decode_wav_header(b)
 
 
+def test_audio_features_exact_energy(spark):
+    """audio_features must recover the exact integer energy and peak
+    from the PCM payload, NULL out undecodable rows, and reject a
+    data chunk whose declared length exceeds the buffer."""
+    from rag_lakehouse_spark.operators.multimodal import (
+        _decode_wav_pcm,
+        audio_features,
+        synth_media_bytes,
+    )
+
+    samples = [3, -4, 1000, -1000, 0, 7]
+    wav = synth_media_bytes(
+        "wav", channels=2, sample_rate=8000, n_samples=3,
+        payload=struct.pack("<6h", *samples),
+    )
+    garbage = b"RIFF" + struct.pack("<I", 4) + b"WAVE"  # no fmt/data
+    truncated = wav[:-2]  # data chunk declares more than the buffer holds
+    df = spark.createDataFrame(
+        [(1, bytearray(wav)), (2, bytearray(garbage)), (3, bytearray(truncated))],
+        "media_id long, content binary",
+    )
+    got = {r.media_id: r for r in audio_features(df).collect()}
+    want_ss = sum(s * s for s in samples)
+    assert (got[1].channels, got[1].sample_rate, got[1].n_samples) == (2, 8000, 3)
+    assert got[1].sum_sq == want_ss and got[1].peak_abs == 1000
+    import math
+
+    assert got[1].rms == math.sqrt(want_ss / 6)
+    assert got[2].sum_sq is None and got[3].sum_sq is None
+    with pytest.raises(NotImplementedError):
+        _decode_wav_pcm(truncated)
+
+
 def test_md5_embed_rejects_out_of_range_dim():
     from rag_lakehouse_spark.functions import vector as VEC
 
