@@ -197,6 +197,45 @@ def encode_words(words: DataFrame, rules: list[tuple[int, str, str, int]]) -> Da
     return words.select("word").mapInPandas(enc_batches, "word string, n_toks int")
 
 
+def encode_words_stats(
+    words: DataFrame, rules: list[tuple[int, str, str, int]]
+) -> DataFrame:
+    """(word, n_toks, n_merged, merged_chars): per DISTINCT word, the
+    encoded symbol count plus MERGE-COVERAGE stats — how many output
+    symbols are multi-character (i.e. produced by some merge rule) and
+    how many of the word's characters those symbols cover. The
+    tokenizer-fit signal per vocabulary entry; same word-type collapse
+    and Arrow seam as ``encode_words``."""
+    order = [(l, r) for _, l, r, _ in sorted(rules)]
+
+    def enc_batches(batches):
+        for pdf in batches:
+            n_toks, n_merged, merged_chars = [], [], []
+            for w in pdf["word"]:
+                syms = list(w)
+                for left, right in order:
+                    if len(syms) < 2:
+                        break
+                    out: list[str] = []
+                    for x in syms:
+                        if out and out[-1] == left and x == right:
+                            out[-1] = left + right
+                        else:
+                            out.append(x)
+                    syms = out
+                n_toks.append(len(syms))
+                merged = [s for s in syms if len(s) > 1]
+                n_merged.append(len(merged))
+                merged_chars.append(sum(len(s) for s in merged))
+            yield pdf.assign(
+                n_toks=n_toks, n_merged=n_merged, merged_chars=merged_chars
+            )[["word", "n_toks", "n_merged", "merged_chars"]]
+
+    return words.select("word").mapInPandas(
+        enc_batches, "word string, n_toks int, n_merged int, merged_chars int"
+    )
+
+
 def encode_word_reference(
     word: str, rules: list[tuple[int, str, str, int]]
 ) -> list[str]:

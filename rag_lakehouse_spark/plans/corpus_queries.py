@@ -1388,3 +1388,120 @@ def corpus_bpe_encode_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     rules = [(i + 1, l, r, 0) for i, (l, r) in enumerate(_BPE_FROZEN)]
     return bpe_token_counts(d, rules)
+
+
+@register(
+    "corpus_vocab_coverage",
+    oracle=f"""
+    WITH words AS (
+      SELECT source, t AS word FROM (
+        SELECT source, unnest({TX.duckdb_tokens("coalesce(text, '')")}) AS t
+        FROM documents)
+      WHERE t <> ''
+    ), wc AS (
+      SELECT source, word, CAST(COUNT(*) AS BIGINT) AS n_occ
+      FROM words GROUP BY 1, 2
+    ), vocab AS (
+      SELECT word,
+             CAST(len(syms) AS BIGINT) AS n_toks,
+             CAST(len(list_filter(syms, s -> length(s) > 1)) AS BIGINT)
+               AS n_merged,
+             CAST(coalesce(list_sum(list_transform(
+                    list_filter(syms, s -> length(s) > 1),
+                    s -> length(s))), 0) AS BIGINT) AS merged_chars
+      FROM (SELECT word, {_bpe_encode_sql("word")} AS syms
+            FROM (SELECT DISTINCT word FROM words))
+    ), per_source AS (
+      SELECT w.source,
+             CAST(SUM(w.n_occ) AS BIGINT) AS n_tokens,
+             CAST(SUM(w.n_occ * length(w.word)) AS BIGINT) AS n_chars,
+             CAST(SUM(w.n_occ * v.n_toks) AS BIGINT) AS n_bpe_tokens,
+             CAST(SUM(w.n_occ * v.n_merged) AS BIGINT) AS n_merged_symbols,
+             CAST(SUM(w.n_occ * v.merged_chars) AS BIGINT) AS n_merged_chars
+      FROM wc w JOIN vocab v USING (word) GROUP BY 1
+    )
+    SELECT s.source,
+           COALESCE(p.n_tokens, 0) AS n_tokens,
+           COALESCE(p.n_bpe_tokens, 0) AS n_bpe_tokens,
+           COALESCE(p.n_merged_symbols, 0) AS n_merged_symbols,
+           CASE WHEN COALESCE(p.n_chars, 0) > 0
+                THEN CAST(p.n_merged_chars AS DOUBLE) / p.n_chars
+           END AS merged_char_fraction,
+           CASE WHEN COALESCE(p.n_bpe_tokens, 0) > 0
+                THEN CAST(p.n_chars AS DOUBLE) / p.n_bpe_tokens
+           END AS chars_per_token
+    FROM (SELECT DISTINCT source FROM documents) s
+    LEFT JOIN per_source p USING (source)
+    """,
+    tags=("text", "tokenizer", "training-data", "governance"),
+)
+def corpus_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source tokenizer FIT under the frozen merge table: what
+    fraction of each source's characters ends up inside a merged
+    (multi-character) symbol, plus compression (chars per BPE token).
+    The corpus-QA readout that tells a training run which domain a
+    deployed tokenizer serves poorly — a source full of code or
+    non-English text shows a low merged-char fraction and near-1.0
+    chars/token, i.e. it pays more sequence length per character than
+    the domains the vocabulary was trained on.
+
+    Scale: the same word-type collapse as every BPE row — Python
+    encodes the DISTINCT vocabulary once (now also emitting merge-
+    coverage stats per entry); occurrence counts fan the stats back by
+    an equi-join; one bounded per-source aggregate. The oracle replays
+    the frozen cascade per distinct word and recomputes the weighted
+    sums exactly (all-integer until the two final divisions)."""
+    from rag_lakehouse_spark.operators.bpe import encode_words_stats
+
+    d = load_table(spark, sf_dir, "documents")
+    rules = [(i + 1, l, r, 0) for i, (l, r) in enumerate(_BPE_FROZEN)]
+    words = d.select(
+        "source",
+        F.explode(
+            F.split(TX.edge_trim(F.coalesce("text", F.lit(""))), TX.WS)
+        ).alias("word"),
+    ).filter(F.col("word") != "")
+    wc = words.groupBy("source", "word").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_occ")
+    )
+    vocab = encode_words_stats(wc.select("word").distinct(), rules)
+    per_source = (
+        wc.join(vocab, "word")
+        .groupBy("source")
+        .agg(
+            F.sum("n_occ").cast("bigint").alias("n_tokens"),
+            F.sum(F.col("n_occ") * F.length("word")).cast("bigint").alias("n_chars"),
+            F.sum(F.col("n_occ") * F.col("n_toks")).cast("bigint").alias(
+                "n_bpe_tokens"
+            ),
+            F.sum(F.col("n_occ") * F.col("n_merged")).cast("bigint").alias(
+                "n_merged_symbols"
+            ),
+            F.sum(F.col("n_occ") * F.col("merged_chars")).cast("bigint").alias(
+                "n_merged_chars"
+            ),
+        )
+    )
+    return (
+        d.select("source")
+        .distinct()
+        .join(per_source, "source", "left")
+        .select(
+            "source",
+            F.coalesce("n_tokens", F.lit(0)).cast("bigint").alias("n_tokens"),
+            F.coalesce("n_bpe_tokens", F.lit(0)).cast("bigint").alias(
+                "n_bpe_tokens"
+            ),
+            F.coalesce("n_merged_symbols", F.lit(0)).cast("bigint").alias(
+                "n_merged_symbols"
+            ),
+            F.when(
+                F.coalesce("n_chars", F.lit(0)) > 0,
+                F.col("n_merged_chars").cast("double") / F.col("n_chars"),
+            ).alias("merged_char_fraction"),
+            F.when(
+                F.coalesce("n_bpe_tokens", F.lit(0)) > 0,
+                F.col("n_chars").cast("double") / F.col("n_bpe_tokens"),
+            ).alias("chars_per_token"),
+        )
+    )

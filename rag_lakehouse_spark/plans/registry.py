@@ -93,6 +93,7 @@ _PRIORITY: tuple[str, ...] = (
     "media_metadata_incremental",
     "rag_eval_retrieval",
     "media_audio_features",
+    "corpus_vocab_coverage",
     # -- r10 part (c): green sentinels (family re-confirmation) --
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -111,7 +112,8 @@ _PRIORITY: tuple[str, ...] = (
     "corpus_pack_sequences",
     "corpus_heavy_tokens",
     "corpus_split_leakage",
-    "corpus_weighted_sample",
+    # (corpus_weighted_sample trimmed r10 — the corpus block keeps
+    # seven other front slots incl. the two new r10 rows)
     "corpus_boilerplate_strip",
     "text_repetition_stats",
     "text_unigram_surprisal",

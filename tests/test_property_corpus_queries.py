@@ -169,6 +169,10 @@ def _run(spark, tmp_path, docs, query_name):
         # (rr/recall/ndcg coalesce to 0.0), duplicate texts force
         # rank ties, and n_rel < 10 exercises the ideal-prefix index
         "rag_eval_retrieval",
+        # merge-coverage: 'the'/'in'/'an'-bearing generated words hit
+        # the frozen cascade; unicode/whitespace-only/NULL docs hit the
+        # empty-source LEFT-JOIN path on both engines
+        "corpus_vocab_coverage",
     ],
 )
 def test_text_query_matches_oracle_on_generated_corpus(
