@@ -70,6 +70,16 @@ def _decode_image_bytes(content: bytes) -> tuple[int, int]:
         w, h = struct.unpack(">II", content[16:24])
         return int(w), int(h)
     if content[:2] == b"BM" and len(content) >= 26:
+        # Only the BITMAPINFOHEADER family (biSize 40 and its V2-V5
+        # extensions) carries signed 32-bit dims at offset 18; the
+        # 12-byte BITMAPCOREHEADER stores 16-bit dims at offset 18+0 —
+        # parsing it here would return garbage, so it must raise like
+        # every other unsupported layout.
+        bi_size = struct.unpack("<I", content[14:18])[0]
+        if bi_size not in (40, 52, 56, 108, 124):
+            raise NotImplementedError(
+                "BMP header layout not BITMAPINFOHEADER-compatible"
+            )
         w, h = struct.unpack("<ii", content[18:26])
         return abs(int(w)), abs(int(h))
     if content[:6] in (b"GIF87a", b"GIF89a") and len(content) >= 10:
@@ -80,20 +90,23 @@ def _decode_image_bytes(content: bytes) -> tuple[int, int]:
     )
 
 
-def _decode_wav_header(content: bytes) -> tuple[int, int, int]:
-    """(channels, sample_rate, n_samples) from a canonical RIFF/WAVE
-    header (PCM 'fmt ' chunk directly after 'WAVE', then 'data') —
-    the layout every stdlib-written WAV uses. Walks chunks, so an
-    optional chunk between fmt and data is tolerated.
+def _walk_wav(content: bytes) -> tuple[int, int, int, int, int]:
+    """Single RIFF/WAVE chunk walker shared by BOTH decoders —
+    (channels, sample_rate, bits, data_offset, data_len) of the FIRST
+    'data' chunk, so header-derived n_samples and the decoded payload
+    always describe the same bytes (a second data chunk raises rather
+    than letting the two decoders silently disagree).
 
     Malformed streams raise NotImplementedError, NEVER struct.error /
-    ZeroDivisionError: every fmt field is bounds- and sanity-checked
-    (declared chunk length >= 16, buffer long enough, channels >= 1,
-    whole-byte sample width) so a corrupt row degrades to the
-    fmt-NULL path in ``media_metadata`` instead of failing the task."""
+    ZeroDivisionError / ValueError: every fmt field is bounds- and
+    sanity-checked (declared chunk length >= 16, buffer long enough,
+    channels >= 1, whole-byte sample width) so a corrupt row degrades
+    to the fmt-NULL path in ``media_metadata`` instead of failing the
+    task."""
     if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
         raise NotImplementedError("not a RIFF/WAVE stream")
-    pos, channels, rate, bits, data_len = 12, None, None, None, None
+    pos = 12
+    channels = rate = bits = data_off = data_len = None
     while pos + 8 <= len(content):
         cid = content[pos : pos + 4]
         clen = struct.unpack("<I", content[pos + 4 : pos + 8])[0]
@@ -108,31 +121,43 @@ def _decode_wav_header(content: bytes) -> tuple[int, int, int]:
             if channels < 1 or bits < 8 or bits % 8:
                 raise NotImplementedError("non-PCM or corrupt fmt fields")
         elif cid == b"data":
-            data_len = clen
+            if data_len is not None:
+                raise NotImplementedError("multiple data chunks")
+            data_off, data_len = pos + 8, clen
         pos += 8 + clen + (clen & 1)  # RIFF chunks are word-aligned
     if channels is None or data_len is None or not bits:
         raise NotImplementedError("missing fmt /data chunk")
-    return int(channels), int(rate), int(data_len // (channels * (bits // 8)))
+    return int(channels), int(rate), int(bits), int(data_off), int(data_len)
+
+
+def _decode_wav_header(content: bytes) -> tuple[int, int, int]:
+    """(channels, sample_rate, n_samples) from a canonical RIFF/WAVE
+    header (PCM 'fmt ' chunk directly after 'WAVE', then 'data') —
+    the layout every stdlib-written WAV uses. Walks chunks via
+    ``_walk_wav``, so an optional chunk between fmt and data is
+    tolerated; malformed streams raise NotImplementedError."""
+    channels, rate, bits, _off, data_len = _walk_wav(content)
+    return channels, rate, data_len // (channels * (bits // 8))
 
 
 def _decode_wav_pcm(content: bytes) -> tuple[int, int, "np.ndarray"]:
     """(channels, sample_rate, int16 sample array) — the payload-level
-    sibling of ``_decode_wav_header``: same chunk walk and the same
-    NotImplementedError-on-malformed contract, but also slices the
-    PCM16 data chunk (truncated payloads raise instead of silently
-    reading short)."""
-    channels, rate, n_samples = _decode_wav_header(content)
-    pos = 12
-    while pos + 8 <= len(content):
-        cid = content[pos : pos + 4]
-        clen = struct.unpack("<I", content[pos + 4 : pos + 8])[0]
-        if cid == b"data":
-            if pos + 8 + clen > len(content):
-                raise NotImplementedError("truncated data chunk")
-            data = content[pos + 8 : pos + 8 + clen]
-            return channels, rate, np.frombuffer(data, dtype="<i2")
-        pos += 8 + clen + (clen & 1)
-    raise NotImplementedError("missing data chunk")  # pragma: no cover
+    sibling of ``_decode_wav_header``: same chunk walk (``_walk_wav``)
+    and the same NotImplementedError-on-malformed contract, but also
+    slices the PCM16 data chunk. Truncated payloads, non-16-bit
+    streams, and data chunks whose declared length is not a whole
+    number of int16 frames all raise (np.frombuffer would otherwise
+    raise ValueError on a non-sample-aligned buffer and crash the
+    task)."""
+    channels, rate, bits, data_off, data_len = _walk_wav(content)
+    if bits != 16:
+        raise NotImplementedError("PCM16 payload decode only")
+    if data_len % (channels * 2):
+        raise NotImplementedError("data chunk not sample-aligned")
+    if data_off + data_len > len(content):
+        raise NotImplementedError("truncated data chunk")
+    data = content[data_off : data_off + data_len]
+    return channels, rate, np.frombuffer(data, dtype="<i2")
 
 
 AUDIO_FEATURES_SCHEMA = T.StructType(
@@ -185,7 +210,12 @@ def audio_features(
                     import math
 
                     rms = math.sqrt(ss / len(s64)) if len(s64) else 0.0
-                except (NotImplementedError, IndexError, struct.error):
+                except (NotImplementedError, IndexError, struct.error, ValueError):
+                    # decoders contract to NotImplementedError (incl.
+                    # non-sample-aligned data chunks, which would make
+                    # np.frombuffer raise ValueError); the rest stay as
+                    # the defensive backstop — one corrupt row must
+                    # never fail the task
                     pass
                 rows.append((rid, ch, sr, ns, ss, pk, rms))
             yield pd.DataFrame(

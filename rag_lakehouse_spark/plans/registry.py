@@ -133,9 +133,13 @@ _PRIORITY: tuple[str, ...] = (
 
 def _ordered(d: dict[str, Query]) -> dict[str, Query]:
     """Priority names first (in _PRIORITY order), then the rest in
-    registration order. Unknown priority names are ignored so the list
-    can reference queries before their module lands."""
-    front = {n: d[n] for n in _PRIORITY if n in d}
+    registration order. Called only after ``_load_all()``, so every
+    priority name MUST resolve — a typo'd or later-renamed name would
+    otherwise be silently dropped from the driver sample (ADVICE r10)."""
+    missing = [n for n in _PRIORITY if n not in d]
+    if missing:
+        raise KeyError(f"_PRIORITY names not registered: {missing}")
+    front = {n: d[n] for n in _PRIORITY}
     back = {n: q for n, q in d.items() if n not in front}
     return {**front, **back}
 

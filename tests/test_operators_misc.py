@@ -222,6 +222,88 @@ def test_wav_decoder_degrades_on_malformed_not_crashes():
             _decode_wav_header(b)
 
 
+def test_wav_pcm_rejects_unaligned_and_non16bit(spark):
+    """ADVICE r10 (medium): a data chunk whose declared byte length is
+    not a whole number of int16 frames made np.frombuffer raise
+    ValueError and crash the task. Both walkers must instead raise
+    NotImplementedError, and audio_features must degrade to NULLs."""
+    from rag_lakehouse_spark.operators.multimodal import (
+        _decode_wav_header,
+        _decode_wav_pcm,
+        audio_features,
+    )
+
+    def wav_with_data(fmt_fields, data_payload):
+        body = (
+            b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 1, *fmt_fields)
+            + b"data" + struct.pack("<I", len(data_payload)) + data_payload
+        )
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    # 1ch 16-bit, 3-byte data chunk — odd, not int16-aligned
+    odd = wav_with_data((1, 8000, 16000, 2, 16), b"abc")
+    with pytest.raises(NotImplementedError):
+        _decode_wav_pcm(odd)
+    # 2ch 16-bit, 6-byte chunk: even (frombuffer-safe) but NOT frame
+    # (channels*2)-aligned — header n_samples would disagree with the
+    # payload, so it must also raise
+    half_frame = wav_with_data((2, 8000, 32000, 4, 16), bytes(6))
+    with pytest.raises(NotImplementedError):
+        _decode_wav_pcm(half_frame)
+    # 8-bit PCM parses as a header but is not PCM16-decodable
+    pcm8 = wav_with_data((1, 8000, 8000, 1, 8), bytes(4))
+    assert _decode_wav_header(pcm8) == (1, 8000, 4)
+    with pytest.raises(NotImplementedError):
+        _decode_wav_pcm(pcm8)
+    # the operator-level contract: such rows yield NULL features
+    df = spark.createDataFrame(
+        [(1, bytearray(odd)), (2, bytearray(half_frame)), (3, bytearray(pcm8))],
+        "media_id long, content binary",
+    )
+    got = {r.media_id: r for r in audio_features(df).collect()}
+    assert all(got[i].sum_sq is None for i in (1, 2, 3))
+
+
+def test_wav_walkers_agree_on_multiple_data_chunks():
+    """ADVICE r10 (low): header kept the LAST data chunk's length while
+    the pcm decoder returned the FIRST chunk's samples. The shared
+    walker now raises on a second data chunk so they cannot disagree."""
+    from rag_lakehouse_spark.operators.multimodal import (
+        _decode_wav_header,
+        _decode_wav_pcm,
+    )
+
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+        + b"data" + struct.pack("<I", 4) + bytes(4)
+        + b"data" + struct.pack("<I", 8) + bytes(8)
+    )
+    wav = b"RIFF" + struct.pack("<I", len(body)) + body
+    with pytest.raises(NotImplementedError):
+        _decode_wav_header(wav)
+    with pytest.raises(NotImplementedError):
+        _decode_wav_pcm(wav)
+
+
+def test_bmp_core_header_rejected():
+    """ADVICE r10 (low): a 12-byte BITMAPCOREHEADER stores 16-bit dims —
+    parsing it with the INFOHEADER layout returned garbage. It must
+    raise NotImplementedError like other unsupported layouts."""
+    from rag_lakehouse_spark.operators.multimodal import _decode_image_bytes
+
+    # BITMAPCOREHEADER: bcSize=12, 16-bit width=32 height=24, planes, bpp
+    core = struct.pack("<IHHHH", 12, 32, 24, 1, 24)
+    bmp = b"BM" + struct.pack("<IHHI", 26, 0, 0, 26) + core + bytes(8)
+    with pytest.raises(NotImplementedError):
+        _decode_image_bytes(bmp)
+    # the V4/V5 extensions share the INFOHEADER dim layout and stay parsed
+    v4 = struct.pack("<Iii", 108, 32, 24) + bytes(96)
+    bmp_v4 = b"BM" + struct.pack("<IHHI", 122, 0, 0, 122) + v4
+    assert _decode_image_bytes(bmp_v4) == (32, 24)
+
+
 def test_audio_features_exact_energy(spark):
     """audio_features must recover the exact integer energy and peak
     from the PCM payload, NULL out undecodable rows, and reject a

@@ -28,6 +28,27 @@ def test_rows_only_query_runs(name, spark, sf_dir):
     assert df.columns  # stable, non-empty schema
 
 
+# Ledger guard (VERDICT r10 #7): the registry-count narrative in
+# ROUND_NOTES/COVERAGE.md is load-bearing evidence — pin both counts to
+# literals updated once per landed query so the ledger cannot silently
+# drift inside a round (the r10 notes show a 210/211/212 drift).
+REGISTRY_COUNT = 212  # r11 running count — update in the SAME commit as the query
+ORACLED_COUNT = 195
+
+
+def test_registry_count_matches_ledger():
+    assert len(registry.QUERIES) == REGISTRY_COUNT
+    assert len(ORACLED) == ORACLED_COUNT
+
+
+def test_priority_names_all_registered():
+    # ADVICE r10: a typo'd/renamed _PRIORITY name must fail loudly, not
+    # silently drop out of the driver sample.
+    assert set(registry._PRIORITY) <= set(registry.QUERIES)
+    with pytest.raises(KeyError):
+        registry._ordered({})
+
+
 def test_entry_contract(spark):
     import __spark_entry__ as mod
 
