@@ -237,6 +237,94 @@ def audio_features(
     return fanned.mapInPandas(extract, AUDIO_FEATURES_SCHEMA)
 
 
+def _pcm_frames(
+    x: "np.ndarray", frame_len: int
+) -> list[tuple[int, int, int, int, int]]:
+    """(frame_idx, n_in_frame, energy, peak_abs, n_zero_cross) rows for
+    one channel's sample array — module-level so the frame arithmetic
+    is directly fuzzable without a Spark session."""
+    x = x.astype(np.int64)
+    out = []
+    for f in range(0, len(x), frame_len):
+        sub = x[f : f + frame_len]
+        neg = sub < 0
+        out.append(
+            (
+                f // frame_len,
+                len(sub),
+                int((sub * sub).sum()),
+                int(np.abs(sub).max()),
+                int(np.count_nonzero(neg[:-1] != neg[1:])),
+            )
+        )
+    return out
+
+
+AUDIO_FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("n_in_frame", T.IntegerType(), False),
+        T.StructField("energy", T.LongType(), False),
+        T.StructField("peak_abs", T.IntegerType(), False),
+        T.StructField("n_zero_cross", T.IntegerType(), False),
+    ]
+)
+
+
+def audio_frame_features(
+    df: DataFrame,
+    frame_len: int = 64,
+    id_col: str = "media_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """FRAMED PCM features — the shape a real mel/spectrogram extractor
+    plugs into: channel-0 samples (every ch-th int16 of the
+    interleaved payload) split into non-overlapping ``frame_len``
+    frames (last frame partial), each emitting exact integers only —
+    sample count, energy (sum of squares), peak |amplitude|, and the
+    zero-crossing count (#(i) where sign(x[i-1]) != sign(x[i]) inside
+    the frame; "negative" vs "non-negative", so 0 is a sign). No float
+    leaves the operator, so the row set is bit-reproducible under any
+    partitioning and externally hash-checkable.
+
+    Undecodable rows emit NO frames (a flatMap, not a left join —
+    callers needing the id inventory join back on the metadata
+    report). Same mapInPandas seam as ``audio_features``: bytes stay
+    executor-side, NumPy does the per-frame integer math; a real DSP
+    extractor (FFT/mel) swaps in behind the same per-frame schema."""
+    if frame_len < 1:
+        raise ValueError("frame_len must be >= 1")
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, content in zip(pdf[id_col], pdf[content_col]):
+                b = bytes(content) if content is not None else b""
+                try:
+                    ch, _sr, samples = _decode_wav_pcm(b)
+                except (NotImplementedError, IndexError, struct.error, ValueError):
+                    continue
+                for fr in _pcm_frames(samples[::ch], frame_len):
+                    rows.append((rid, *fr))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "frame_idx",
+                    "n_in_frame",
+                    "energy",
+                    "peak_abs",
+                    "n_zero_cross",
+                ],
+            )
+
+    fanned = df.select(id_col, content_col).repartition(
+        max(df.sparkSession.sparkContext.defaultParallelism, 1)
+    )
+    return fanned.mapInPandas(extract, AUDIO_FRAMES_SCHEMA)
+
+
 def synth_media_bytes(
     kind: str,
     width: int = 0,

@@ -1505,3 +1505,82 @@ def corpus_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chars_per_token"),
         )
     )
+
+
+@register(
+    "corpus_token_budget_report",
+    oracle=r"""
+    WITH t AS (
+      SELECT source,
+             CAST(len(list_filter(regexp_split_to_array(
+               regexp_replace(lower(coalesce(text, '')),
+                              '^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$', '', 'g'),
+               '[ \t\n\x0B\f\r]+'), x -> x <> '')) AS BIGINT) AS n_tok
+      FROM documents
+    ), agg AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+             CAST(SUM((n_tok + 511) // 512) AS BIGINT) AS n_sequences
+      FROM t GROUP BY source
+    )
+    SELECT source, n_docs, n_tokens, n_sequences,
+           CAST(n_sequences * 512 - n_tokens AS BIGINT) AS n_pad,
+           CASE WHEN n_sequences = 0 THEN 0e0
+                ELSE CAST(n_tokens AS DOUBLE) / (n_sequences * 512) END
+             AS utilization
+    FROM agg
+    """,
+    tags=("corpus", "packing", "training-data"),
+)
+def corpus_token_budget_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget accounting per source — the cost sheet a training
+    run reads before packing: document and whitespace-token counts,
+    the number of 512-token training sequences under PER-DOCUMENT
+    chunking (ceil(n_tok/512); empty docs contribute none), the pad
+    tokens that padding-to-512 would waste, and the resulting
+    utilization. The waste column is exactly what justifies
+    cross-document packing (``corpus_pack_sequences`` eliminates it);
+    this report quantifies the decision. All integer arithmetic
+    except the final fixed-form utilization division.
+
+    Scale: one tokenize pass (size over the split array — no
+    explode), then a groupBy on source with map-side partials; output
+    is |sources| rows. The SUM stays int64 (n_tok bounded by doc
+    length; 100 TB of 512-token docs is ~2e11 tokens — within int64
+    by 7 orders)."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(
+        F.filter(
+            F.split(
+                TX.edge_trim(F.lower(F.coalesce(F.col("text"), F.lit("")))),
+                TX.WS,
+            ),
+            lambda x: x != F.lit(""),
+        )
+    ).cast("bigint")
+    agg = (
+        d.select("source", n_tok.alias("n_tok"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+            F.sum(F.expr("(n_tok + 511) DIV 512")).cast("bigint").alias(
+                "n_sequences"
+            ),
+        )
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "n_sequences",
+        (F.col("n_sequences") * 512 - F.col("n_tokens"))
+        .cast("bigint")
+        .alias("n_pad"),
+        F.when(F.col("n_sequences") == 0, F.lit(0.0))
+        .otherwise(
+            F.col("n_tokens").cast("double") / (F.col("n_sequences") * 512)
+        )
+        .alias("utilization"),
+    )

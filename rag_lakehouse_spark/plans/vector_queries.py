@@ -1206,6 +1206,47 @@ def _pq_cb(j: int, c: int, t: int) -> float:
     return ((j * 31 + c * 17 + t * 7) % 9 - 4) / 4.0
 
 
+def _pq_cbmat():
+    """The frozen codebook as ONE literal nested array column (m x k x
+    sub) — the r10 janino rule: a single shared literal indexed from
+    HOFs, never k*m re-embedded copies."""
+    return F.array(
+        *[
+            F.array(
+                *[
+                    F.array(*[F.lit(_pq_cb(j, c, t)) for t in range(_PQ_SUB)])
+                    for c in range(_PQ_K)
+                ]
+            )
+            for j in range(_PQ_M)
+        ]
+    )
+
+
+def _pq_sub_d(cbmat, src_col, j, c):
+    """Squared distance of src's subspace j to codebook entry c
+    (0-based Column indices): 0.0-seeded left-to-right fold over
+    ascending dims — bit-identical to the oracle's unrolled
+    left-to-right sums. Shared by the ADC twin and the compression
+    report."""
+    cbrow = F.element_at(F.element_at(cbmat, j + 1), c + 1)
+    return F.aggregate(
+        F.transform(
+            F.sequence(j * _PQ_SUB + 1, j * _PQ_SUB + F.lit(_PQ_SUB)),
+            lambda i: (
+                F.element_at(src_col, i).cast("double")
+                - F.element_at(cbrow, i - j * _PQ_SUB)
+            )
+            * (
+                F.element_at(src_col, i).cast("double")
+                - F.element_at(cbrow, i - j * _PQ_SUB)
+            ),
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+
+
 def _pq_d_sql(src: str, j: int, c: int) -> str:
     terms = [
         f"(CAST({src}[{j * _PQ_SUB + t + 1}] AS DOUBLE) - ({_pq_cb(j, c, t)!r}))"
@@ -1284,37 +1325,10 @@ def ann_pq_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical to the oracle's unrolled left-to-right sums of
     non-negative squares."""
     e = load_table(spark, sf_dir, "embeddings")
-    cbmat = F.array(
-        *[
-            F.array(
-                *[
-                    F.array(*[F.lit(_pq_cb(j, c, t)) for t in range(_PQ_SUB)])
-                    for c in range(_PQ_K)
-                ]
-            )
-            for j in range(_PQ_M)
-        ]
-    )
+    cbmat = _pq_cbmat()
 
     def sub_d(src_col, j, c):
-        # Squared distance of src's subspace j to codebook entry c;
-        # j, c are 0-based Column indices.
-        cbrow = F.element_at(F.element_at(cbmat, j + 1), c + 1)
-        return F.aggregate(
-            F.transform(
-                F.sequence(j * _PQ_SUB + 1, j * _PQ_SUB + F.lit(_PQ_SUB)),
-                lambda i: (
-                    F.element_at(src_col, i).cast("double")
-                    - F.element_at(cbrow, i - j * _PQ_SUB)
-                )
-                * (
-                    F.element_at(src_col, i).cast("double")
-                    - F.element_at(cbrow, i - j * _PQ_SUB)
-                ),
-            ),
-            F.lit(0.0),
-            lambda a, x: a + x,
-        )
+        return _pq_sub_d(cbmat, src_col, j, c)
 
     def per_j_code(src_col):
         # argmin as ONE array_min over (d, c) structs: struct ordering
@@ -1368,6 +1382,100 @@ def ann_pq_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.asc("adc_distance"), F.asc("neighbor_id"))
         .limit(10)
+    )
+
+
+def _pq_report_oracle() -> str:
+    dlists = ", ".join(
+        "[" + ", ".join(_pq_d_sql("embedding", j, c) for c in range(_PQ_K)) + "]"
+        for j in range(_PQ_M)
+    )
+    return f"""
+    WITH dls AS (
+      SELECT vec_id, [{dlists}] AS dl FROM embeddings
+    ), per AS (
+      SELECT vec_id,
+             unnest(list_transform(generate_series(1, {_PQ_M}),
+               j -> struct_pack(j := j - 1,
+                                d := list_min(dl[j]),
+                                c := list_position(dl[j], list_min(dl[j])) - 1)
+             )) AS a
+      FROM dls
+    )
+    SELECT CAST(a.j AS INT) AS subspace, CAST(a.c AS INT) AS code,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(SUM(CAST(floor(a.d * 1048576e0) AS BIGINT)) AS BIGINT) AS sse_q,
+           (CAST(SUM(CAST(floor(a.d * 1048576e0) AS BIGINT)) AS DOUBLE)
+              / COUNT(*)) / 1048576e0 AS mse
+    FROM per GROUP BY a.j, a.c
+    """
+
+
+@register(
+    "embedding_pq_compression_report",
+    oracle=_pq_report_oracle(),
+    tags=("vector", "pq", "quality", "portable-twin"),
+)
+def embedding_pq_compression_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantizer DIAGNOSTICS under the frozen PQ codebook — the
+    report a production PQ deployment watches to decide retraining:
+    per (subspace, assigned code), the vector count (code
+    utilization — dead or hogging codes signal a stale codebook) and
+    the exact quantization error mass. Assignment reuses the ADC
+    twin's argmin-over-(d, c)-structs machinery (``_pq_sub_d`` — ties
+    to the smaller code index, identically in both engines).
+
+    Exactness: per-vector min distances are bit-identical folds, but
+    an UNORDERED float SUM of them would diverge across partitionings
+    — so the standing rule applies (quantize the INPUT, never round
+    the output): each distance is floored onto the 2^-20 grid and
+    summed as exact int64 (``sse_q``, in 2^-20 units); ``mse``
+    re-scales with two fixed-order double divisions. At ~2e8 grid
+    units per distance, int64 holds ~4e10 vectors per group — beyond
+    that the report shards by vector range first (documented, not
+    silent).
+
+    Scale: one map-only pass computes all m assignments per vector
+    (the codebook is ONE shared literal), explodes to m rows, and
+    aggregates to m x k = 32 groups — shuffle carries (j, c, 1,
+    floor-grid units) only, with map-side partial aggregation."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cbmat = _pq_cbmat()
+    assigned = F.transform(
+        F.sequence(F.lit(0), F.lit(_PQ_M - 1)),
+        lambda j: F.array_min(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(_PQ_K - 1)),
+                lambda c: F.struct(
+                    _pq_sub_d(cbmat, F.col("embedding"), j, c).alias("d"),
+                    c.cast("int").alias("c"),
+                ),
+            )
+        ),
+    )
+    rows = e.select("vec_id", F.posexplode(assigned).alias("j", "a"))
+    sse = F.sum(
+        F.floor(F.col("a.d") * F.lit(1048576.0)).cast("bigint")
+    ).alias("sse_q")
+    return (
+        rows.groupBy(
+            F.col("j").cast("int").alias("subspace"),
+            F.col("a.c").alias("code"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+            sse,
+        )
+        .select(
+            "subspace",
+            "code",
+            "n_vectors",
+            "sse_q",
+            (
+                (F.col("sse_q").cast("double") / F.col("n_vectors"))
+                / F.lit(1048576.0)
+            ).alias("mse"),
+        )
     )
 
 
