@@ -177,6 +177,18 @@ def _run_rows(spark, tmp_path, rows, query_name):
         # the frozen cascade; unicode/whitespace-only/NULL docs hit the
         # empty-source LEFT-JOIN path on both engines
         "corpus_vocab_coverage",
+        # r11 lexical retrieval eval: tiny corpora make most docs BE
+        # queries (doc_id < 5), term selection degenerates to full-tie
+        # lexicographic picks, empty/NULL docs yield empty term sets
+        # (their queries must still emit a metrics row via the source
+        # join), and duplicate texts force tied BM25 ranks — the
+        # streaming twin shares this pipeline + oracle, so this row
+        # fuzzes both
+        "rag_eval_bm25",
+        # r11 token budget: NULL/whitespace-only docs exercise the
+        # zero-token/zero-sequence guard (utilization 0e0 on both
+        # engines); unicode tokenization parity via TX.WS
+        "corpus_token_budget_report",
     ],
 )
 def test_text_query_matches_oracle_on_generated_corpus(

@@ -271,6 +271,49 @@ def test_ann_pq_portable_ties_on_constructed_vectors(spark, tmp_path):
     assert not problems, problems
 
 
+def test_pq_compression_report_on_constructed_vectors(spark, tmp_path):
+    """r11: the PQ diagnostics report under the same tie-forcing
+    construction as the ADC twin — midpoint vectors make subspace
+    assignment distances bit-identical between centroids 0 and 1, so
+    the smaller-code rule must fire identically in both engines or the
+    (subspace, code) group counts shift; duplicated vectors double
+    exact grid-floored error mass in one group."""
+    from rag_lakehouse_spark.plans import registry as reg
+    from rag_lakehouse_spark.plans.vector_queries import (
+        _PQ_M,
+        _PQ_SUB,
+        _pq_cb,
+    )
+
+    data = []
+    data.append((0, [((i * 3) % 9 - 4) / 8.0 for i in range(64)], 0))
+    for n in range(1, 12):
+        vec = []
+        for j in range(_PQ_M):
+            for t in range(_PQ_SUB):
+                mid = (_pq_cb(j, 0, t) + _pq_cb(j, 1, t)) / 2.0
+                vec.append(mid if (n + j) % 2 == 0 else ((n * 5 + t) % 9 - 4) / 8.0)
+        data.append((n, vec, n % 3))
+    data.append((12, data[3][1], 1))
+    data.append((13, data[3][1], 2))
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        data, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(sf_dir, "embeddings.parquet")
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE OR REPLACE VIEW embeddings AS "
+        f"SELECT * FROM '{sf_dir}/embeddings.parquet/*.parquet'"
+    )
+    q = reg.QUERIES["embedding_pq_compression_report"]
+    problems = compare(
+        "embedding_pq_compression_report", q.fn(spark, sf_dir), con, q.oracle
+    )
+    assert not problems, problems
+
+
 def test_knn_ivf_portable_ties_on_constructed_vectors(spark, tmp_path):
     """Generated-table differential for the frozen-quantizer IVF twin
     (64-dim, so outside the shared DIM=12 fuzz — same rationale as the
