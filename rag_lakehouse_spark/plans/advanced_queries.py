@@ -917,3 +917,151 @@ def orders_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         (top20.cast("double") / F.sum("cents")).alias("top20_share"),
         (top1.cast("double") / F.sum("cents")).alias("top1_share"),
     )
+
+
+# --- Portable HLL: the externally-oracled twin of the sketch family ---
+# (approx_distinct_stats stays rows-only by design: HLL++/KLL register
+# layouts are engine-specific). 256 registers (p=8): register index =
+# low 8 bits of the portable 60-bit hash, rho = leading-zero rank of
+# the remaining 52-bit window. Every arithmetic step is deterministic
+# cross-engine: 2^-rho terms are summed as SCALED INTEGERS
+# (1 << (53 - rho), max 256 * 2^53 < 2^62), the one int64 -> double
+# cast is correctly rounded in both engines, alpha_m * m^2 is a shared
+# Python literal (e-notation in the oracle per the r10 rule), and the
+# linear-counting branch's ln rounds to 9 decimals (the BM25-idf
+# precedent). Branch conditions compare bit-identical doubles, so both
+# engines take the same branch.
+_HLL_M = 256
+_HLL_ALPHA_M2 = (0.7213 / (1.0 + 1.079 / _HLL_M)) * _HLL_M * _HLL_M
+_POW53 = 1 << 53
+
+
+def _hll_oracle() -> str:
+    from rag_lakehouse_spark.operators.dedup_portable import duckdb_base60
+
+    h60 = duckdb_base60("'hll:' || CAST(user_id AS VARCHAR)")
+    return f"""
+    WITH r AS (
+      SELECT event_type, {h60} & 255 AS idx,
+             CASE WHEN ({h60} >> 8) = 0 THEN 53
+                  ELSE 53 - length(bin({h60} >> 8)) END AS rho
+      FROM events WHERE user_id IS NOT NULL
+    ), regs AS (
+      SELECT event_type, idx, MAX(rho) AS reg_max
+      FROM r GROUP BY event_type, idx
+    ), s AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_used,
+             CAST(SUM(CAST(1 AS BIGINT) << (53 - reg_max)) AS BIGINT)
+               AS s_present
+      FROM regs GROUP BY event_type
+    ), est AS (
+      SELECT event_type, n_used,
+             ({_HLL_ALPHA_M2:.17e})
+               / (CAST(s_present + ({_HLL_M} - n_used) * {_POW53} AS DOUBLE)
+                  / {float(_POW53):.17e}) AS e_raw
+      FROM s
+    ), ex AS (
+      SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT)
+               AS exact_distinct
+      FROM events WHERE user_id IS NOT NULL GROUP BY event_type
+    )
+    SELECT e.event_type, CAST(e.n_used AS INT) AS n_registers_used,
+           CASE WHEN e.e_raw <= {2.5 * _HLL_M!r}e0 AND e.n_used < {_HLL_M}
+                THEN {float(_HLL_M)!r}e0
+                     * round(ln({float(_HLL_M)!r}e0 / ({_HLL_M} - e.n_used)), 9)
+                ELSE e.e_raw END AS est_distinct,
+           x.exact_distinct,
+           (CASE WHEN e.e_raw <= {2.5 * _HLL_M!r}e0 AND e.n_used < {_HLL_M}
+                 THEN {float(_HLL_M)!r}e0
+                      * round(ln({float(_HLL_M)!r}e0 / ({_HLL_M} - e.n_used)), 9)
+                 ELSE e.e_raw END - x.exact_distinct)
+             / x.exact_distinct AS rel_error
+    FROM est e JOIN ex x USING (event_type)
+    """
+
+
+@register(
+    "events_distinct_hll_portable",
+    oracle=None,  # set below (builder needs module constants)
+    tags=("agg", "approx", "sketch", "portable-twin"),
+)
+def events_distinct_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-user estimation per event type with the
+    ESTIMATE externally hash-checked — the portable-twin trick applied
+    to the sketch family (``approx_distinct_stats`` stays rows-only:
+    HLL++ register layouts are engine-specific; this twin freezes the
+    hash to the portable 60-bit family and the layout to textbook
+    Flajolet HLL, so DuckDB replays every register and correction
+    bit-for-bit). Per type: register usage, the HLL estimate (raw
+    harmonic-mean form, or linear counting below 2.5m — both branches
+    deterministic, see the dialect comment above), the exact distinct
+    count, and the relative error the sketch actually achieved — the
+    accuracy report that justifies sketch-first dashboards.
+
+    Scale: the shuffle carries (type, register, rho) — at most
+    |types| x 256 groups after the map-side max — and registers are
+    MERGEABLE (max), so the same fold serves streaming state or
+    hypertable rollups; the exact side exists only for the error
+    column and drops for true sketch-only serving. No large-range
+    correction (estimates near 2^52 are out of scope and documented
+    here)."""
+    from rag_lakehouse_spark.operators.dedup_portable import base60
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    h60 = base60(F.concat(F.lit("hll:"), F.col("user_id").cast("string")))
+    rem = F.shiftright(h60, 8)
+    rho = F.when(rem == 0, F.lit(53)).otherwise(F.lit(53) - F.length(F.bin(rem)))
+    regs = (
+        ev.select(
+            "event_type",
+            h60.bitwiseAND(F.lit(255)).alias("idx"),
+            rho.alias("rho"),
+        )
+        .groupBy("event_type", "idx")
+        .agg(F.max("rho").alias("reg_max"))
+    )
+    s = regs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_used"),
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - reg_max AS INT))"))
+        .cast("bigint")
+        .alias("s_present"),
+    )
+    e_raw = F.lit(_HLL_ALPHA_M2) / (
+        (
+            F.col("s_present") + (F.lit(_HLL_M) - F.col("n_used")) * F.lit(_POW53)
+        ).cast("double")
+        / F.lit(float(_POW53))
+    )
+    lc = F.lit(float(_HLL_M)) * F.round(
+        F.log(F.lit(float(_HLL_M)) / (F.lit(_HLL_M) - F.col("n_used"))), 9
+    )
+    est_col = F.when(
+        (F.col("e_raw") <= F.lit(2.5 * _HLL_M)) & (F.col("n_used") < _HLL_M), lc
+    ).otherwise(F.col("e_raw"))
+    est = s.select(
+        "event_type",
+        F.col("n_used").cast("int").alias("n_registers_used"),
+        e_raw.alias("e_raw"),
+        "n_used",
+    ).select(
+        "event_type", "n_registers_used", "n_used", est_col.alias("est_distinct")
+    )
+    ex = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("bigint").alias("exact_distinct")
+    )
+    return est.join(ex, "event_type").select(
+        "event_type",
+        "n_registers_used",
+        "est_distinct",
+        "exact_distinct",
+        (
+            (F.col("est_distinct") - F.col("exact_distinct"))
+            / F.col("exact_distinct")
+        ).alias("rel_error"),
+    )
+
+
+from rag_lakehouse_spark.plans import registry as _registry  # noqa: E402
+
+_registry.QUERIES["events_distinct_hll_portable"].oracle = _hll_oracle()

@@ -120,6 +120,11 @@ QUERIES = [
     # cohort churn: tiny generated ranges make everyone recent
     # (0 churn) and single-user cohorts; the 14-day strict > boundary
     "events_cohort_churn",
+    # r11 portable HLL: ≤3 distinct users always land in the
+    # linear-counting branch with near-empty register sets; NULL users
+    # are excluded on both engines; duplicate users collapse via the
+    # register max
+    "events_distinct_hll_portable",
 ]
 
 
