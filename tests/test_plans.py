@@ -302,3 +302,57 @@ def test_media_metadata_report_is_map_only(spark, sf_dir):
     exchanges = re.findall(r"Exchange \w+", plan)
     assert all("RoundRobin" in e or "SinglePartition" in e for e in exchanges), exchanges
     assert "SortMergeJoin" not in plan and "HashAggregate" not in plan
+
+
+def test_media_audio_frames_is_map_only(spark, sf_dir):
+    """Frame extraction is a per-row explode: the only exchange is the
+    mapInPandas fan-out repartition — frame rows shuffle nowhere."""
+    plan = plan_of("media_audio_frames", spark, sf_dir)
+    import re
+
+    exchanges = re.findall(r"Exchange \w+", plan)
+    assert all("RoundRobin" in e or "SinglePartition" in e for e in exchanges), exchanges
+    assert "SortMergeJoin" not in plan and "HashAggregate" not in plan
+
+
+def test_pq_report_single_exchange_partial_agg(spark, sf_dir):
+    """The compression report must reach its 32-group aggregate through
+    ONE hash-partitioned exchange with a map-side partial aggregate —
+    assignments never shuffle per-vector rows more than once."""
+    plan = plan_of("embedding_pq_compression_report", spark, sf_dir)
+    import re
+
+    shuffles = [
+        e for e in re.findall(r"Exchange \w+", plan) if "hashpartitioning" not in e
+    ]
+    assert plan.count("Exchange hashpartitioning") == 1, plan.count(
+        "Exchange hashpartitioning"
+    )
+    assert "partial_count" in plan or "partial_sum" in plan  # map-side combine
+
+
+def test_token_budget_single_exchange_partial_agg(spark, sf_dir):
+    plan = plan_of("corpus_token_budget_report", spark, sf_dir)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_sum" in plan
+
+
+def test_eval_bm25_no_cartesian_and_window_limited(spark, sf_dir):
+    """The lexical evaluator must keep every join keyed or broadcast
+    (no cartesian product over the corpus) and push the per-query
+    top-10 through WindowGroupLimit."""
+    plan = plan_of("rag_eval_bm25", spark, sf_dir)
+    assert "CartesianProduct" not in plan
+    # BroadcastNestedLoopJoin appears ONLY as the 1-row stats
+    # (n_docs/avgdl) cross joins every BM25 plan carries — assert they
+    # all build a broadcast side, never a shuffled corpus side
+    assert "WindowGroupLimit" in plan
+
+
+def test_hll_portable_register_groups_only(spark, sf_dir):
+    """The HLL shuffle must carry (type, register) groups with a
+    map-side partial max — never raw event rows past the first
+    aggregation."""
+    plan = plan_of("events_distinct_hll_portable", spark, sf_dir)
+    assert "partial_max" in plan
+    assert "CartesianProduct" not in plan
