@@ -1006,21 +1006,38 @@ def events_distinct_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     column and drops for true sketch-only serving. No large-range
     correction (estimates near 2^52 are out of scope and documented
     here)."""
-    from rag_lakehouse_spark.operators.dedup_portable import base60
-
-    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
-    h60 = base60(F.concat(F.lit("hll:"), F.col("user_id").cast("string")))
-    rem = F.shiftright(h60, 8)
-    rho = F.when(rem == 0, F.lit(53)).otherwise(F.lit(53) - F.length(F.bin(rem)))
+    ev = load_table(spark, sf_dir, "events")
     regs = (
-        ev.select(
-            "event_type",
-            h60.bitwiseAND(F.lit(255)).alias("idx"),
-            rho.alias("rho"),
-        )
+        hll_register_rows(ev)
         .groupBy("event_type", "idx")
         .agg(F.max("rho").alias("reg_max"))
     )
+    return _hll_report(regs, ev)
+
+
+def hll_register_rows(ev: DataFrame) -> DataFrame:
+    """(event_type, idx, rho) — one portable-HLL register observation
+    per non-NULL-user event. MERGEABLE under max(rho) per (type, idx),
+    so the same rows feed the batch groupBy and the streaming-
+    maintained register state (``streaming.rollup_sink.
+    maintain_hll_registers``)."""
+    from rag_lakehouse_spark.operators.dedup_portable import base60
+
+    h60 = base60(F.concat(F.lit("hll:"), F.col("user_id").cast("string")))
+    rem = F.shiftright(h60, 8)
+    rho = F.when(rem == 0, F.lit(53)).otherwise(F.lit(53) - F.length(F.bin(rem)))
+    return ev.filter(F.col("user_id").isNotNull()).select(
+        "event_type",
+        h60.bitwiseAND(F.lit(255)).alias("idx"),
+        rho.alias("rho"),
+    )
+
+
+def hll_estimates(regs: DataFrame) -> DataFrame:
+    """(event_type, n_registers_used, est_distinct) from maxed
+    registers (event_type, idx, reg_max) — the deterministic estimate
+    arithmetic shared by the batch twin and the streaming serving
+    path (dialect rules in the comment above ``_hll_oracle``)."""
     s = regs.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_used"),
         F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - reg_max AS INT))"))
@@ -1039,7 +1056,7 @@ def events_distinct_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     est_col = F.when(
         (F.col("e_raw") <= F.lit(2.5 * _HLL_M)) & (F.col("n_used") < _HLL_M), lc
     ).otherwise(F.col("e_raw"))
-    est = s.select(
+    return s.select(
         "event_type",
         F.col("n_used").cast("int").alias("n_registers_used"),
         e_raw.alias("e_raw"),
@@ -1047,8 +1064,16 @@ def events_distinct_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "event_type", "n_registers_used", "n_used", est_col.alias("est_distinct")
     )
-    ex = ev.groupBy("event_type").agg(
-        F.count_distinct("user_id").cast("bigint").alias("exact_distinct")
+
+
+def _hll_report(regs: DataFrame, ev: DataFrame) -> DataFrame:
+    """Estimates + the exact-side error columns (the exact scan exists
+    only for the report; sketch-only serving drops it)."""
+    est = hll_estimates(regs)
+    ex = (
+        ev.filter(F.col("user_id").isNotNull())
+        .groupBy("event_type")
+        .agg(F.count_distinct("user_id").cast("bigint").alias("exact_distinct"))
     )
     return est.join(ex, "event_type").select(
         "event_type",
@@ -1062,6 +1087,58 @@ def events_distinct_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_hll_incremental",
+    oracle=None,  # set below — shares the batch twin's oracle
+    tags=("agg", "approx", "sketch", "streaming", "portable-twin"),
+)
+def events_hll_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-user estimates served from STREAMING-MAINTAINED HLL
+    registers: events replay through an availableNow file stream (4
+    files, ≥4 micro-batches), each batch folding its (type, register,
+    rho) maxima into versioned state via the rollup sink's fold
+    machinery — registers are mergeable maxima, so arrival order and
+    batch boundaries cannot change them, and the served estimates are
+    bit-identical to the one-shot ``events_distinct_hll_portable``
+    (SHARED oracle — the hash check proves the maintained registers
+    equal the batch registers). The sixth incremental-index family
+    member (exact dedup, MinHash postings, IVF, BM25 postings, media
+    metadata, HLL registers).
+
+    Scale: per-increment cost is one micro-batch hash + a
+    |types| x 256-row state merge; history is never re-hashed. The
+    exact-distinct column joins from the batch table for the error
+    report only — sketch-only serving reads state alone."""
+    import os
+    import shutil
+    import tempfile
+
+    from rag_lakehouse_spark.streaming.rollup_sink import (
+        maintain_hll_registers,
+        read_hll_registers,
+    )
+
+    base = tempfile.mkdtemp(prefix="rls_hll_stream_")
+    try:
+        src = os.path.join(base, "events")
+        ev = load_table(spark, sf_dir, "events")
+        ev.select("event_type", "user_id").repartition(4).write.mode(
+            "overwrite"
+        ).parquet(src)
+        stream = (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        state = os.path.join(base, "hll_registers")
+        maintain_hll_registers(spark, stream, state).awaitTermination()
+        regs = read_hll_registers(spark, state).localCheckpoint(eager=True)
+        return _hll_report(regs, ev).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 from rag_lakehouse_spark.plans import registry as _registry  # noqa: E402
 
 _registry.QUERIES["events_distinct_hll_portable"].oracle = _hll_oracle()
+_registry.QUERIES["events_hll_incremental"].oracle = _hll_oracle()

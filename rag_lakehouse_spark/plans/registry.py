@@ -78,6 +78,7 @@ _PRIORITY: tuple[str, ...] = (
     "embedding_pq_compression_report",
     "corpus_token_budget_report",
     "events_distinct_hll_portable",
+    "events_hll_incremental",
     # -- r11 part (c): oldest-first re-confirmation (freshness ledger:
     # last driver rows r5, then the r6 cohort in registration order) --
     "q8_market_share",

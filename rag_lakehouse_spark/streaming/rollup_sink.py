@@ -408,3 +408,64 @@ def maintain_user_activity(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def _hll_partials(df: DataFrame) -> DataFrame:
+    """Micro-batch → maxed portable-HLL registers (event_type, idx,
+    reg_max). The hash runs once per event, at ingest; the partial is
+    at most |types| x 256 rows."""
+    from rag_lakehouse_spark.plans.advanced_queries import hll_register_rows
+
+    return (
+        hll_register_rows(df)
+        .groupBy("event_type", "idx")
+        .agg(F.max("rho").alias("reg_max"))
+    )
+
+
+def _hll_merge(prev: DataFrame, batch: DataFrame) -> DataFrame:
+    return (
+        prev.unionByName(batch)
+        .groupBy("event_type", "idx")
+        .agg(F.max("reg_max").alias("reg_max"))
+    )
+
+
+def maintain_hll_registers(
+    spark: SparkSession, events_stream: DataFrame, state_path: str
+):
+    """Fold each micro-batch's portable-HLL register maxima into the
+    versioned state table. Register max is idempotent AND mergeable
+    (re-observing a user cannot raise a register past its true value),
+    so the maintained registers equal the one-shot batch registers
+    however ingestion was batched — which is what lets
+    ``events_hll_incremental`` share the batch twin's oracle. State is
+    bounded at |types| x 256 rows regardless of history size."""
+    ckpt = state_path + "_ckpt"
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        fold_batch(
+            spark,
+            state_path,
+            batch_df,
+            batch_id,
+            _ckpt_query_id(ckpt),
+            partial_fn=_hll_partials,
+            merge_fn=_hll_merge,
+        )
+
+    return (
+        events_stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_hll_registers(spark: SparkSession, state_path: str) -> DataFrame:
+    """The maintained registers as a batch DataFrame:
+    (event_type, idx, reg_max)."""
+    state = read_state(spark, state_path)
+    if state is None:
+        raise FileNotFoundError(f"no HLL register state at {state_path}")
+    return state.select("event_type", "idx", "reg_max")

@@ -125,3 +125,47 @@ def test_foreach_batch_parquet_sink(spark, events_dir, tmp_path_factory):
     }
     got = {r.event_type: r.n for r in final.collect()}
     assert got == want
+
+
+def test_hll_register_state_equals_batch_and_is_idempotent(spark, sf_dir, tmp_path_factory):
+    """r11: the streaming-maintained HLL registers must equal the
+    one-shot batch registers over the same events (mergeable max), and
+    re-folding an already-applied batch id must be a no-op (the
+    watermark skip)."""
+    from pyspark.sql import functions as F
+
+    from rag_lakehouse_spark.plans.advanced_queries import hll_register_rows
+    from rag_lakehouse_spark.streaming.rollup_sink import (
+        _hll_merge,
+        _hll_partials,
+        fold_batch,
+        read_hll_registers,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    state = str(tmp_path_factory.mktemp("hll_state")) + "/regs"
+    # split into two overlapping halves and fold as two batches
+    h1 = ev.filter(F.col("user_id") % 2 == 0)
+    h2 = ev.filter((F.col("user_id") % 2 == 1) | (F.col("user_id") % 4 == 0))
+    for bid, b in ((0, h1), (1, h2)):
+        assert fold_batch(
+            spark, state, b, bid, "ckpt-test",
+            partial_fn=_hll_partials, merge_fn=_hll_merge,
+        )
+    # replaying batch 1 must be skipped, not double-folded
+    assert not fold_batch(
+        spark, state, h2, 1, "ckpt-test",
+        partial_fn=_hll_partials, merge_fn=_hll_merge,
+    )
+    got = {
+        (r.event_type, r.idx): r.reg_max
+        for r in read_hll_registers(spark, state).collect()
+    }
+    want = {
+        (r.event_type, r.idx): r.reg_max
+        for r in hll_register_rows(ev.unionByName(ev.filter(F.col("user_id") % 4 == 0)))
+        .groupBy("event_type", "idx")
+        .agg(F.max("rho").alias("reg_max"))
+        .collect()
+    }
+    assert got == want
