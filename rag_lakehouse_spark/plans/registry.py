@@ -79,6 +79,7 @@ _PRIORITY: tuple[str, ...] = (
     "corpus_token_budget_report",
     "events_distinct_hll_portable",
     "events_hll_incremental",
+    "embedding_ivf_balance_report",
     # -- r11 part (c): oldest-first re-confirmation (freshness ledger:
     # last driver rows r5, then the r6 cohort in registration order) --
     "q8_market_share",

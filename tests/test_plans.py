@@ -356,3 +356,14 @@ def test_hll_portable_register_groups_only(spark, sf_dir):
     plan = plan_of("events_distinct_hll_portable", spark, sf_dir)
     assert "partial_max" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ivf_balance_single_pass_broadcast_total(spark, sf_dir):
+    """Balance report: ONE map-only assignment pass into an 8-group
+    aggregate with map-side partials; the share denominator is an
+    unpartitioned window over the 8-row aggregate — a broadcast-join
+    total would lazily re-scan and re-assign the corpus (observed)."""
+    plan = plan_of("embedding_ivf_balance_report", spark, sf_dir)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert plan.count("Scan parquet") == 1  # the corpus is read ONCE

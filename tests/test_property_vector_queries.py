@@ -353,6 +353,43 @@ def test_knn_ivf_portable_ties_on_constructed_vectors(spark, tmp_path):
     assert not problems, problems
 
 
+def test_ivf_balance_report_on_constructed_vectors(spark, tmp_path):
+    """r11: the cell-balance report under the same construction —
+    midpoint vectors force exact assignment ties (first-index rule
+    shifts a whole vector between cells 0 and 1 if it fires
+    differently), duplicates double one cell's exact grid error
+    mass, and centroid-exact vectors contribute dmin = 0."""
+    from rag_lakehouse_spark.plans import registry as reg
+    from rag_lakehouse_spark.plans.vector_queries import _ivf_cent
+
+    data = []
+    data.append((0, [_ivf_cent(2, t) for t in range(64)], 0))
+    mid = [(_ivf_cent(0, t) + _ivf_cent(1, t)) / 2.0 for t in range(64)]
+    data.append((1, mid, 1))
+    data.append((2, mid, 2))
+    for n in range(3, 20):
+        c = n % 8
+        data.append(
+            (n, [_ivf_cent(c, t) + ((n + t) % 3 - 1) / 8.0 for t in range(64)], n % 4)
+        )
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        data, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(sf_dir, "embeddings.parquet")
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE OR REPLACE VIEW embeddings AS "
+        f"SELECT * FROM '{sf_dir}/embeddings.parquet/*.parquet'"
+    )
+    q = reg.QUERIES["embedding_ivf_balance_report"]
+    problems = compare(
+        "embedding_ivf_balance_report", q.fn(spark, sf_dir), con, q.oracle
+    )
+    assert not problems, problems
+
+
 def test_ann_ivf_pq_portable_ties_on_constructed_vectors(spark, tmp_path):
     """Generated-table differential for the residual IVF-PQ twin
     (64-dim — outside the shared fuzz, same rationale as above):
