@@ -435,3 +435,77 @@ def dq_source_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ts"), F.lit(0.0), lambda a, s: a + s["term"]
         ).alias("psi"),
     )
+
+
+def _hashed_features_oracle() -> str:
+    from rag_lakehouse_spark.operators.dedup_portable import duckdb_base60
+
+    toks = (
+        "list_filter(regexp_split_to_array("
+        + TX.duckdb_edge_trim("lower(coalesce(text, ''))")
+        + f", '{TX.DUCKDB_WS}'), x -> x <> '')"
+    )
+    h = duckdb_base60("t")
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({toks}) AS t FROM documents
+    ), hb AS (
+      SELECT doc_id,
+             CAST({h} % 64 AS INT) AS bucket,
+             CASE WHEN (({h} >> 6) & 1) = 1 THEN 1 ELSE -1 END AS sgn
+      FROM tok
+    )
+    SELECT doc_id, bucket, CAST(SUM(sgn) AS BIGINT) AS feat
+    FROM hb GROUP BY doc_id, bucket
+    """
+
+
+@register(
+    "text_hashed_features",
+    oracle=None,  # set below (builder needs TX helpers at import time)
+    tags=("text", "features", "ml", "portable-twin"),
+)
+def text_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature hashing (the Weinberger et al. hashing trick) — the
+    scalable bag-of-words featurizer a corpus-scale quality/domain
+    classifier consumes (the fastText/CCNet-style filtering stage):
+    each token hashes to one of 64 buckets via the portable 60-bit
+    hash, contributes ±1 by a second hash bit (sign hashing keeps the
+    expectation of collision noise zero), and per-document bucket
+    sums form the sparse feature rows (doc_id, bucket, feat). No
+    vocabulary is built or broadcast — the defining property that
+    makes the featurizer embarrassingly parallel at any corpus size.
+    All-integer arithmetic; hash-checked end-to-end.
+
+    Scale: one explode → groupBy (doc_id, bucket) with map-side
+    partials; output is ≤64 rows per document regardless of doc
+    length; no join, no vocabulary state. Raising k to 2^18 (the
+    usual classifier width) changes the modulus only."""
+    from rag_lakehouse_spark.operators.dedup_portable import base60
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(
+            F.split(
+                TX.edge_trim(F.lower(F.coalesce(F.col("text"), F.lit("")))),
+                TX.WS,
+            )
+        ).alias("t"),
+    ).filter(F.col("t") != "")
+    h = base60(F.col("t"))
+    hb = tok.select(
+        "doc_id",
+        (h % 64).cast("int").alias("bucket"),
+        F.when(F.shiftright(h, 6).bitwiseAND(F.lit(1)) == 1, F.lit(1))
+        .otherwise(F.lit(-1))
+        .alias("sgn"),
+    )
+    return hb.groupBy("doc_id", "bucket").agg(
+        F.sum("sgn").cast("bigint").alias("feat")
+    )
+
+
+from rag_lakehouse_spark.plans import registry as _registry  # noqa: E402
+
+_registry.QUERIES["text_hashed_features"].oracle = _hashed_features_oracle()

@@ -80,6 +80,7 @@ _PRIORITY: tuple[str, ...] = (
     "events_distinct_hll_portable",
     "events_hll_incremental",
     "embedding_ivf_balance_report",
+    "text_hashed_features",
     # -- r11 part (c): oldest-first re-confirmation (freshness ledger:
     # last driver rows r5, then the r6 cohort in registration order) --
     "q8_market_share",
@@ -121,7 +122,10 @@ _PRIORITY: tuple[str, ...] = (
     "events_rollup_distinct_sketch",
     "corpus_decontaminate",
     "text_pii_redact",
-    "corpus_clean_pipeline",
+    # (corpus_clean_pipeline deferred to r12: part (b) grew to 9, and
+    # the 50-slot budget fits only 39 of the 40 stale rows — the clean
+    # pipeline is a composition of pieces each separately re-confirmed
+    # in this front, so it waits)
 )
 
 

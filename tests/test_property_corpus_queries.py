@@ -189,6 +189,10 @@ def _run_rows(spark, tmp_path, rows, query_name):
         # zero-token/zero-sequence guard (utilization 0e0 on both
         # engines); unicode tokenization parity via TX.WS
         "corpus_token_budget_report",
+        # r11 feature hashing: unicode/duplicate tokens stress the
+        # portable-hash bucket/sign parity; sign cancellation produces
+        # legitimate zero-sum buckets both engines must keep
+        "text_hashed_features",
     ],
 )
 def test_text_query_matches_oracle_on_generated_corpus(
