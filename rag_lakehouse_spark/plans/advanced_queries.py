@@ -1142,3 +1142,116 @@ from rag_lakehouse_spark.plans import registry as _registry  # noqa: E402
 
 _registry.QUERIES["events_distinct_hll_portable"].oracle = _hll_oracle()
 _registry.QUERIES["events_hll_incremental"].oracle = _hll_oracle()
+
+
+# --- Portable Bloom-filter prefilter: the runtime-filter join pattern ---
+
+
+def _bloom_oracle() -> str:
+    from rag_lakehouse_spark.operators.bloom import (
+        duckdb_bloom_cte,
+        duckdb_bloom_probe,
+    )
+
+    cte = duckdb_bloom_cte(
+        "SELECT c_custkey FROM customer WHERE c_acctbal > 9000", "c_custkey"
+    )
+    return f"""
+    WITH {cte},
+    probe AS (
+      SELECT o.o_custkey AS key,
+             (k.key IS NOT NULL) AS is_member,
+             {duckdb_bloom_probe("o.o_custkey")} AS bloom_pass
+      FROM orders o CROSS JOIN bloom LEFT JOIN k ON k.key = o.o_custkey
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_probe,
+           CAST(SUM(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_members,
+           CAST(SUM(CASE WHEN bloom_pass THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bloom_pass,
+           CAST(SUM(CASE WHEN bloom_pass AND NOT is_member THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_false_pos,
+           CAST(SUM(CASE WHEN is_member AND NOT bloom_pass THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_missed_members,
+           (SELECT CAST(list_sum(list_transform(words, w -> bit_count(w)))
+                        AS BIGINT) FROM bloom) AS bits_set,
+           CAST(SUM(CASE WHEN bloom_pass AND NOT is_member THEN 1 ELSE 0 END)
+                AS DOUBLE)
+             / nullif(COUNT(*) - SUM(CASE WHEN is_member THEN 1 ELSE 0 END), 0)
+             AS fp_rate
+    FROM probe
+    """
+
+
+@register(
+    "join_bloom_prefilter",
+    oracle=None,  # set below (builder imports the bloom module)
+    tags=("join", "sketch", "portable-twin", "runtime-filter"),
+)
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The runtime-filter join made an explicit, auditable operator:
+    a portable Bloom filter (4096 bits, k=4, positions from the top 12
+    bits of four affine transforms of the 60-bit hash) is BUILT
+    distributed over the selective side (rich customers,
+    c_acctbal > 9000), collected as the 128-word bitmap (512 B —
+    bounded by the parameter, not the data), and PROBED map-only over
+    the big side (every order's custkey) as a literal-array
+    expression. The report hash-checks the sketch's exact accounting:
+    probe volume, true member rows, bloom passes, false positives,
+    the structural zero of ``n_missed_members`` (a Bloom filter has
+    no false negatives — surfaced as data, not prose), the bitmap's
+    set-bit count, and the achieved false-positive rate.
+
+    Scale: build shuffles at most 128 partial-OR words per task
+    (mergeable bit_or); the probe side never shuffles — at 100 TB the
+    bitmap rides the closure to every executor and the exact join
+    runs only on survivors. DuckDB rebuilds the identical bitmap and
+    replays every probe, so a single wrong bit anywhere breaks the
+    hash."""
+    from rag_lakehouse_spark.operators.bloom import bloom_build, bloom_probe
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    keys = cust.filter(F.col("c_acctbal") > 9000).select("c_custkey")
+    words = bloom_build(keys, "c_custkey")
+    bits_set = sum(bin(w).count("1") for w in words)
+    member = keys.withColumn("is_m", F.lit(True))
+    probed = (
+        orders.select(F.col("o_custkey").alias("key"))
+        .join(F.broadcast(member), F.col("key") == F.col("c_custkey"), "left")
+        .select(
+            "key",
+            F.coalesce("is_m", F.lit(False)).alias("is_member"),
+            bloom_probe(words, F.col("key")).alias("bloom_pass"),
+        )
+    )
+    agg = probed.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_probe"),
+        F.sum(F.when(F.col("is_member"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_members"),
+        F.sum(F.when(F.col("bloom_pass"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_bloom_pass"),
+        F.sum(F.when(F.col("bloom_pass") & ~F.col("is_member"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_false_pos"),
+        F.sum(F.when(F.col("is_member") & ~F.col("bloom_pass"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_missed_members"),
+    )
+    denom = F.col("n_probe") - F.col("n_members")
+    return agg.select(
+        "n_probe",
+        "n_members",
+        "n_bloom_pass",
+        "n_false_pos",
+        "n_missed_members",
+        F.lit(bits_set).cast("bigint").alias("bits_set"),
+        F.when(denom > 0, F.col("n_false_pos").cast("double") / denom).alias(
+            "fp_rate"
+        ),
+    )
+
+
+_registry.QUERIES["join_bloom_prefilter"].oracle = _bloom_oracle()

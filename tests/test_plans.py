@@ -367,3 +367,14 @@ def test_ivf_balance_single_pass_broadcast_total(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 1
     assert "partial_count" in plan or "partial_sum" in plan
     assert plan.count("Scan parquet") == 1  # the corpus is read ONCE
+
+
+def test_bloom_prefilter_probe_side_never_shuffles(spark, sf_dir):
+    """The runtime-filter contract: the probe side (orders) reaches the
+    report through a literal-array expression + broadcast member join
+    + global agg — no hash-partitioned exchange anywhere (the bitmap
+    build collects eagerly at construction and is not in this plan)."""
+    plan = plan_of("join_bloom_prefilter", spark, sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Exchange hashpartitioning" not in plan
