@@ -1562,3 +1562,154 @@ def text_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_syllables",
         F.when(F.col("n_words") > 0, fk).alias("fk_grade"),
     )
+
+
+# --- Portable count-min sketch: the additive member of the sketch family ---
+
+
+def _cms_oracle() -> str:
+    from rag_lakehouse_spark.operators.cms import (
+        duckdb_cms_idx_case,
+        duckdb_cms_sketch_cte,
+    )
+
+    toks_sql = (
+        "SELECT unnest(list_filter("
+        + TX.duckdb_tokens("coalesce(text, '')")
+        + ", t -> t <> '')) AS t FROM documents"
+    )
+    cte = duckdb_cms_sketch_cte(toks_sql, "t")
+    return f"""
+    WITH {cte},
+    tot AS (SELECT COUNT(*) AS n FROM cms_toks),
+    tf AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM cms_toks GROUP BY tok),
+    heavy AS (SELECT tok, cnt FROM tf, tot WHERE cnt * 200 >= n),
+    pos AS (
+      SELECT tok, cnt, g.j, {duckdb_cms_idx_case("tok", "g.j")} AS idx
+      FROM heavy CROSS JOIN generate_series(0, 3) g(j)
+    )
+    SELECT pos.tok AS item, pos.cnt AS exact_cnt,
+           CAST(MIN(s.c) AS BIGINT) AS cms_est,
+           CAST(MIN(s.c) - pos.cnt AS BIGINT) AS overcount
+    FROM pos JOIN cms_sketch s ON s.j = pos.j AND s.idx = pos.idx
+    GROUP BY pos.tok, pos.cnt
+    """
+
+
+@register(
+    "corpus_countmin_portable",
+    oracle=None,  # set below (builder imports the cms module)
+    tags=("text", "sketch", "portable-twin", "training-data"),
+)
+def corpus_countmin_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch token-frequency estimation with every counter
+    externally hash-checked: d=4 rows x w=512 counters over the
+    portable hash, point estimates (min across rows) evaluated on the
+    exact heavy-hitter set (Misra-Gries candidates -> exact recount,
+    the standing sketch-then-verify pattern), reporting per token the
+    exact count, the CMS estimate, and the overcount — which is >= 0
+    STRUCTURALLY (a counter only ever sums more tokens in), surfaced
+    as data the oracle recomputes counter-for-counter.
+
+    Two sketches compose here: MG bounds the evaluation set without a
+    full-vocabulary shuffle; CMS answers point queries from 2048
+    mergeable counters. Scale: the CMS build shuffles at most
+    d*w = 2048 partial counts per task whatever the corpus size;
+    counters are mergeable SUMS, so the identical fold serves the
+    streaming twin (``corpus_cms_incremental``) and any rollup. The
+    estimate join broadcasts the sketch (2048 rows, bounded by the
+    PARAMETERS, not the data)."""
+    from rag_lakehouse_spark.operators.cms import cms_build, cms_estimate
+    from rag_lakehouse_spark.operators.heavy_hitters import heavy_hitters_exact
+
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            F.explode(TX.tokens(F.coalesce(F.col("text"), F.lit("")))).alias("t")
+        )
+        .filter(F.col("t") != "")
+    )
+    sketch = cms_build(toks, "t")
+    heavy = heavy_hitters_exact(toks, "t", k=400, ratio_den=200).withColumnRenamed(
+        "cnt", "exact_cnt"
+    )
+    est = cms_estimate(sketch, heavy, "item")
+    return est.select(
+        "item",
+        "exact_cnt",
+        "cms_est",
+        (F.col("cms_est") - F.col("exact_cnt")).cast("bigint").alias("overcount"),
+    )
+
+
+@register(
+    "corpus_cms_incremental",
+    oracle=None,  # set below — shares the batch twin's oracle
+    tags=("text", "sketch", "streaming", "portable-twin", "training-data"),
+)
+def corpus_cms_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-frequency estimates served from STREAMING-MAINTAINED
+    count-min counters: documents replay through an availableNow file
+    stream (4 files, >=4 micro-batches), each batch tokenized and
+    hashed ONCE, its 2048-row counter partial SUMMED into versioned
+    state via the rollup sink's fold machinery — counter sums are
+    mergeable and the fold watermark de-duplicates replays, so the
+    maintained sketch provably equals the batch sketch (SHARED oracle:
+    the hash check proves it externally). The SEVENTH incremental-index
+    family member (exact dedup, MinHash postings, IVF, BM25 postings,
+    media metadata, HLL registers, CMS counters).
+
+    Scale: per-increment cost is one micro-batch tokenize + a
+    2048-row state merge; history is never re-tokenized. The exact
+    heavy-hitter side exists only for the report's error columns —
+    sketch-only serving reads state alone."""
+    import os
+    import shutil
+    import tempfile
+
+    from rag_lakehouse_spark.operators.cms import cms_estimate
+    from rag_lakehouse_spark.operators.heavy_hitters import heavy_hitters_exact
+    from rag_lakehouse_spark.streaming.rollup_sink import (
+        maintain_cms_counters,
+        read_cms_counters,
+    )
+
+    base = tempfile.mkdtemp(prefix="rls_cms_stream_")
+    try:
+        src = os.path.join(base, "docs")
+        d = load_table(spark, sf_dir, "documents")
+        d.select("doc_id", "text").repartition(4).write.mode(
+            "overwrite"
+        ).parquet(src)
+        stream = (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        state = os.path.join(base, "cms_counters")
+        maintain_cms_counters(spark, stream, state).awaitTermination()
+        sketch = read_cms_counters(spark, state).localCheckpoint(eager=True)
+        toks = d.select(
+            F.explode(TX.tokens(F.coalesce(F.col("text"), F.lit("")))).alias("t")
+        ).filter(F.col("t") != "")
+        heavy = heavy_hitters_exact(
+            toks, "t", k=400, ratio_den=200
+        ).withColumnRenamed("cnt", "exact_cnt")
+        est = cms_estimate(sketch, heavy, "item")
+        return est.select(
+            "item",
+            "exact_cnt",
+            "cms_est",
+            (F.col("cms_est") - F.col("exact_cnt"))
+            .cast("bigint")
+            .alias("overcount"),
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+from rag_lakehouse_spark.plans import registry as _registry  # noqa: E402
+
+_registry.QUERIES["corpus_countmin_portable"].oracle = _cms_oracle()
+_registry.QUERIES["corpus_cms_incremental"].oracle = _cms_oracle()

@@ -469,3 +469,64 @@ def read_hll_registers(spark: SparkSession, state_path: str) -> DataFrame:
     if state is None:
         raise FileNotFoundError(f"no HLL register state at {state_path}")
     return state.select("event_type", "idx", "reg_max")
+
+
+def _cms_partials(df: DataFrame) -> DataFrame:
+    """Micro-batch of documents → CMS counter partials (j, idx, c).
+    The batch tokenizes and hashes ONCE; the partial is at most
+    d*w = 2048 rows."""
+    from rag_lakehouse_spark.functions import text as TX
+    from rag_lakehouse_spark.operators.cms import cms_build
+
+    toks = df.select(
+        F.explode(TX.tokens(F.coalesce(F.col("text"), F.lit("")))).alias("t")
+    ).filter(F.col("t") != "")
+    return cms_build(toks, "t")
+
+
+def _cms_merge(prev: DataFrame, batch: DataFrame) -> DataFrame:
+    return (
+        prev.unionByName(batch)
+        .groupBy("j", "idx")
+        .agg(F.sum("c").cast("bigint").alias("c"))
+    )
+
+
+def maintain_cms_counters(
+    spark: SparkSession, docs_stream: DataFrame, state_path: str
+):
+    """Fold each micro-batch's count-min counter partials into the
+    versioned state table. Counter SUMS are mergeable (and the
+    fold-watermark makes the at-least-once replay exactly-once, same
+    as the daily-count state), so the maintained sketch equals the
+    one-shot batch sketch however ingestion was batched — which is
+    what lets ``corpus_cms_incremental`` share the batch twin's
+    oracle. State is bounded at d*w = 2048 rows regardless of corpus
+    size."""
+    ckpt = state_path + "_ckpt"
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        fold_batch(
+            spark,
+            state_path,
+            batch_df,
+            batch_id,
+            _ckpt_query_id(ckpt),
+            partial_fn=_cms_partials,
+            merge_fn=_cms_merge,
+        )
+
+    return (
+        docs_stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_cms_counters(spark: SparkSession, state_path: str) -> DataFrame:
+    """The maintained sketch as a batch DataFrame: (j, idx, c)."""
+    state = read_state(spark, state_path)
+    if state is None:
+        raise FileNotFoundError(f"no CMS counter state at {state_path}")
+    return state.select("j", "idx", "c")
