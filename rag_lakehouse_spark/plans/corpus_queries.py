@@ -1584,3 +1584,136 @@ def corpus_token_budget_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("utilization"),
     )
+
+
+@register(
+    "corpus_kn_bigram_scores",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             list_filter({TX.duckdb_tokens("coalesce(text, '')")},
+                         t -> t <> '') AS t
+      FROM documents
+    ), bg AS (
+      SELECT doc_id, source, t, unnest(generate_series(1, len(t) - 1)) AS i
+      FROM toks
+    ), bigr AS (
+      SELECT doc_id, source, t[i] AS w1, t[i + 1] AS w2 FROM bg
+    ), c12 AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM bigr GROUP BY 1, 2
+    ), c1 AS (
+      SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+             CAST(COUNT(*) AS BIGINT) AS n1f
+      FROM c12 GROUP BY 1
+    ), n1b AS (
+      SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1b FROM c12 GROUP BY 1
+    ), bt AS (SELECT CAST(COUNT(*) AS BIGINT) AS b FROM c12),
+    model AS (
+      SELECT c12.w1, c12.w2,
+             CAST(floor(round(log2(
+               (greatest(CAST(c12.c12 AS DOUBLE) - 7.5e-1, 0e0)
+                + 7.5e-1 * c1.n1f
+                  * (CAST(n1b.n1b AS DOUBLE) / CAST(bt.b AS DOUBLE)))
+               / c1.c1), 9) * 1048576e0) AS BIGINT) AS q
+      FROM c12 JOIN c1 USING (w1) JOIN n1b USING (w2) CROSS JOIN bt
+    ), sc AS (
+      SELECT bigr.source, bigr.doc_id, model.q
+      FROM bigr JOIN model USING (w1, w2)
+    )
+    SELECT source,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(q) AS BIGINT) AS sum_q,
+           -((CAST(SUM(q) AS DOUBLE) / 1048576e0) / COUNT(*))
+             AS bits_per_bigram
+    FROM sc GROUP BY source
+    """,
+    tags=("text", "quality", "language-model", "training-data"),
+)
+def corpus_kn_bigram_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram language model (D = 0.75),
+    trained on the corpus and scoring it — the smoothing family real
+    LM-based quality filters (CCNet-style) use, beyond the
+    integer-bits surprisal rungs: P(w2|w1) = (max(c(w1,w2) - D, 0)
+    + D * N1+(w1*) * N1+(*w2)/|bigrams|) / c(w1), where the
+    continuation counts N1+ come from DISTINCT bigram types — the KN
+    insight that "Francisco" is frequent but follows only "San".
+    Per-source report: docs scored, bigram mass, and mean bits per
+    bigram (lower = more predictable text).
+
+    Exactness: all model inputs are exact integers derived from ONE
+    bigram-type table; the probability is a fixed-order double
+    expression (dyadic D = 0.75 multiplies exactly), log2 rounds to 9
+    decimals (the idf/ln precedent absorbs engines' last-ulp libm
+    differences), and per-doc/source sums happen on the 2^-20-quantized
+    INTEGER grid (the standing order-free-sum rule), so the report is
+    externally hash-checked despite being an LM.
+
+    Scale: bigram explode is linear in corpus tokens; every count
+    derives from the c(w1,w2) type table (shuffle bounded by bigram
+    vocabulary, map-side combined); the model joins back to
+    occurrences by (w1, w2) equi-join — the same exchange the type
+    count used, so the corpus explodes once with AQE exchange reuse;
+    the 1-row |bigrams| total broadcasts."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    toks = d.select(
+        "doc_id",
+        "source",
+        F.filter(
+            TX.tokens(F.coalesce(F.col("text"), F.lit(""))),
+            lambda t: t != F.lit(""),
+        ).alias("__t"),
+    )
+    n_t = F.size("__t")
+    bigr = (
+        toks.filter(n_t >= 2)
+        .select(
+            "doc_id",
+            "source",
+            "__t",
+            F.explode(F.sequence(F.lit(1), n_t - 1)).alias("__i"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.element_at("__t", F.col("__i")).alias("w1"),
+            F.element_at("__t", F.col("__i") + 1).alias("w2"),
+        )
+    )
+    c12 = bigr.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("bigint").alias("c12"))
+    c1 = c12.groupBy("w1").agg(
+        F.sum("c12").cast("bigint").alias("c1"),
+        F.count(F.lit(1)).cast("bigint").alias("n1f"),
+    )
+    n1b = c12.groupBy("w2").agg(F.count(F.lit(1)).cast("bigint").alias("n1b"))
+    bt = c12.agg(F.count(F.lit(1)).cast("bigint").alias("b"))
+    p = (
+        F.greatest(F.col("c12").cast("double") - F.lit(0.75), F.lit(0.0))
+        + F.lit(0.75)
+        * F.col("n1f")
+        * (F.col("n1b").cast("double") / F.col("b").cast("double"))
+    ) / F.col("c1")
+    model = (
+        c12.join(c1, "w1")
+        .join(n1b, "w2")
+        .crossJoin(F.broadcast(bt))
+        .select(
+            "w1",
+            "w2",
+            F.floor(F.round(F.log2(p), 9) * F.lit(1048576.0))
+            .cast("bigint")
+            .alias("q"),
+        )
+    )
+    sc = bigr.join(model, ["w1", "w2"])
+    return sc.groupBy("source").agg(
+        F.count_distinct("doc_id").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.sum("q").cast("bigint").alias("sum_q"),
+        (
+            -(
+                (F.sum("q").cast("double") / F.lit(1048576.0))
+                / F.count(F.lit(1))
+            )
+        ).alias("bits_per_bigram"),
+    )

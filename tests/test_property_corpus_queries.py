@@ -193,6 +193,14 @@ def _run_rows(spark, tmp_path, rows, query_name):
         # portable-hash bucket/sign parity; sign cancellation produces
         # legitimate zero-sum buckets both engines must keep
         "text_hashed_features",
+        # r11 count-min: tiny corpora make MANY tokens heavy (cnt*200
+        # >= n trivially), so collisions inside 512-wide rows — and the
+        # >= 0 overcount contract — get exercised at real density
+        "corpus_countmin_portable",
+        # r11 Kneser-Ney: duplicate docs create real discount mass;
+        # single-token/empty docs hit the n<2 guard; tiny bigram
+        # vocabularies make Pcont coarse (B=1 -> p=1, log2=0 edge)
+        "corpus_kn_bigram_scores",
     ],
 )
 def test_text_query_matches_oracle_on_generated_corpus(
