@@ -2180,3 +2180,119 @@ def embedding_ivf_balance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1048576.0)
         ).alias("mse"),
     )
+
+
+# --- Scalar (int8) quantization: PQ's standard sibling on the
+# memory/recall dial (per-dim codes instead of subspace centroids) ---
+
+
+_SQ_ORACLE = """
+    WITH px AS (
+      SELECT vec_id, unnest(generate_series(1, len(embedding))) AS i,
+             embedding AS emb
+      FROM embeddings
+    ), el AS (
+      SELECT vec_id, i - 1 AS t, CAST(emb[i] AS DOUBLE) AS x FROM px
+    ), st AS (
+      SELECT t, MIN(x) AS mn, MAX(x) AS mx, MAX(x) - MIN(x) AS w
+      FROM el GROUP BY t
+    ), coded AS (
+      SELECT el.t, st.mn, st.mx, st.w, el.x,
+             CASE WHEN st.w = 0e0 THEN 0
+                  ELSE least(255, CAST(floor(((el.x - st.mn) * 256e0) / st.w)
+                                       AS BIGINT)) END AS code
+      FROM el JOIN st USING (t)
+    ), errd AS (
+      SELECT t, mn, mx, code,
+             x - (mn + ((CAST(code AS DOUBLE) + 5e-1) * w) / 256e0) AS err
+      FROM coded
+    )
+    SELECT CAST(t AS INT) AS dim, mn AS dim_min, mx AS dim_max,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(COUNT(DISTINCT code) AS BIGINT) AS n_codes_used,
+           CAST(SUM(CAST(floor(err * err * 1048576e0) AS BIGINT)) AS BIGINT)
+             AS sse_q,
+           (CAST(SUM(CAST(floor(err * err * 1048576e0) AS BIGINT)) AS DOUBLE)
+              / COUNT(*)) / 1048576e0 AS mse
+    FROM errd GROUP BY t, mn, mx
+    """
+
+
+@register(
+    "embedding_sq_int8_report",
+    oracle=_SQ_ORACLE,
+    tags=("vector", "quantization", "quality", "portable-twin"),
+)
+def embedding_sq_int8_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization report — the OTHER standard point on
+    the vector-memory dial (4 bytes/dim float -> 1 byte/dim code; PQ
+    compresses harder, SQ keeps per-dim fidelity): per dimension the
+    trained [min, max] range, the code-utilization count (a dim using
+    3 of 256 codes is wasted range — the retrain signal), and the
+    exact reconstruction-error mass under midpoint dequantization.
+
+    This is the two-pass TRAINING flow, not a frozen artifact: pass 1
+    aggregates per-dim min/max (64 partial rows per task); the
+    64-entry range table broadcasts back as literal arrays; pass 2 is
+    map-only encode + one bounded aggregation. Exactness: codes are
+    exact integers (floor of a fixed-order double expression both
+    engines evaluate identically; the all-equal-dim guard emits code
+    0 instead of dividing by a zero width); reconstruction errors are
+    per-element doubles floored onto the 2^-20 grid and summed as
+    int64 (the standing quantize-the-INPUT rule), so the whole report
+    is externally hash-checked.
+
+    Scale: the shuffle carries 64 (dim) partials in pass 1 and
+    (dim, code) <= 64 x 256 groups in pass 2 — both bounded by the
+    PARAMETERS, not the corpus; the encode itself never shuffles. At
+    100 TB the range table is still 64 rows; a drifting corpus
+    re-trains by re-running pass 1 alone."""
+    e = load_table(spark, sf_dir, "embeddings")
+    el = e.select(F.posexplode("embedding").alias("t", "xf"))
+    stats = (
+        el.groupBy("t")
+        .agg(F.min("xf").alias("mn"), F.max("xf").alias("mx"))
+        .orderBy("t")
+        .collect()
+    )
+    mns = [float(r["mn"]) for r in stats]
+    mxs = [float(r["mx"]) for r in stats]
+    ws = [mx - mn for mn, mx in zip(mns, mxs)]
+    mn_arr = F.array(*[F.lit(v) for v in mns])
+    mx_arr = F.array(*[F.lit(v) for v in mxs])
+    w_arr = F.array(*[F.lit(v) for v in ws])
+    x = F.col("xf").cast("double")
+    mn = F.element_at(mn_arr, F.col("t") + 1)
+    w = F.element_at(w_arr, F.col("t") + 1)
+    code = F.when(w == 0.0, F.lit(0).cast("bigint")).otherwise(
+        F.least(
+            F.lit(255).cast("bigint"),
+            F.floor(((x - mn) * F.lit(256.0)) / w).cast("bigint"),
+        )
+    )
+    err = x - (mn + ((code.cast("double") + F.lit(0.5)) * w) / F.lit(256.0))
+    rows = el.select(
+        "t",
+        code.alias("code"),
+        F.floor(err * err * F.lit(1048576.0)).cast("bigint").alias("q"),
+    )
+    return (
+        rows.groupBy("t")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+            F.count_distinct("code").cast("bigint").alias("n_codes_used"),
+            F.sum("q").cast("bigint").alias("sse_q"),
+        )
+        .select(
+            F.col("t").cast("int").alias("dim"),
+            F.element_at(mn_arr, F.col("t") + 1).alias("dim_min"),
+            F.element_at(mx_arr, F.col("t") + 1).alias("dim_max"),
+            "n_vectors",
+            "n_codes_used",
+            "sse_q",
+            (
+                (F.col("sse_q").cast("double") / F.col("n_vectors"))
+                / F.lit(1048576.0)
+            ).alias("mse"),
+        )
+    )

@@ -83,6 +83,11 @@ QUERIES = [
     # earliest-position rule must match the recursive CTE's
     # (val, rel_q, vec_id) ORDER BY per step
     "rag_mmr_diversify_exact",
+    # r11 int8 scalar quantization: duplicated vectors collapse dims
+    # to narrow ranges, the all-zero vector can make width-0 dims
+    # (the code-0 guard), and exact-quarter components put values
+    # exactly ON code boundaries — floor + least(255) must agree
+    "embedding_sq_int8_report",
 ]
 
 
