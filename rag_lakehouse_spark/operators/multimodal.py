@@ -160,6 +160,115 @@ def _decode_wav_pcm(content: bytes) -> tuple[int, int, "np.ndarray"]:
     return channels, rate, np.frombuffer(data, dtype="<i2")
 
 
+def _decode_bmp_pixels(content: bytes) -> tuple[int, int, "np.ndarray"]:
+    """(width, height, uint8 array of shape (h, w, 3) in B,G,R channel
+    order, rows TOP-DOWN) — a REAL pixel decode, pure stdlib+numpy:
+    24-bit uncompressed BMP is the one mainstream image container
+    whose pixels need no codec library, so the full
+    decode→feature-extract path runs for real here (PIL/turbojpeg swap
+    in for compressed formats behind the same seam). Handles the
+    classic bottom-up row order (positive biHeight), top-down
+    (negative biHeight), and the 4-byte row-stride padding. Anything
+    else — palette/16/32-bpp, compressed, truncated pixel data —
+    raises NotImplementedError per the malformed-input contract."""
+    if content[:2] != b"BM" or len(content) < 54:
+        raise NotImplementedError("not a BMP stream")
+    off = struct.unpack("<I", content[10:14])[0]
+    bi_size = struct.unpack("<I", content[14:18])[0]
+    if bi_size != 40:
+        raise NotImplementedError("pixel decode needs plain BITMAPINFOHEADER")
+    w, h = struct.unpack("<ii", content[18:26])
+    bpp = struct.unpack("<H", content[28:30])[0]
+    comp = struct.unpack("<I", content[30:34])[0]
+    if bpp != 24 or comp != 0 or w <= 0 or h == 0:
+        raise NotImplementedError("24-bit uncompressed pixel decode only")
+    topdown, hh = h < 0, abs(h)
+    stride = (3 * w + 3) & ~3
+    if off + stride * hh > len(content) or off < 54:
+        raise NotImplementedError("truncated or overlapping pixel data")
+    rows = np.frombuffer(
+        content[off : off + stride * hh], dtype=np.uint8
+    ).reshape(hh, stride)[:, : 3 * w]
+    img = rows if topdown else rows[::-1]
+    return w, hh, img.reshape(hh, w, 3)
+
+
+IMAGE_PIXEL_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_pixels", T.IntegerType()),
+        T.StructField("sum_b", T.LongType()),
+        T.StructField("sum_g", T.LongType()),
+        T.StructField("sum_r", T.LongType()),
+        T.StructField("wsum_y", T.LongType()),
+        T.StructField("wsum_x", T.LongType()),
+        T.StructField("mean_luma", T.DoubleType()),
+    ]
+)
+
+
+def image_pixel_features(
+    df: DataFrame,
+    id_col: str = "media_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """PIXEL-level image feature extraction — the image sibling of
+    ``audio_features``'s payload decode: per image, exact integer
+    per-channel byte sums, the row- and column-WEIGHTED sums
+    (sum of y*byte and x*byte — these break if the decoder flips rows
+    the wrong way or misaligns the stride padding, which plain sums
+    cannot see), and the mean luminance (one double division over
+    exact integers). Undecodable rows yield NULL features with the id
+    preserved.
+
+    Same mapInPandas seam as the other media operators: bytes stay on
+    the executor, the per-pixel math is vectorized NumPy. A real
+    histogram/embedding extractor swaps in behind the same
+    signature."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, content in zip(pdf[id_col], pdf[content_col]):
+                b = bytes(content) if content is not None else b""
+                w = h = npx = sb = sg = sr = wy = wx = ml = None
+                try:
+                    w, h, img = _decode_bmp_pixels(b)
+                    a = img.astype(np.int64)
+                    npx = w * h
+                    sb = int(a[:, :, 0].sum())
+                    sg = int(a[:, :, 1].sum())
+                    sr = int(a[:, :, 2].sum())
+                    wy = int((a * np.arange(h, dtype=np.int64)[:, None, None]).sum())
+                    wx = int((a * np.arange(w, dtype=np.int64)[None, :, None]).sum())
+                    ml = (sb + sg + sr) / (3 * npx)
+                except (NotImplementedError, IndexError, struct.error, ValueError):
+                    pass  # one corrupt row must never fail the task
+                rows.append((rid, w, h, npx, sb, sg, sr, wy, wx, ml))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "width",
+                    "height",
+                    "n_pixels",
+                    "sum_b",
+                    "sum_g",
+                    "sum_r",
+                    "wsum_y",
+                    "wsum_x",
+                    "mean_luma",
+                ],
+            )
+
+    fanned = df.select(id_col, content_col).repartition(
+        max(df.sparkSession.sparkContext.defaultParallelism, 1)
+    )
+    return fanned.mapInPandas(extract, IMAGE_PIXEL_SCHEMA)
+
+
 AUDIO_FEATURES_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
@@ -358,10 +467,30 @@ def synth_media_bytes(
             + struct.pack(">I", zlib.crc32(iend) & 0xFFFFFFFF)
         )  # 8 + 25 + 12 = 45 bytes
     if kind == "bmp":
-        info = struct.pack(
-            "<IiiHHIIiiII", 40, width, height, 1, 24, 0, 0, 2835, 2835, 0, 0
+        if payload is None:
+            info = struct.pack(
+                "<IiiHHIIiiII", 40, width, height, 1, 24, 0, 0, 2835, 2835, 0, 0
+            )
+            return b"BM" + struct.pack("<IHHI", 54, 0, 0, 54) + info  # 54 bytes
+        # payload = IMAGE-ORDER (row 0 = top) BGR bytes, h*w*3 of them;
+        # the writer lays rows out BOTTOM-UP with 4-byte stride padding
+        # (the classic positive-height BMP layout) — the decoder
+        # (_decode_bmp_pixels) must undo exactly this.
+        if len(payload) != 3 * width * height:
+            raise ValueError("payload length must be 3 * width * height")
+        stride = (3 * width + 3) & ~3
+        pad = bytes(stride - 3 * width)
+        rows = b"".join(
+            payload[(height - 1 - j) * 3 * width : (height - j) * 3 * width] + pad
+            for j in range(height)
         )
-        return b"BM" + struct.pack("<IHHI", 54, 0, 0, 54) + info  # 54 bytes
+        info = struct.pack(
+            "<IiiHHIIiiII",
+            40, width, height, 1, 24, 0, len(rows), 2835, 2835, 0, 0,
+        )
+        return (
+            b"BM" + struct.pack("<IHHI", 54 + len(rows), 0, 0, 54) + info + rows
+        )
     if kind == "gif":
         return (
             b"GIF89a" + struct.pack("<HHBBB", width, height, 0, 0, 0) + b"\x3b"

@@ -410,3 +410,98 @@ def media_features_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(F.encode("text", "UTF-8")).cast("bigint").alias("n_bytes"),
         F.sha2(F.encode("text", "UTF-8"), 256).alias("sha_hex"),
     )
+
+
+@register(
+    "media_image_pixels",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id AS media_id,
+             CAST(16 + doc_id % 32 AS INT) AS w,
+             CAST(8 + doc_id % 16 AS INT) AS h
+      FROM documents WHERE doc_id % 4 = 1
+    ), el AS (
+      SELECT media_id, w, h,
+             unnest(generate_series(0, w * h * 3 - 1)) AS pos
+      FROM p
+    ), px AS (
+      SELECT media_id, w, h,
+             pos // (w * 3) AS y,
+             (pos % (w * 3)) // 3 AS x,
+             pos % 3 AS c,
+             (media_id * 7 + 5 * (pos // (w * 3))
+              + 3 * ((pos % (w * 3)) // 3) + 11 * (pos % 3)) % 256 AS v
+      FROM el
+    )
+    SELECT media_id, w AS width, h AS height,
+           CAST(w * h AS INT) AS n_pixels,
+           CAST(SUM(CASE WHEN c = 0 THEN v ELSE 0 END) AS BIGINT) AS sum_b,
+           CAST(SUM(CASE WHEN c = 1 THEN v ELSE 0 END) AS BIGINT) AS sum_g,
+           CAST(SUM(CASE WHEN c = 2 THEN v ELSE 0 END) AS BIGINT) AS sum_r,
+           CAST(SUM(y * v) AS BIGINT) AS wsum_y,
+           CAST(SUM(x * v) AS BIGINT) AS wsum_x,
+           CAST(SUM(v) AS DOUBLE) / (3 * w * h) AS mean_luma
+    FROM px GROUP BY media_id, w, h
+    """,
+    tags=("multimodal", "codec", "image", "pandas"),
+)
+def media_image_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image pixel decode — beyond header metadata: every
+    bmp-kind document synthesizes a format-valid 24-bit BMP whose
+    pixel byte at (row y, col x, channel c in BGR) follows the closed
+    formula ``(media_id*7 + 5y + 3x + 11c) % 256``; the writer lays
+    rows out BOTTOM-UP with 4-byte stride padding (the classic BMP
+    layout) and ``operators.multimodal.image_pixel_features`` re-reads
+    them FROM BYTES ALONE, emitting exact integer channel sums plus
+    the y- and x-WEIGHTED byte sums — which break if the decoder
+    flips rows the wrong way or misreads the stride, failure modes
+    plain sums are blind to. The oracle recomputes every feature from
+    the formula, so a wrong pad byte, row order, or channel offset in
+    either the writer or the reader breaks the hash. 24-bit BMP is
+    the one mainstream container whose pixels need no codec library —
+    this is the actual decode path, with PIL/turbojpeg swapping in
+    for compressed formats behind the same seam.
+
+    Scale: map-only (parameter projection → synth+decode mapInPandas;
+    the only exchange is the fan-out RoundRobin); per-pixel math is
+    vectorized NumPy; pixel bytes never leave the executor."""
+    import numpy as np
+    import pandas as pd
+
+    from rag_lakehouse_spark.operators.multimodal import (
+        image_pixel_features,
+        synth_media_bytes,
+    )
+
+    params = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 4 == 1)
+        .select(
+            F.col("doc_id").alias("media_id"),
+            (16 + F.col("doc_id") % 32).cast("int").alias("w"),
+            (8 + F.col("doc_id") % 16).cast("int").alias("h"),
+        )
+    )
+
+    def build(batches):
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                w, h, mid = int(r.w), int(r.h), int(r.media_id)
+                v = (
+                    (
+                        mid * 7
+                        + 5 * np.arange(h, dtype=np.int64)[:, None, None]
+                        + 3 * np.arange(w, dtype=np.int64)[None, :, None]
+                        + 11 * np.arange(3, dtype=np.int64)[None, None, :]
+                    )
+                    % 256
+                ).astype(np.uint8)
+                out.append(
+                    (mid, synth_media_bytes("bmp", width=w, height=h,
+                                            payload=v.tobytes()))
+                )
+            yield pd.DataFrame(out, columns=["media_id", "content"])
+
+    media = params.mapInPandas(build, "media_id long, content binary")
+    return image_pixel_features(media)

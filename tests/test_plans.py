@@ -378,3 +378,14 @@ def test_bloom_prefilter_probe_side_never_shuffles(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_media_image_pixels_is_map_only(spark, sf_dir):
+    """Synth → pixel decode is a pure per-row pipeline: no exchange
+    anywhere except the mapInPandas fan-out repartition."""
+    plan = plan_of("media_image_pixels", spark, sf_dir)
+    import re
+
+    exchanges = re.findall(r"Exchange \w+", plan)
+    assert all("RoundRobin" in e or "SinglePartition" in e for e in exchanges), exchanges
+    assert "SortMergeJoin" not in plan and "HashAggregate" not in plan

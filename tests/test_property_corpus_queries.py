@@ -233,7 +233,15 @@ _media_ids = st.lists(
 @given(ids=_media_ids)
 @pytest.mark.parametrize(
     "name",
-    ["media_metadata_report", "media_audio_features", "media_audio_frames"],
+    [
+        "media_metadata_report",
+        "media_audio_features",
+        "media_audio_frames",
+        # r11 pixel decode: ids with no doc_id%4==1 must yield EMPTY
+        # image results on both engines; 2^40-scale ids exercise the
+        # int64 formula products inside the % 256
+        "media_image_pixels",
+    ],
 )
 def test_media_query_matches_oracle_at_generated_params(
     spark, tmp_path, name, ids
