@@ -442,6 +442,7 @@ def synth_media_bytes(
     sample_rate: int = 8000,
     n_samples: int = 0,
     payload: bytes | None = None,
+    frames: list[tuple[int, int, int, int, int, bytes]] | None = None,
 ) -> bytes:
     """Deterministic REAL container bytes, pure stdlib — a minimal but
     format-valid PNG (signature + CRC'd IHDR + IEND), BMP (54-byte
@@ -492,9 +493,31 @@ def synth_media_bytes(
             b"BM" + struct.pack("<IHHI", 54 + len(rows), 0, 0, 54) + info + rows
         )
     if kind == "gif":
-        return (
-            b"GIF89a" + struct.pack("<HHBBB", width, height, 0, 0, 0) + b"\x3b"
-        )  # 14 bytes
+        head = b"GIF89a" + struct.pack("<HHBBB", width, height, 0, 0, 0)
+        if frames is None:
+            return head + b"\x3b"  # 14 bytes
+        # Animated GIF: per frame a Graphic Control Extension (delay in
+        # centiseconds) + Image Descriptor + LZW-min-code byte + the
+        # data bytes in length-prefixed sub-blocks. The walker
+        # (_walk_gif_frames) skips data by LENGTH only (no LZW
+        # decode), exactly how real frame counting works — so callers
+        # may pass adversarial data bytes that LOOK like block
+        # introducers to prove the skip arithmetic.
+        out = [head]
+        for left, top, fw, fh, delay_cs, data in frames:
+            out.append(
+                b"\x21\xf9\x04\x00" + struct.pack("<H", delay_cs) + b"\x00\x00"
+            )
+            out.append(b"\x2c" + struct.pack("<HHHH", left, top, fw, fh) + b"\x00")
+            out.append(b"\x02")  # LZW minimum code size
+            i = 0
+            while i < len(data):
+                chunk = data[i : i + 255]
+                out.append(bytes([len(chunk)]) + chunk)
+                i += 255
+            out.append(b"\x00")
+        out.append(b"\x3b")
+        return b"".join(out)
     if kind == "wav":
         data_len = 2 * channels * n_samples  # PCM16
         payload = payload if payload is not None else bytes(data_len)
@@ -520,6 +543,164 @@ def synth_media_bytes(
             + payload
         )  # 44 + data_len bytes
     raise ValueError(f"unknown media kind: {kind}")
+
+
+def _walk_gif_frames(
+    content: bytes,
+) -> list[tuple[int, int, int, int, int, int, int]]:
+    """(frame_idx, left, top, fw, fh, delay_cs, n_data_bytes) per
+    frame of a GIF stream — the demux step of video-style media: walk
+    the block structure (extensions, image descriptors, local color
+    tables, length-prefixed data sub-blocks) WITHOUT LZW-decoding
+    pixel data, exactly how real frame counting/sampling works. The
+    delay comes from the Graphic Control Extension preceding each
+    image descriptor (0 if absent). Malformed streams — truncated
+    sub-blocks, unknown block introducers, missing trailer — raise
+    NotImplementedError per the media-decoder contract."""
+    if content[:6] not in (b"GIF87a", b"GIF89a") or len(content) < 13:
+        raise NotImplementedError("not a GIF stream")
+    pos = 13
+    packed = content[10]
+    if packed & 0x80:  # global color table
+        pos += 3 * (2 << (packed & 0x07))
+
+    def subblocks(p: int) -> tuple[int, int]:
+        total = 0
+        while True:
+            if p >= len(content):
+                raise NotImplementedError("truncated sub-blocks")
+            n = content[p]
+            p += 1
+            if n == 0:
+                return p, total
+            if p + n > len(content):
+                raise NotImplementedError("truncated sub-block")
+            total += n
+            p += n
+
+    frames: list[tuple[int, int, int, int, int, int, int]] = []
+    pending_delay = 0
+    while True:
+        if pos >= len(content):
+            raise NotImplementedError("missing GIF trailer")
+        b = content[pos]
+        pos += 1
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension
+            if pos >= len(content):
+                raise NotImplementedError("truncated extension")
+            label = content[pos]
+            pos += 1
+            if label == 0xF9:  # Graphic Control Extension
+                if pos + 6 > len(content) or content[pos] != 4:
+                    raise NotImplementedError("malformed GCE")
+                pending_delay = int.from_bytes(
+                    content[pos + 2 : pos + 4], "little"
+                )
+                pos += 5
+                if content[pos] != 0:
+                    raise NotImplementedError("unterminated GCE")
+                pos += 1
+            else:  # comment / application / plain-text: skip by length
+                pos, _ = subblocks(pos)
+        elif b == 0x2C:  # image descriptor
+            if pos + 10 > len(content):
+                raise NotImplementedError("truncated image descriptor")
+            left, top, fw, fh = struct.unpack("<HHHH", content[pos : pos + 8])
+            flags = content[pos + 8]
+            pos += 9
+            if flags & 0x80:  # local color table
+                pos += 3 * (2 << (flags & 0x07))
+            if pos >= len(content):
+                raise NotImplementedError("truncated frame data")
+            pos += 1  # LZW minimum code size
+            pos, ndata = subblocks(pos)
+            frames.append(
+                (len(frames), left, top, fw, fh, pending_delay, ndata)
+            )
+            pending_delay = 0
+        else:
+            raise NotImplementedError(f"unknown GIF block 0x{b:02x}")
+    return frames
+
+
+GIF_FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("left", T.IntegerType(), False),
+        T.StructField("top", T.IntegerType(), False),
+        T.StructField("fw", T.IntegerType(), False),
+        T.StructField("fh", T.IntegerType(), False),
+        T.StructField("delay_cs", T.IntegerType(), False),
+        T.StructField("t_start_cs", T.IntegerType(), False),
+        T.StructField("n_data_bytes", T.IntegerType(), False),
+        T.StructField("sampled", T.BooleanType(), False),
+    ]
+)
+
+
+def gif_frame_index(
+    df: DataFrame,
+    every_n: int = 2,
+    id_col: str = "media_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """Video-style FRAME INVENTORY + sampling plan over animated GIFs
+    — the demuxer rung of the multimodal family: one typed row per
+    frame (geometry, per-frame delay, the cumulative start timestamp
+    from summing prior delays, compressed-data byte count) with every
+    ``every_n``-th frame marked ``sampled`` — the rows a real frame
+    extractor (ffmpeg) would materialize and decode. All outputs are
+    exact integers/booleans, so the inventory is externally
+    hash-checkable. Undecodable rows emit NO frames (a flatMap;
+    callers needing the id inventory join back on the metadata
+    report).
+
+    Same mapInPandas seam as the other media operators: bytes stay
+    executor-side, the walk is per-row independent (map-only at any
+    scale); the per-frame pixel decode plugs in behind the same
+    (media_id, frame_idx, ...) schema when a codec lib exists."""
+    if every_n < 1:
+        raise ValueError("every_n must be >= 1")
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, content in zip(pdf[id_col], pdf[content_col]):
+                b = bytes(content) if content is not None else b""
+                try:
+                    frames = _walk_gif_frames(b)
+                except (NotImplementedError, IndexError, struct.error):
+                    continue
+                t = 0
+                for idx, left, top, fw, fh, delay, ndata in frames:
+                    rows.append(
+                        (rid, idx, left, top, fw, fh, delay, t, ndata,
+                         idx % every_n == 0)
+                    )
+                    t += delay
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "frame_idx",
+                    "left",
+                    "top",
+                    "fw",
+                    "fh",
+                    "delay_cs",
+                    "t_start_cs",
+                    "n_data_bytes",
+                    "sampled",
+                ],
+            )
+
+    fanned = df.select(id_col, content_col).repartition(
+        max(df.sparkSession.sparkContext.defaultParallelism, 1)
+    )
+    return fanned.mapInPandas(extract, GIF_FRAMES_SCHEMA)
 
 
 MEDIA_METADATA_SCHEMA = T.StructType(

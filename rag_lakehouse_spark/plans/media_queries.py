@@ -505,3 +505,100 @@ def media_image_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = params.mapInPandas(build, "media_id long, content binary")
     return image_pixel_features(media)
+
+
+@register(
+    "media_gif_frames",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id AS media_id, CAST(1 + doc_id % 5 AS INT) AS nf
+      FROM documents WHERE doc_id % 4 = 2
+    ), fr AS (
+      SELECT media_id, unnest(generate_series(0, nf - 1)) AS f FROM p
+    )
+    SELECT media_id,
+           CAST(f AS INT) AS frame_idx,
+           CAST(f % 4 AS INT) AS "left",
+           CAST(f % 3 AS INT) AS "top",
+           CAST(1 + (media_id + 3 * f) % 16 AS INT) AS fw,
+           CAST(1 + (media_id + 5 * f) % 8 AS INT) AS fh,
+           CAST(4 + (media_id + f) % 10 AS INT) AS delay_cs,
+           CAST(coalesce(list_sum(list_transform(
+                  generate_series(0, f - 1),
+                  g -> 4 + (media_id + g) % 10)), 0) AS INT) AS t_start_cs,
+           CAST(1 + (media_id + f) % 5 AS INT) AS n_data_bytes,
+           (f % 2 = 0) AS sampled
+    FROM fr
+    """,
+    tags=("multimodal", "codec", "video", "pandas"),
+)
+def media_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VIDEO-style frame inventory + sampling: every gif-kind document
+    synthesizes an ANIMATED GIF (1 + doc_id % 5 frames, geometry /
+    delay / data-length from closed per-(id, frame) formulas, and the
+    compressed-data bytes deliberately chosen to LOOK like GIF block
+    introducers — 0x2C/0x3B/0x21 — so only length-correct sub-block
+    walking survives); ``operators.multimodal.gif_frame_index``
+    re-walks the block structure FROM BYTES ALONE — Graphic Control
+    Extensions for delays, image descriptors for geometry, sub-block
+    length skips for data — emitting one typed row per frame with the
+    cumulative start timestamp and the every-2nd-frame sampling mark.
+    The oracle recomputes every row from the formulas, so a wrong
+    block size, skip, or delay offset in writer or walker breaks the
+    hash. This is the demux rung a real video pipeline needs (frame
+    counting, timeline, sample selection) with the per-frame pixel
+    decode left to the documented codec seam.
+
+    Scale: map-only explode (one mapInPandas, ~nf typed rows per
+    file; bytes never leave the executor); frame rows shuffle
+    nowhere."""
+    import pandas as pd
+
+    from rag_lakehouse_spark.operators.multimodal import (
+        gif_frame_index,
+        synth_media_bytes,
+    )
+
+    params = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 4 == 2)
+        .select(
+            F.col("doc_id").alias("media_id"),
+            (1 + F.col("doc_id") % 5).cast("int").alias("nf"),
+        )
+    )
+    _ADV = bytes([0x2C, 0x3B, 0x21, 0x00])  # block-introducer look-alikes
+
+    def build(batches):
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                mid, nf = int(r.media_id), int(r.nf)
+                frames = []
+                for f in range(nf):
+                    ln = 1 + (mid + f) % 5
+                    frames.append(
+                        (
+                            f % 4,
+                            f % 3,
+                            1 + (mid + 3 * f) % 16,
+                            1 + (mid + 5 * f) % 8,
+                            4 + (mid + f) % 10,
+                            (_ADV * 2)[:ln],
+                        )
+                    )
+                out.append(
+                    (
+                        mid,
+                        synth_media_bytes(
+                            "gif",
+                            width=16 + mid % 32,
+                            height=8 + mid % 16,
+                            frames=frames,
+                        ),
+                    )
+                )
+            yield pd.DataFrame(out, columns=["media_id", "content"])
+
+    media = params.mapInPandas(build, "media_id long, content binary")
+    return gif_frame_index(media, every_n=2)

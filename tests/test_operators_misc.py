@@ -596,3 +596,50 @@ def test_bmp_pixel_decoder_degrades_on_malformed_not_crashes():
         synth_media_bytes("bmp", width=4, height=2, payload=raw)
     )
     assert np.array_equal(img, img_pos[::-1])
+
+
+def test_gif_frame_walk_round_trip_property():
+    """r11: frame-level fuzz — hypothesis-chosen frame lists (geometry,
+    delays, data lengths spanning the multi-sub-block boundary at 255,
+    0-byte data, 0 frames) must survive synth -> _walk_gif_frames
+    exactly, with data bytes chosen to LOOK like block introducers so
+    only length-correct skipping passes."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from rag_lakehouse_spark.operators.multimodal import (
+        _walk_gif_frames,
+        synth_media_bytes,
+    )
+
+    _frame = st.tuples(
+        st.integers(min_value=0, max_value=100),  # left
+        st.integers(min_value=0, max_value=100),  # top
+        st.integers(min_value=1, max_value=300),  # fw
+        st.integers(min_value=1, max_value=300),  # fh
+        st.integers(min_value=0, max_value=65535),  # delay_cs
+        st.integers(min_value=0, max_value=600),  # data length
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(frames=st.lists(_frame, max_size=6))
+    def check(frames):
+        adv = bytes([0x2C, 0x3B, 0x21, 0x00, 0xF9, 0xFF])
+        fr = [
+            (l, t, w, h, d, (adv * ((n // len(adv)) + 1))[:n])
+            for l, t, w, h, d, n in frames
+        ]
+        gif = synth_media_bytes("gif", width=10, height=5, frames=fr)
+        got = _walk_gif_frames(gif)
+        want = [
+            (i, l, t, w, h, d, len(data))
+            for i, (l, t, w, h, d, data) in enumerate(fr)
+        ]
+        assert got == want
+        if frames:  # truncation inside the last frame must raise
+            import pytest as _pytest
+
+            with _pytest.raises(NotImplementedError):
+                _walk_gif_frames(gif[:-2])
+
+    check()

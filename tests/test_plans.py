@@ -389,3 +389,15 @@ def test_media_image_pixels_is_map_only(spark, sf_dir):
     exchanges = re.findall(r"Exchange \w+", plan)
     assert all("RoundRobin" in e or "SinglePartition" in e for e in exchanges), exchanges
     assert "SortMergeJoin" not in plan and "HashAggregate" not in plan
+
+
+def test_media_gif_frames_is_map_only(spark, sf_dir):
+    """Synth → frame walk is a pure per-row explode: the only exchange
+    is the mapInPandas fan-out repartition — frame rows shuffle
+    nowhere."""
+    plan = plan_of("media_gif_frames", spark, sf_dir)
+    import re
+
+    exchanges = re.findall(r"Exchange \w+", plan)
+    assert all("RoundRobin" in e or "SinglePartition" in e for e in exchanges), exchanges
+    assert "SortMergeJoin" not in plan and "HashAggregate" not in plan

@@ -241,6 +241,10 @@ _media_ids = st.lists(
         # image results on both engines; 2^40-scale ids exercise the
         # int64 formula products inside the % 256
         "media_image_pixels",
+        # r11 frame walk: ids with no doc_id%4==2 must yield EMPTY
+        # frame inventories; 2^40-scale ids exercise the int64 delay/
+        # geometry formulas and the cumulative-delay fold
+        "media_gif_frames",
     ],
 )
 def test_media_query_matches_oracle_at_generated_params(
