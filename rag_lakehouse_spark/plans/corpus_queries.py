@@ -1651,10 +1651,12 @@ def corpus_kn_bigram_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: bigram explode is linear in corpus tokens; every count
     derives from the c(w1,w2) type table (shuffle bounded by bigram
-    vocabulary, map-side combined); the model joins back to
-    occurrences by (w1, w2) equi-join — the same exchange the type
-    count used, so the corpus explodes once with AQE exchange reuse;
-    the 1-row |bigrams| total broadcasts."""
+    vocabulary, map-side combined), which is CHECKPOINTED because four
+    derivations read it — without the barrier Spark re-planned the
+    corpus explode five times (plan-audited). The corpus scans exactly
+    twice (type counts + occurrence scoring); the model joins back to
+    occurrences by (w1, w2) equi-join and the 1-row |bigrams| total
+    broadcasts."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
     toks = d.select(
         "doc_id",
@@ -1680,7 +1682,17 @@ def corpus_kn_bigram_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at("__t", F.col("__i") + 1).alias("w2"),
         )
     )
-    c12 = bigr.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("bigint").alias("c12"))
+    # The bigram TYPE table feeds FOUR derivations (c1, n1b, |bigrams|,
+    # and the model join) — without a barrier Spark re-plans the whole
+    # corpus explode for each (observed: 5 parquet scans, zero reuse).
+    # c12 is bounded by the bigram VOCABULARY, not the corpus, so an
+    # eager checkpoint is the right materialization; the corpus itself
+    # is scanned exactly twice (type counts + occurrence scoring).
+    c12 = (
+        bigr.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c12"))
+        .localCheckpoint(eager=True)
+    )
     c1 = c12.groupBy("w1").agg(
         F.sum("c12").cast("bigint").alias("c1"),
         F.count(F.lit(1)).cast("bigint").alias("n1f"),

@@ -401,3 +401,12 @@ def test_media_gif_frames_is_map_only(spark, sf_dir):
     exchanges = re.findall(r"Exchange \w+", plan)
     assert all("RoundRobin" in e or "SinglePartition" in e for e in exchanges), exchanges
     assert "SortMergeJoin" not in plan and "HashAggregate" not in plan
+
+
+def test_kn_bigram_scans_corpus_once_after_model_checkpoint(spark, sf_dir):
+    """The KN model (c12 and everything derived from it) materializes
+    via the eager checkpoint, so the SERVING plan scans documents
+    exactly once (the occurrence side) — without the barrier Spark
+    re-planned the corpus explode five times."""
+    plan = plan_of("corpus_kn_bigram_scores", spark, sf_dir)
+    assert plan.count("Scan parquet") == 1, plan.count("Scan parquet")
