@@ -1208,12 +1208,23 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs only on survivors. DuckDB rebuilds the identical bitmap and
     replays every probe, so a single wrong bit anywhere breaks the
     hash."""
-    from rag_lakehouse_spark.operators.bloom import bloom_build, bloom_probe
+    from rag_lakehouse_spark.operators.bloom import bloom_build
+
+    cust = load_table(spark, sf_dir, "customer")
+    keys = cust.filter(F.col("c_acctbal") > 9000).select("c_custkey")
+    words = bloom_build(keys, "c_custkey")
+    return _bloom_report(spark, sf_dir, words)
+
+
+def _bloom_report(spark: SparkSession, sf_dir: str, words: list[int]) -> DataFrame:
+    """The probe-side accounting shared by the batch build and the
+    streaming-maintained twin: given the 128-word bitmap, probe every
+    order map-only and compare against the exact member set."""
+    from rag_lakehouse_spark.operators.bloom import bloom_probe
 
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     keys = cust.filter(F.col("c_acctbal") > 9000).select("c_custkey")
-    words = bloom_build(keys, "c_custkey")
     bits_set = sum(bin(w).count("1") for w in words)
     member = keys.withColumn("is_m", F.lit(True))
     probed = (
@@ -1254,4 +1265,57 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "join_bloom_incremental",
+    oracle=None,  # set below — shares the batch twin's oracle
+    tags=("join", "sketch", "streaming", "portable-twin", "runtime-filter"),
+)
+def join_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The runtime-filter bitmap MAINTAINED BY A STREAM: rich-customer
+    keys replay through an availableNow file stream (4 files, >=4
+    micro-batches), each batch's bit positions OR-folded into
+    versioned state via the rollup sink's fold machinery — bitwise OR
+    is idempotent AND mergeable, so the maintained bitmap provably
+    equals the batch-built one whatever the batching (SHARED oracle:
+    the probe-side hash check proves it externally). The EIGHTH
+    incremental-index family member, and the operational shape of
+    runtime filters under continuous ingest: the probe side always
+    reads a current 512 B bitmap, never re-hashes key history.
+
+    Scale: per-increment cost is one micro-batch hash + a <=128-row
+    OR-merge; serving reads 128 rows. The probe/report side is
+    identical to ``join_bloom_prefilter``."""
+    import os
+    import shutil
+    import tempfile
+
+    from rag_lakehouse_spark.operators.bloom import N_WORDS
+    from rag_lakehouse_spark.streaming.rollup_sink import (
+        maintain_bloom_words,
+        read_bloom_words,
+    )
+
+    base = tempfile.mkdtemp(prefix="rls_bloom_stream_")
+    try:
+        src = os.path.join(base, "keys")
+        cust = load_table(spark, sf_dir, "customer")
+        cust.filter(F.col("c_acctbal") > 9000).select("c_custkey").repartition(
+            4
+        ).write.mode("overwrite").parquet(src)
+        stream = (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        state = os.path.join(base, "bloom_words")
+        maintain_bloom_words(spark, stream, state).awaitTermination()
+        dense = [0] * N_WORDS
+        for r in read_bloom_words(spark, state).collect():
+            dense[r["word"]] = r["w"]
+        return _bloom_report(spark, sf_dir, dense).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 _registry.QUERIES["join_bloom_prefilter"].oracle = _bloom_oracle()
+_registry.QUERIES["join_bloom_incremental"].oracle = _bloom_oracle()

@@ -81,6 +81,18 @@ _PRIORITY: tuple[str, ...] = (
     "events_hll_incremental",
     "embedding_ivf_balance_report",
     "text_hashed_features",
+    # (r11 session 2: part (b) grew by 8 — the bloom pair, the CMS
+    # pair, Kneser-Ney, int8 SQ, and the two new media rungs — so the
+    # stale-row tail of part (c) shrank by 8; the displaced rows lead
+    # the r12 re-confirmation queue.)
+    "join_bloom_prefilter",
+    "join_bloom_incremental",
+    "corpus_countmin_portable",
+    "corpus_cms_incremental",
+    "corpus_kn_bigram_scores",
+    "embedding_sq_int8_report",
+    "media_image_pixels",
+    "media_gif_frames",
     # -- r11 part (c): oldest-first re-confirmation (freshness ledger:
     # last driver rows r5, then the r6 cohort in registration order) --
     "q8_market_share",
@@ -114,18 +126,14 @@ _PRIORITY: tuple[str, ...] = (
     "q6_forecast_revenue",
     "q9_product_type_profit",
     "q11_important_part_values",
-    "q13_order_count_distribution",
-    "q16_supplier_part_counts",
-    "q22_idle_rich_customers",
-    "events_incident_window_join",
-    "events_hypertable_rollup",
-    "events_rollup_distinct_sketch",
-    "corpus_decontaminate",
-    "text_pii_redact",
-    # (corpus_clean_pipeline deferred to r12: part (b) grew to 9, and
-    # the 50-slot budget fits only 39 of the 40 stale rows — the clean
-    # pipeline is a composition of pieces each separately re-confirmed
-    # in this front, so it waits)
+    # (Deferred to the r12 re-confirmation queue by the 50-slot budget,
+    # oldest debt first next round: q13_order_count_distribution,
+    # q16_supplier_part_counts,
+    # q22_idle_rich_customers, events_incident_window_join,
+    # events_hypertable_rollup, events_rollup_distinct_sketch,
+    # corpus_decontaminate, text_pii_redact, corpus_clean_pipeline —
+    # all green in this round's local full sweeps; the clean pipeline
+    # additionally composes pieces separately re-confirmed here.)
 )
 
 

@@ -530,3 +530,72 @@ def read_cms_counters(spark: SparkSession, state_path: str) -> DataFrame:
     if state is None:
         raise FileNotFoundError(f"no CMS counter state at {state_path}")
     return state.select("j", "idx", "c")
+
+
+def _bloom_partials(df: DataFrame) -> DataFrame:
+    """Micro-batch of keys (first column) → Bloom word partials
+    (word, w). The batch hashes ONCE; the partial is at most
+    N_WORDS = 128 rows."""
+    from rag_lakehouse_spark.operators.bloom import bloom_positions
+
+    key = F.col(df.columns[0])
+    pos = df.select(F.explode(F.array(*bloom_positions(key))).alias("pos"))
+    return (
+        pos.select(
+            F.shiftright("pos", 5).cast("int").alias("word"),
+            F.col("pos").bitwiseAND(F.lit(31)).cast("int").alias("bit"),
+        )
+        .groupBy("word")
+        .agg(
+            F.bit_or(
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))")
+            ).alias("w")
+        )
+    )
+
+
+def _bloom_merge(prev: DataFrame, batch: DataFrame) -> DataFrame:
+    return (
+        prev.unionByName(batch)
+        .groupBy("word")
+        .agg(F.bit_or("w").alias("w"))
+    )
+
+
+def maintain_bloom_words(
+    spark: SparkSession, keys_stream: DataFrame, state_path: str
+):
+    """Fold each micro-batch's Bloom bit positions into the versioned
+    state table. Bitwise OR is idempotent AND mergeable (re-observing
+    a key sets the same bits), so the maintained bitmap equals the
+    batch-built bitmap however ingestion was batched — which is what
+    lets ``join_bloom_incremental`` share the batch twin's oracle.
+    State is bounded at N_WORDS = 128 rows regardless of key
+    history."""
+    ckpt = state_path + "_ckpt"
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        fold_batch(
+            spark,
+            state_path,
+            batch_df,
+            batch_id,
+            _ckpt_query_id(ckpt),
+            partial_fn=_bloom_partials,
+            merge_fn=_bloom_merge,
+        )
+
+    return (
+        keys_stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_bloom_words(spark: SparkSession, state_path: str) -> DataFrame:
+    """The maintained bitmap as a batch DataFrame: (word, w)."""
+    state = read_state(spark, state_path)
+    if state is None:
+        raise FileNotFoundError(f"no Bloom word state at {state_path}")
+    return state.select("word", "w")

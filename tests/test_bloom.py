@@ -75,3 +75,40 @@ def test_bloom_positions_in_range(spark):
     # 200 keys * 4 probes can never set more bits than positions drawn
     assert 1 <= sum(bin(w).count("1") for w in words) <= 200 * len(BLOOM_AB)
     assert M_BITS == N_WORDS * 32
+
+
+def test_bloom_fold_equals_batch_and_tolerates_overlap(spark, sf_dir, tmp_path_factory):
+    """OR is idempotent: OVERLAPPING micro-batches folded through the
+    versioned state must still equal the one-shot bitmap; a replayed
+    batch id is a no-op."""
+    from rag_lakehouse_spark.sources.tables import load_table
+    from rag_lakehouse_spark.streaming.rollup_sink import (
+        _bloom_merge,
+        _bloom_partials,
+        fold_batch,
+        read_bloom_words,
+    )
+
+    keys = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .select("c_custkey")
+    )
+    state = str(tmp_path_factory.mktemp("bloom_state")) + "/words"
+    b0 = keys.filter(F.col("c_custkey") % 2 == 0)
+    b1 = keys.filter(  # overlaps b0 on %4==0 — OR must not care
+        (F.col("c_custkey") % 2 == 1) | (F.col("c_custkey") % 4 == 0)
+    )
+    for bid, b in ((0, b0), (1, b1)):
+        assert fold_batch(
+            spark, state, b, bid, "ckpt-test",
+            partial_fn=_bloom_partials, merge_fn=_bloom_merge,
+        )
+    assert not fold_batch(
+        spark, state, b1, 1, "ckpt-test",
+        partial_fn=_bloom_partials, merge_fn=_bloom_merge,
+    )
+    dense = [0] * N_WORDS
+    for r in read_bloom_words(spark, state).collect():
+        dense[r["word"]] = r["w"]
+    assert dense == bloom_build(keys, "c_custkey")
