@@ -1319,3 +1319,178 @@ def join_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _registry.QUERIES["join_bloom_prefilter"].oracle = _bloom_oracle()
 _registry.QUERIES["join_bloom_incremental"].oracle = _bloom_oracle()
+
+
+# --- Portable log-bucket quantile sketch: the quantile member of the
+# sketch family (HLL = distinct, CMS = frequency, Bloom = membership,
+# MG = heavy hitters, this = quantiles) ---
+
+
+_QSK_RANKS = (("p50", 50), ("p90", 90), ("p99", 99))
+
+
+def _qsketch_oracle() -> str:
+    picks_est = ", ".join(
+        f"MIN(CASE WHEN cum >= (n * {pct} + 99) // 100 THEN ekey END)"
+        f" AS k_{nm}"
+        for nm, pct in _QSK_RANKS
+    )
+    picks_ex = ", ".join(
+        f"MIN(CASE WHEN cumq >= (nq * {pct} + 99) // 100 THEN q END)"
+        f" AS x_{nm}"
+        for nm, pct in _QSK_RANKS
+    )
+    outs = ", ".join(
+        f"CAST((k_{nm} % 64) << greatest(CAST(k_{nm} // 64 AS INT) - 5, 0)"
+        f"     AS DOUBLE) / 1e2 AS {nm}_est,\n"
+        f"           CAST(x_{nm} AS DOUBLE) / 1e2 AS {nm}_exact,\n"
+        f"           (CAST((k_{nm} % 64) << greatest(CAST(k_{nm} // 64 AS INT)"
+        f" - 5, 0) AS DOUBLE) - CAST(x_{nm} AS DOUBLE)) / CAST(x_{nm} AS DOUBLE)"
+        f" AS {nm}_rel_err"
+        for nm, pct in _QSK_RANKS
+    )
+    return f"""
+    WITH base AS (
+      SELECT event_type, CAST(floor(value * 1e2) AS BIGINT) AS q
+      FROM events WHERE value IS NOT NULL AND value >= 0e0
+    ), hb AS (
+      SELECT event_type,
+             length(bin(q)) * 64
+               + (q >> greatest(length(bin(q)) - 5, 0)) AS ekey,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM base GROUP BY 1, 2
+    ), hw AS (
+      SELECT event_type, ekey, c,
+             SUM(c) OVER (PARTITION BY event_type ORDER BY ekey
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(c) OVER (PARTITION BY event_type) AS n
+      FROM hb
+    ), est AS (
+      SELECT event_type, CAST(MAX(n) AS BIGINT) AS n, {picks_est}
+      FROM hw GROUP BY event_type
+    ), qb AS (
+      SELECT event_type, q, CAST(COUNT(*) AS BIGINT) AS c
+      FROM base GROUP BY 1, 2
+    ), qw AS (
+      SELECT event_type, q, c,
+             SUM(c) OVER (PARTITION BY event_type ORDER BY q
+                          ROWS UNBOUNDED PRECEDING) AS cumq,
+             SUM(c) OVER (PARTITION BY event_type) AS nq
+      FROM qb
+    ), ex AS (
+      SELECT event_type, {picks_ex} FROM qw GROUP BY event_type
+    )
+    SELECT est.event_type, est.n, {outs}
+    FROM est JOIN ex USING (event_type)
+    """
+
+
+@register(
+    "events_quantile_sketch_portable",
+    oracle=None,  # set below (builder uses the shared rank table)
+    tags=("agg", "approx", "sketch", "portable-twin"),
+)
+def events_quantile_sketch_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDSketch-style quantile estimation with the ESTIMATES externally
+    hash-checked: values quantize to the centi-unit integer grid, land
+    in LOG buckets keyed by (bit length, top-5-bits mantissa) — pure
+    integer arithmetic via the ``length(bin())`` trick, bounded
+    relative error 2^-4 by construction, and at most 64*16 buckets per
+    group whatever the data — then p50/p90/p99 read off the cumulative
+    bucket walk (rank = ceil(p*n) in exact integers). The exact side
+    replays the same walk on the raw centi-grid for the achieved-error
+    columns — the accuracy report that justifies sketch-first latency
+    dashboards. Estimates are bucket LOWER bounds, so ``rel_err`` is
+    structurally in (-2^-4, 0] for buckets past the exact-mantissa
+    range — surfaced as data.
+
+    Scale: bucket counts are mergeable SUMS (the same fold serves
+    streaming maintenance or hypertable rollups); the shuffle carries
+    (type, bucket) partials — ≤ ~1k groups per type — and the rank
+    walk windows over BOUNDED aggregates, never over raw events (the
+    standing bounded-domain rule; contrast a naive percentile's
+    per-type global sort). The exact side exists only for the error
+    columns and drops for sketch-only serving. Negative values are
+    out of the log-bucket domain and excluded by the filter (the
+    generated events are non-negative; a production deployment runs
+    one sketch per sign)."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.filter(
+        F.col("value").isNotNull() & (F.col("value") >= 0.0)
+    ).select(
+        "event_type",
+        F.floor(F.col("value") * F.lit(100.0)).cast("bigint").alias("q"),
+    )
+    e = F.length(F.bin("q"))
+    ekey = (
+        e.cast("bigint") * 64
+        + F.expr("shiftright(q, greatest(CAST(length(bin(q)) AS INT) - 5, 0))")
+    )
+    hb = (
+        base.select("event_type", ekey.alias("ekey"))
+        .groupBy("event_type", "ekey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    wwalk = (
+        W.partitionBy("event_type")
+        .orderBy("ekey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    hw = hb.select(
+        "event_type",
+        "ekey",
+        F.sum("c").over(wwalk).alias("cum"),
+        F.sum("c").over(W.partitionBy("event_type")).alias("n"),
+    )
+    est_aggs = [F.max("n").cast("bigint").alias("n")] + [
+        F.min(
+            F.when(
+                F.col("cum") >= F.expr(f"(n * {pct} + 99) DIV 100"),
+                F.col("ekey"),
+            )
+        ).alias(f"k_{nm}")
+        for nm, pct in _QSK_RANKS
+    ]
+    est = hw.groupBy("event_type").agg(*est_aggs)
+    qb = base.groupBy("event_type", "q").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    qwalk = (
+        W.partitionBy("event_type")
+        .orderBy("q")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    qw = qb.select(
+        "event_type",
+        "q",
+        F.sum("c").over(qwalk).alias("cumq"),
+        F.sum("c").over(W.partitionBy("event_type")).alias("nq"),
+    )
+    ex = qw.groupBy("event_type").agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("cumq") >= F.expr(f"(nq * {pct} + 99) DIV 100"),
+                    F.col("q"),
+                )
+            ).alias(f"x_{nm}")
+            for nm, pct in _QSK_RANKS
+        ]
+    )
+    j = est.join(ex, "event_type")
+    cols = ["event_type", "n"]
+    for nm, _pct in _QSK_RANKS:
+        lb = F.expr(
+            f"CAST(shiftleft(k_{nm} % 64,"
+            f" greatest(CAST(k_{nm} DIV 64 AS INT) - 5, 0)) AS DOUBLE)"
+        )
+        exv = F.col(f"x_{nm}").cast("double")
+        cols += [
+            (lb / F.lit(100.0)).alias(f"{nm}_est"),
+            (exv / F.lit(100.0)).alias(f"{nm}_exact"),
+            ((lb - exv) / exv).alias(f"{nm}_rel_err"),
+        ]
+    return j.select(*cols)
+
+
+_registry.QUERIES["events_quantile_sketch_portable"].oracle = _qsketch_oracle()

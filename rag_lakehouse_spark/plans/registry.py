@@ -81,9 +81,9 @@ _PRIORITY: tuple[str, ...] = (
     "events_hll_incremental",
     "embedding_ivf_balance_report",
     "text_hashed_features",
-    # (r11 session 2: part (b) grew by 8 — the bloom pair, the CMS
-    # pair, Kneser-Ney, int8 SQ, and the two new media rungs — so the
-    # stale-row tail of part (c) shrank by 8; the displaced rows lead
+    # (r11 session 2: part (b) grew by 9 — the bloom pair, the CMS
+    # pair, Kneser-Ney, int8 SQ, the quantile sketch, and the two new
+    # media rungs — so the stale-row tail of part (c) shrank by 9; the displaced rows lead
     # the r12 re-confirmation queue.)
     "join_bloom_prefilter",
     "join_bloom_incremental",
@@ -93,6 +93,7 @@ _PRIORITY: tuple[str, ...] = (
     "embedding_sq_int8_report",
     "media_image_pixels",
     "media_gif_frames",
+    "events_quantile_sketch_portable",
     # -- r11 part (c): oldest-first re-confirmation (freshness ledger:
     # last driver rows r5, then the r6 cohort in registration order) --
     "q8_market_share",
@@ -125,10 +126,9 @@ _PRIORITY: tuple[str, ...] = (
     "q2_min_cost_supplier",
     "q6_forecast_revenue",
     "q9_product_type_profit",
-    "q11_important_part_values",
     # (Deferred to the r12 re-confirmation queue by the 50-slot budget,
-    # oldest debt first next round: q13_order_count_distribution,
-    # q16_supplier_part_counts,
+    # oldest debt first next round: q11_important_part_values,
+    # q13_order_count_distribution, q16_supplier_part_counts,
     # q22_idle_rich_customers, events_incident_window_join,
     # events_hypertable_rollup, events_rollup_distinct_sketch,
     # corpus_decontaminate, text_pii_redact, corpus_clean_pipeline —

@@ -125,6 +125,12 @@ QUERIES = [
     # are excluded on both engines; duplicate users collapse via the
     # register max
     "events_distinct_hll_portable",
+    # r11 quantile sketch: value 0.0 lands in bucket (e=1, m=0) with a
+    # 0 exact quantile (rel_err NULL on both engines — double /0 is
+    # NULL in Spark non-ANSI AND DuckDB); negative/NULL values are
+    # filtered identically; n=1 types make every rank pick the only
+    # bucket; exact quarters sit ON centi-grid cell edges
+    "events_quantile_sketch_portable",
 ]
 
 
