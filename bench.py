@@ -78,6 +78,13 @@ HEADLINE = (
     "events_asof_purchase",
     "chunk_fixed_docs",
     "rag_retrieve_context",
+    # r11 canaries: the KN bigram LM (checkpointed type table + the
+    # (w1,w2) occurrence equi-join — the round's new self-join shape)
+    # and the CMS report (MG + CMS sketch composition, 3 corpus
+    # passes). Added AFTER the r11 collect-frame re-anchor; the
+    # r1-suite subtotal stays the round-over-round comparable.
+    "corpus_kn_bigram_scores",
+    "corpus_countmin_portable",
 )
 
 

@@ -1729,3 +1729,166 @@ def corpus_kn_bigram_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bits_per_bigram"),
     )
+
+
+@register(
+    "corpus_novelty_curve",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, unnest({TX.duckdb_char_shingles('text', 8)}) AS s
+      FROM documents
+    ), fs AS (
+      SELECT s, MIN(doc_id) AS first_id FROM sh GROUP BY 1
+    ), pd AS (
+      SELECT sh.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_sh,
+             CAST(SUM(CASE WHEN fs.first_id = sh.doc_id THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_novel
+      FROM sh JOIN fs USING (s) GROUP BY 1
+    ), mx AS (SELECT MAX(doc_id) AS m FROM documents)
+    SELECT CAST((d.doc_id * 10) // (mx.m + 1) AS INT) AS ingest_decile,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(coalesce(pd.n_sh, 0)) AS BIGINT) AS n_shingles,
+           CAST(SUM(coalesce(pd.n_novel, 0)) AS BIGINT) AS n_novel,
+           CASE WHEN SUM(coalesce(pd.n_sh, 0)) > 0
+                THEN CAST(SUM(coalesce(pd.n_novel, 0)) AS DOUBLE)
+                     / SUM(coalesce(pd.n_sh, 0)) END AS novelty_rate
+    FROM documents d CROSS JOIN mx LEFT JOIN pd USING (doc_id)
+    GROUP BY 1
+    """,
+    tags=("text", "dedup", "training-data", "governance"),
+)
+def corpus_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-novelty decay over ingestion order — the report that
+    tells a crawl operator when a feed stops adding information: per
+    ingestion decile (doc_id order), the fraction of each document's
+    distinct 8-char shingles seen for the FIRST time at that document
+    (first occurrence = min doc_id over the shingle's postings). A
+    healthy fresh feed holds a high novelty rate; a feed re-crawling
+    itself decays toward boilerplate-only novelty — the
+    diminishing-returns curve behind data-mixture and crawl-budget
+    decisions.
+
+    Scale: one shingle explode (normalization materialized BEFORE the
+    per-element lambda per the standing O(len^2)-regex rule), one
+    groupBy(shingle) for first-ids and one equi-join back on the SAME
+    shingle partitioning (the exchange-reuse pair every inverted-index
+    query here uses); the decile map is an integer expression against
+    one broadcast max. No all-pairs anything."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = TX.with_shingles(d.select("doc_id", "text")).select(
+        "doc_id", F.explode("shingles").alias("s")
+    )
+    fs = sh.groupBy("s").agg(F.min("doc_id").alias("first_id"))
+    pd_ = (
+        sh.join(fs, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sh"),
+            F.sum(
+                F.when(F.col("first_id") == F.col("doc_id"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+    )
+    mx = d.agg(F.max("doc_id").alias("m"))
+    j = (
+        d.select("doc_id")
+        .crossJoin(F.broadcast(mx))
+        .join(pd_, "doc_id", "left")
+    )
+    g = j.groupBy(
+        F.expr("CAST((doc_id * 10) DIV (m + 1) AS INT)").alias("ingest_decile")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.coalesce("n_sh", F.lit(0))).cast("bigint").alias("n_shingles"),
+        F.sum(F.coalesce("n_novel", F.lit(0))).cast("bigint").alias("n_novel"),
+    )
+    return g.select(
+        "ingest_decile",
+        "n_docs",
+        "n_shingles",
+        "n_novel",
+        F.when(
+            F.col("n_shingles") > 0,
+            F.col("n_novel").cast("double") / F.col("n_shingles"),
+        ).alias("novelty_rate"),
+    )
+
+
+@register(
+    "corpus_dedup_savings",
+    oracle=f"""
+    WITH fp AS (
+      SELECT doc_id, source, {TX.duckdb_fingerprint('text')} AS f,
+             len(list_filter({TX.duckdb_tokens("coalesce(text, '')")},
+                             t -> t <> '')) AS n_tok
+      FROM documents
+    ), canon AS (
+      SELECT f, MIN(doc_id) AS canon_id FROM fp GROUP BY 1
+    )
+    SELECT fp.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(fp.n_tok) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN fp.doc_id <> c.canon_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dup_docs,
+           CAST(SUM(CASE WHEN fp.doc_id <> c.canon_id THEN fp.n_tok
+                         ELSE 0 END) AS BIGINT) AS tokens_saved,
+           CASE WHEN SUM(fp.n_tok) > 0
+                THEN CAST(SUM(CASE WHEN fp.doc_id <> c.canon_id
+                               THEN fp.n_tok ELSE 0 END) AS DOUBLE)
+                     / SUM(fp.n_tok) END AS dup_token_share
+    FROM fp JOIN canon c USING (f)
+    GROUP BY fp.source
+    """,
+    tags=("text", "dedup", "training-data", "governance"),
+)
+def corpus_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup ROI sheet: per source, the token mass exact dedup
+    reclaims — documents whose normalized-content fingerprint already
+    appeared at a lower doc_id count as duplicates, and their tokens
+    as savings (cross-source duplicates charge the source holding the
+    LATER copy — the feed that re-scraped). This is the number that
+    justifies (or kills) a dedup stage in the pipeline budget, next to
+    `corpus_source_overlap`'s who-duplicates-whom matrix.
+
+    Scale: text collapses to 32-byte fingerprints at the scan; the
+    only shuffles carry (fingerprint) groups and (source) partials.
+    Canonical choice is min(doc_id) — the same deterministic rule as
+    `dedup_exact_docs`, so the two reports agree on which copy
+    survives."""
+    d = load_table(spark, sf_dir, "documents")
+    fp = d.select(
+        "doc_id",
+        "source",
+        TX.fingerprint("text").alias("f"),
+        F.size(
+            F.filter(
+                TX.tokens(F.coalesce(F.col("text"), F.lit(""))),
+                lambda t: t != F.lit(""),
+            )
+        ).alias("n_tok"),
+    )
+    canon = fp.groupBy("f").agg(F.min("doc_id").alias("canon_id"))
+    j = fp.join(canon, "f")
+    dup = F.col("doc_id") != F.col("canon_id")
+    g = j.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        F.sum(F.when(dup, 1).otherwise(0)).cast("bigint").alias("n_dup_docs"),
+        F.sum(F.when(dup, F.col("n_tok")).otherwise(0))
+        .cast("bigint")
+        .alias("tokens_saved"),
+    )
+    return g.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "n_dup_docs",
+        "tokens_saved",
+        F.when(
+            F.col("n_tokens") > 0,
+            F.col("tokens_saved").cast("double") / F.col("n_tokens"),
+        ).alias("dup_token_share"),
+    )

@@ -81,9 +81,10 @@ _PRIORITY: tuple[str, ...] = (
     "events_hll_incremental",
     "embedding_ivf_balance_report",
     "text_hashed_features",
-    # (r11 session 2: part (b) grew by 9 — the bloom pair, the CMS
-    # pair, Kneser-Ney, int8 SQ, the quantile sketch, and the two new
-    # media rungs — so the stale-row tail of part (c) shrank by 9; the displaced rows lead
+    # (r11 session 2: part (b) grew by 11 — the bloom pair, the CMS
+    # pair, Kneser-Ney, int8 SQ, the quantile sketch, the novelty/
+    # dedup-ROI governance pair, and the two new media rungs — so the
+    # stale-row tail of part (c) shrank by 11; the displaced rows lead
     # the r12 re-confirmation queue.)
     "join_bloom_prefilter",
     "join_bloom_incremental",
@@ -94,6 +95,8 @@ _PRIORITY: tuple[str, ...] = (
     "media_image_pixels",
     "media_gif_frames",
     "events_quantile_sketch_portable",
+    "corpus_novelty_curve",
+    "corpus_dedup_savings",
     # -- r11 part (c): oldest-first re-confirmation (freshness ledger:
     # last driver rows r5, then the r6 cohort in registration order) --
     "q8_market_share",
@@ -124,10 +127,9 @@ _PRIORITY: tuple[str, ...] = (
     "embed_and_search",
     "media_features_pipeline",
     "q2_min_cost_supplier",
-    "q6_forecast_revenue",
-    "q9_product_type_profit",
     # (Deferred to the r12 re-confirmation queue by the 50-slot budget,
-    # oldest debt first next round: q11_important_part_values,
+    # oldest debt first next round: q6_forecast_revenue,
+    # q9_product_type_profit, q11_important_part_values,
     # q13_order_count_distribution, q16_supplier_part_counts,
     # q22_idle_rich_customers, events_incident_window_join,
     # events_hypertable_rollup, events_rollup_distinct_sketch,

@@ -201,6 +201,15 @@ def _run_rows(spark, tmp_path, rows, query_name):
         # single-token/empty docs hit the n<2 guard; tiny bigram
         # vocabularies make Pcont coarse (B=1 -> p=1, log2=0 edge)
         "corpus_kn_bigram_scores",
+        # r11 novelty curve: duplicated generated docs make later
+        # copies 0-novelty; sub-8-char and NULL docs shingle to empty
+        # (LEFT-JOIN zero path); 1-doc corpora put everything in
+        # decile 0 with rate 1.0
+        "corpus_novelty_curve",
+        # r11 dedup ROI: duplicated texts across src0/src1 charge the
+        # later source; all-unique corpora give 0 savings; empty/NULL
+        # docs share one fingerprint with 0 tokens
+        "corpus_dedup_savings",
     ],
 )
 def test_text_query_matches_oracle_on_generated_corpus(
