@@ -1030,19 +1030,29 @@ def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     transcendental (ln) is rounded to 9 decimals on both sides (the
     BM25-idf precedent). Bottom-k is ORDER BY + LIMIT →
     TakeOrderedAndProject, no global sort."""
+    d = load_table(spark, sf_dir, "documents")
+    return bottom_k_sample(weighted_sample_keys(d))
+
+
+def weighted_sample_keys(d: DataFrame) -> DataFrame:
+    """(doc_id, n_chars, sample_key) — the deterministic
+    Efraimidis-Spirakis race keys, shared by the batch sample and the
+    streaming-maintained twin so both select the identical sample."""
     from rag_lakehouse_spark.operators.dedup_portable import base60
 
-    d = load_table(spark, sf_dir, "documents")
     u = (
         base60(F.concat(F.lit("wsamp:1337:"), F.col("doc_id").cast("string")))
         + F.lit(1)
     ) / F.lit(_P60_F)
     key = F.round(-F.log(u) / F.greatest(F.col("n_chars"), F.lit(1)), 9)
-    return (
-        d.select("doc_id", "n_chars", key.alias("sample_key"))
-        .orderBy(F.asc("sample_key"), F.asc("doc_id"))
-        .limit(100)
-    )
+    return d.select("doc_id", "n_chars", key.alias("sample_key"))
+
+
+def bottom_k_sample(keyed: DataFrame, k: int = 100) -> DataFrame:
+    """Bottom-k of the race keys under the total order
+    (sample_key, doc_id) — TakeOrderedAndProject, mergeable under
+    set-union + re-take (min-k of a union == min-k of min-ks)."""
+    return keyed.orderBy(F.asc("sample_key"), F.asc("doc_id")).limit(k)
 
 
 @register(
@@ -1892,3 +1902,63 @@ def corpus_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("tokens_saved").cast("double") / F.col("n_tokens"),
         ).alias("dup_token_share"),
     )
+
+
+@register(
+    "corpus_sample_incremental",
+    oracle=None,  # set below — shares the batch twin's oracle
+    tags=("training-data", "sampling", "weighted", "streaming"),
+)
+def corpus_sample_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The weighted WOR sample MAINTAINED BY A STREAM: documents
+    replay through an availableNow file stream (4 files, >=4
+    micro-batches), each batch's bottom-100 deterministic race keys
+    folded into versioned state — bottom-k under a total order is
+    idempotent AND mergeable (min-k of a union == min-k of min-ks;
+    re-observed docs carry identical keys and dedupe), so the
+    maintained sample provably equals the one-shot
+    ``corpus_weighted_sample`` (SHARED oracle). The NINTH
+    incremental-index family member, and the streaming form of
+    reservoir-style sampling a continuous-ingest pipeline actually
+    serves: a current size-weighted corpus sample at any moment,
+    without re-scanning history.
+
+    Scale: per-increment cost is one micro-batch key projection + a
+    (100 + 100)-row merge; state is bounded at k rows forever."""
+    import os
+    import shutil
+    import tempfile
+
+    from rag_lakehouse_spark.streaming.rollup_sink import (
+        maintain_weighted_sample,
+        read_weighted_sample,
+    )
+
+    base = tempfile.mkdtemp(prefix="rls_wsample_stream_")
+    try:
+        src = os.path.join(base, "docs")
+        d = load_table(spark, sf_dir, "documents")
+        d.select("doc_id", "n_chars").repartition(4).write.mode(
+            "overwrite"
+        ).parquet(src)
+        stream = (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        state = os.path.join(base, "wsample")
+        maintain_weighted_sample(spark, stream, state).awaitTermination()
+        return (
+            read_weighted_sample(spark, state)
+            .orderBy(F.asc("sample_key"), F.asc("doc_id"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+from rag_lakehouse_spark.plans import registry as _registry2  # noqa: E402
+
+_registry2.QUERIES["corpus_sample_incremental"].oracle = _registry2.QUERIES[
+    "corpus_weighted_sample"
+].oracle

@@ -599,3 +599,66 @@ def read_bloom_words(spark: SparkSession, state_path: str) -> DataFrame:
     if state is None:
         raise FileNotFoundError(f"no Bloom word state at {state_path}")
     return state.select("word", "w")
+
+
+def _wsample_partials(df: DataFrame) -> DataFrame:
+    """Micro-batch of documents → its bottom-100 race-key rows
+    (doc_id, n_chars, sample_key). The keys are deterministic, so the
+    partial is itself a valid sample of the batch."""
+    from rag_lakehouse_spark.plans.corpus_queries import (
+        bottom_k_sample,
+        weighted_sample_keys,
+    )
+
+    return bottom_k_sample(weighted_sample_keys(df))
+
+
+def _wsample_merge(prev: DataFrame, batch: DataFrame) -> DataFrame:
+    from rag_lakehouse_spark.plans.corpus_queries import bottom_k_sample
+
+    # dropDuplicates makes the fold idempotent under overlapping
+    # replays (a doc re-observed carries the IDENTICAL deterministic
+    # key row); min-k of a union == min-k of min-ks.
+    return bottom_k_sample(
+        prev.unionByName(batch).dropDuplicates(["doc_id"])
+    )
+
+
+def maintain_weighted_sample(
+    spark: SparkSession, docs_stream: DataFrame, state_path: str
+):
+    """Fold each micro-batch's bottom-k race keys into the versioned
+    state table. Bottom-k under a deterministic total order is
+    idempotent AND mergeable (union + re-take), so the maintained
+    sample provably equals the one-shot batch sample however ingestion
+    was batched — which is what lets ``corpus_sample_incremental``
+    share the batch twin's oracle. State is bounded at k = 100 rows
+    regardless of corpus size."""
+    ckpt = state_path + "_ckpt"
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        fold_batch(
+            spark,
+            state_path,
+            batch_df,
+            batch_id,
+            _ckpt_query_id(ckpt),
+            partial_fn=_wsample_partials,
+            merge_fn=_wsample_merge,
+        )
+
+    return (
+        docs_stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_weighted_sample(spark: SparkSession, state_path: str) -> DataFrame:
+    """The maintained sample as a batch DataFrame:
+    (doc_id, n_chars, sample_key)."""
+    state = read_state(spark, state_path)
+    if state is None:
+        raise FileNotFoundError(f"no weighted-sample state at {state_path}")
+    return state.select("doc_id", "n_chars", "sample_key")

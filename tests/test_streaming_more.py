@@ -169,3 +169,49 @@ def test_hll_register_state_equals_batch_and_is_idempotent(spark, sf_dir, tmp_pa
         .collect()
     }
     assert got == want
+
+
+def test_weighted_sample_fold_equals_batch_and_tolerates_overlap(
+    spark, sf_dir, tmp_path_factory
+):
+    """r11: bottom-k race keys are idempotent+mergeable (identical
+    deterministic keys dedupe; min-k of a union == min-k of min-ks) —
+    OVERLAPPING batches folded through the versioned state must equal
+    the one-shot sample, and a replayed batch id is a no-op."""
+    from pyspark.sql import functions as F
+
+    from rag_lakehouse_spark.plans.corpus_queries import (
+        bottom_k_sample,
+        weighted_sample_keys,
+    )
+    from rag_lakehouse_spark.streaming.rollup_sink import (
+        _wsample_merge,
+        _wsample_partials,
+        fold_batch,
+        read_weighted_sample,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    state = str(tmp_path_factory.mktemp("wsample_state")) + "/sample"
+    b0 = d.filter(F.col("doc_id") % 2 == 0)
+    b1 = d.filter(  # overlaps b0 on %4==0 — identical keys must dedupe
+        (F.col("doc_id") % 2 == 1) | (F.col("doc_id") % 4 == 0)
+    )
+    for bid, b in ((0, b0), (1, b1)):
+        assert fold_batch(
+            spark, state, b, bid, "ckpt-test",
+            partial_fn=_wsample_partials, merge_fn=_wsample_merge,
+        )
+    assert not fold_batch(
+        spark, state, b1, 1, "ckpt-test",
+        partial_fn=_wsample_partials, merge_fn=_wsample_merge,
+    )
+    got = sorted(
+        (r.doc_id, r.n_chars, r.sample_key)
+        for r in read_weighted_sample(spark, state).collect()
+    )
+    want = sorted(
+        (r.doc_id, r.n_chars, r.sample_key)
+        for r in bottom_k_sample(weighted_sample_keys(d)).collect()
+    )
+    assert got == want
