@@ -2186,6 +2186,23 @@ def embedding_ivf_balance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # memory/recall dial (per-dim codes instead of subspace centroids) ---
 
 
+def _sq_ranges(e) -> tuple[list[float], list[float]]:
+    """Pass-1 SQ training: per-dim (min, max) over the embeddings —
+    64 partial rows per task, collected as the bounded range table
+    (shared by the int8 report and the IVF-SQ ANN twin)."""
+    stats = (
+        e.select(F.posexplode("embedding").alias("t", "xf"))
+        .groupBy("t")
+        .agg(F.min("xf").alias("mn"), F.max("xf").alias("mx"))
+        .orderBy("t")
+        .collect()
+    )
+    return (
+        [float(r["mn"]) for r in stats],
+        [float(r["mx"]) for r in stats],
+    )
+
+
 _SQ_ORACLE = """
     WITH px AS (
       SELECT vec_id, unnest(generate_series(1, len(embedding))) AS i,
@@ -2249,14 +2266,7 @@ def embedding_sq_int8_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-trains by re-running pass 1 alone."""
     e = load_table(spark, sf_dir, "embeddings")
     el = e.select(F.posexplode("embedding").alias("t", "xf"))
-    stats = (
-        el.groupBy("t")
-        .agg(F.min("xf").alias("mn"), F.max("xf").alias("mx"))
-        .orderBy("t")
-        .collect()
-    )
-    mns = [float(r["mn"]) for r in stats]
-    mxs = [float(r["mx"]) for r in stats]
+    mns, mxs = _sq_ranges(e)
     ws = [mx - mn for mn, mx in zip(mns, mxs)]
     mn_arr = F.array(*[F.lit(v) for v in mns])
     mx_arr = F.array(*[F.lit(v) for v in mxs])
@@ -2296,3 +2306,152 @@ def embedding_sq_int8_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mse"),
         )
     )
+
+
+# --- IVF-SQ: the scalar-quantization rung of the ANN ladder (probed
+# cells + int8-dequantized asymmetric distances) ---
+
+
+def _ivfsq_oracle() -> str:
+    dlist_e = "[" + ", ".join(_ivf_d_sql("embedding", c) for c in range(_IVF_C)) + "]"
+    dlist_q = "[" + ", ".join(_ivf_d_sql("qv", c) for c in range(_IVF_C)) + "]"
+    code = (
+        "CASE WHEN sl.wl[i] = 0e0 THEN 0 "
+        "ELSE least(255, CAST(floor(((CAST(c.embedding[i] AS DOUBLE)"
+        " - sl.mnl[i]) * 256e0) / sl.wl[i]) AS BIGINT)) END"
+    )
+    deq = f"(sl.mnl[i] + ((CAST({code} AS DOUBLE) + 5e-1) * sl.wl[i]) / 256e0)"
+    term = f"(CAST(q.qv[i] AS DOUBLE) - {deq}) * (CAST(q.qv[i] AS DOUBLE) - {deq})"
+    return f"""
+    WITH px AS (
+      SELECT unnest(generate_series(1, len(embedding))) AS i,
+             embedding AS emb
+      FROM embeddings
+    ), st AS (
+      SELECT i - 1 AS t,
+             MIN(CAST(emb[i] AS DOUBLE)) AS mn,
+             MAX(CAST(emb[i] AS DOUBLE)) - MIN(CAST(emb[i] AS DOUBLE)) AS w
+      FROM px GROUP BY 1
+    ), sl AS (
+      SELECT list(mn ORDER BY t) AS mnl, list(w ORDER BY t) AS wl FROM st
+    ), q AS (
+      SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
+    ), probe AS (
+      SELECT list_transform(
+               list_sort(list_transform(generate_series(1, {_IVF_C}),
+                         c -> {{'d': ({dlist_q})[c], 'cell': c - 1}}))[1:{_IVF_PROBE}],
+               s -> s.cell) AS cells
+      FROM q
+    ), assigned AS (
+      SELECT vec_id, embedding,
+             CAST(list_position({dlist_e}, list_min({dlist_e})) - 1 AS INT) AS cell
+      FROM embeddings WHERE vec_id <> 0
+    )
+    SELECT c.vec_id AS neighbor_id, c.cell,
+           list_sum(list_transform(generate_series(1, 64), i -> {term}))
+             AS adc_distance
+    FROM assigned c, q, probe, sl
+    WHERE list_contains(probe.cells, c.cell)
+    ORDER BY adc_distance ASC, neighbor_id ASC
+    LIMIT 10
+    """
+
+
+@register(
+    "ann_ivf_sq_portable",
+    oracle=None,  # set below
+    tags=("vector", "ann", "ivf", "quantization", "portable-twin"),
+)
+def ann_ivf_sq_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + int8 scalar quantization — the SQ rung of the ANN ladder
+    (SRP-LSH / IVF-flat / PQ / IVF-PQ / now IVF-SQ), the FAISS
+    ``IVF,SQ8`` shape: vectors assign to the frozen 8-cell coarse
+    quantizer; within the query's 2 probed cells, distances compute
+    ASYMMETRICALLY against int8-dequantized candidates (the raw query
+    vs midpoint-dequantized codes from the two-pass-trained per-dim
+    ranges — 1 byte/dim in the index instead of 4, one memory rung
+    above PQ's 16 bytes/vector). Top-10 by (adc_distance, vec_id).
+
+    Exactness: the range table is pass-1 data (``_sq_ranges``, shared
+    with the int8 report) embedded as literal arrays; codes are exact
+    floors; the dequantized-difference fold is the standing left-fold
+    dialect (Spark 0.0-seeded ``aggregate`` == DuckDB ``list_sum``,
+    terms in dim order) — so candidate SET and ORDER are both part of
+    the hash contract.
+
+    Scale: assignment + encode are map-only against literal
+    parameters; only probed cells rescore (the IVF contract); the
+    decode-and-diff is one nested HOF indexing two 64-literal arrays
+    (the janino rule: one literal, HOFs index it); top-10 is
+    TakeOrderedAndProject."""
+    e = load_table(spark, sf_dir, "embeddings")
+    mns, mxs = _sq_ranges(e)
+    ws = [mx - mn for mn, mx in zip(mns, mxs)]
+    mn_arr = F.array(*[F.lit(v) for v in mns])
+    w_arr = F.array(*[F.lit(v) for v in ws])
+    centmat = _ivf_centmat()
+
+    assigned = e.filter(F.col("vec_id") != 0).select(
+        "vec_id",
+        "embedding",
+        _ivf_cell_dists(centmat, F.col("embedding")).alias("dls"),
+    ).select(
+        "vec_id",
+        "embedding",
+        (F.array_position("dls", F.array_min("dls")) - 1).cast("int").alias("cell"),
+    )
+    probe = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv"),
+        F.transform(
+            F.slice(
+                F.array_sort(
+                    F.zip_with(
+                        _ivf_cell_dists(centmat, F.col("embedding")),
+                        F.sequence(F.lit(0), F.lit(_IVF_C - 1)),
+                        lambda d, c: F.struct(
+                            d.alias("d"), c.cast("int").alias("cell")
+                        ),
+                    )
+                ),
+                1,
+                _IVF_PROBE,
+            ),
+            lambda s: s["cell"],
+        ).alias("cells"),
+    )
+
+    def term(i):
+        x = F.element_at("embedding", i).cast("double")
+        mn = F.element_at(mn_arr, i)
+        w = F.element_at(w_arr, i)
+        code = F.when(w == 0.0, F.lit(0).cast("bigint")).otherwise(
+            F.least(
+                F.lit(255).cast("bigint"),
+                F.floor(((x - mn) * F.lit(256.0)) / w).cast("bigint"),
+            )
+        )
+        deq = mn + ((code.cast("double") + F.lit(0.5)) * w) / F.lit(256.0)
+        qd = F.element_at("qv", i).cast("double")
+        return (qd - deq) * (qd - deq)
+
+    adc = F.aggregate(
+        F.transform(F.sequence(F.lit(1), F.lit(64)), term),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    return (
+        assigned.crossJoin(F.broadcast(probe))
+        .filter(F.array_contains(F.col("cells"), F.col("cell")))
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            "cell",
+            adc.alias("adc_distance"),
+        )
+        .orderBy(F.asc("adc_distance"), F.asc("neighbor_id"))
+        .limit(10)
+    )
+
+
+from rag_lakehouse_spark.plans import registry as _registry  # noqa: E402
+
+_registry.QUERIES["ann_ivf_sq_portable"].oracle = _ivfsq_oracle()

@@ -429,3 +429,42 @@ def test_ann_ivf_pq_portable_ties_on_constructed_vectors(spark, tmp_path):
     q = reg.QUERIES["ann_ivf_pq_portable"]
     problems = compare("ann_ivf_pq_portable", q.fn(spark, sf_dir), con, q.oracle)
     assert not problems, problems
+
+
+def test_ann_ivf_sq_portable_ties_on_constructed_vectors(spark, tmp_path):
+    """r11: the IVF-SQ rung under the same 64-dim construction —
+    midpoint vectors force exact assignment ties, DUPLICATE vectors
+    get identical int8 codes (tied adc_distance → neighbor_id
+    tiebreak), centroid-exact vectors sit on range endpoints (code
+    255 via the least() clamp), and a constant dimension would hit
+    the width-0 guard. The data-trained range table must come out
+    identical on both engines for any row to hash-match."""
+    from rag_lakehouse_spark.plans import registry as reg
+    from rag_lakehouse_spark.plans.vector_queries import _ivf_cent
+
+    data = []
+    data.append((0, [_ivf_cent(2, t) for t in range(64)], 0))
+    mid = [(_ivf_cent(0, t) + _ivf_cent(1, t)) / 2.0 for t in range(64)]
+    data.append((1, mid, 1))
+    data.append((2, mid, 2))
+    for n in range(3, 20):
+        c = n % 8
+        data.append(
+            (n, [_ivf_cent(c, t) + ((n + t) % 3 - 1) / 8.0 for t in range(64)], n % 4)
+        )
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        data, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(sf_dir, "embeddings.parquet")
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE OR REPLACE VIEW embeddings AS "
+        f"SELECT * FROM '{sf_dir}/embeddings.parquet/*.parquet'"
+    )
+    q = reg.QUERIES["ann_ivf_sq_portable"]
+    problems = compare(
+        "ann_ivf_sq_portable", q.fn(spark, sf_dir), con, q.oracle
+    )
+    assert not problems, problems
