@@ -443,6 +443,8 @@ def synth_media_bytes(
     n_samples: int = 0,
     payload: bytes | None = None,
     frames: list[tuple[int, int, int, int, int, bytes]] | None = None,
+    palette: bytes | None = None,
+    pixel_frames: list[tuple[int, int, int, int, int, bytes]] | None = None,
 ) -> bytes:
     """Deterministic REAL container bytes, pure stdlib — a minimal but
     format-valid PNG (signature + CRC'd IHDR + IEND), BMP (54-byte
@@ -493,6 +495,39 @@ def synth_media_bytes(
             b"BM" + struct.pack("<IHHI", 54 + len(rows), 0, 0, 54) + info + rows
         )
     if kind == "gif":
+        if pixel_frames is not None:
+            # REAL animated pixels: 256-entry global color table +
+            # per-frame LZW-compressed palette indices (full
+            # variable-width encoder, so the decoder round-trips a
+            # genuinely compressed stream).
+            if palette is None or len(palette) != 768:
+                raise ValueError("pixel_frames needs a 768-byte palette")
+            out = [
+                b"GIF89a"
+                + struct.pack("<HHBBB", width, height, 0x80 | 0x07, 0, 0)
+                + palette
+            ]
+            for left, top, fw, fh, delay_cs, idx in pixel_frames:
+                if len(idx) != fw * fh:
+                    raise ValueError("indices length must be fw * fh")
+                out.append(
+                    b"\x21\xf9\x04\x00"
+                    + struct.pack("<H", delay_cs)
+                    + b"\x00\x00"
+                )
+                out.append(
+                    b"\x2c" + struct.pack("<HHHH", left, top, fw, fh) + b"\x00"
+                )
+                out.append(b"\x08")  # LZW minimum code size (256 literals)
+                data = _lzw_encode(idx, 8)
+                i = 0
+                while i < len(data):
+                    chunk = data[i : i + 255]
+                    out.append(bytes([len(chunk)]) + chunk)
+                    i += 255
+                out.append(b"\x00")
+            out.append(b"\x3b")
+            return b"".join(out)
         head = b"GIF89a" + struct.pack("<HHBBB", width, height, 0, 0, 0)
         if frames is None:
             return head + b"\x3b"  # 14 bytes
@@ -859,3 +894,297 @@ def frame_sample_plan(
             F.sequence(F.lit(0), est_frames - 1, F.lit(every_n))
         ).alias("frame_index"),
     )
+
+
+# --- GIF LZW codec (pure stdlib): the pixel layer under the frame
+# walker, making the video rung a REAL decode path end-to-end ---
+
+
+def _lzw_encode(indices: bytes, min_code_size: int = 8) -> bytes:
+    """Full variable-width GIF-LZW encoder for one frame's palette
+    indices (table growth, width bumps at table size 2^width, CLEAR
+    reset at the 4096 ceiling) — the writer side of the round trip, so
+    the decoder below is tested against a REAL compressed stream, not
+    a degenerate literal-code one."""
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    width = min_code_size + 1
+    out = bytearray()
+    acc = n_bits = 0
+
+    def emit(code: int) -> None:
+        nonlocal acc, n_bits
+        acc |= code << n_bits
+        n_bits += width
+        while n_bits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            n_bits -= 8
+
+    emit(clear)
+    w = b""
+    for b in indices:
+        wk = w + bytes([b])
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w])
+        table[wk] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << width) and width < 12:
+            width += 1
+        elif next_code > 4095:
+            emit(clear)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = end + 1
+            width = min_code_size + 1
+        w = bytes([b])
+    if w:
+        emit(table[w])
+    emit(end)
+    if n_bits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, min_code_size: int = 8) -> bytes:
+    """Full variable-width GIF-LZW decoder (the KwKwK case, width
+    bumps, CLEAR resets). Malformed streams — out-of-range codes,
+    missing END — raise NotImplementedError per the media-decoder
+    contract."""
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+    pos = acc = n_bits = 0
+    width = min_code_size + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    out = bytearray()
+    prev: bytes | None = None
+
+    def read() -> int:
+        nonlocal pos, acc, n_bits
+        while n_bits < width:
+            if pos >= len(data):
+                raise NotImplementedError("LZW stream ended before END code")
+            acc |= data[pos] << n_bits
+            pos += 1
+            n_bits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        n_bits -= width
+        return code
+
+    while True:
+        code = read()
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            return bytes(out)
+        if prev is None:
+            if code >= len(table):
+                raise NotImplementedError("LZW code before any literal")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):  # KwKwK
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise NotImplementedError("LZW code out of range")
+        if prev is not None and len(table) - 1 == (1 << width) - 1 and width < 12:
+            # GIF width bump: decoder grows one step EARLIER than the
+            # encoder's next emit would overflow
+            width += 1
+        out += entry
+        prev = entry
+
+
+def _decode_gif_pixels(
+    content: bytes,
+) -> tuple["np.ndarray", list[tuple[int, int, int, int, int, "np.ndarray"]]]:
+    """(palette (256, 3) RGB uint8, frames) where each frame is
+    (left, top, fw, fh, delay_cs, (fh, fw) palette-index array) — the
+    REAL pixel layer under ``_walk_gif_frames``: global color table +
+    full LZW decode per frame, pure stdlib+numpy. Interlaced frames,
+    local color tables, and missing global tables raise
+    NotImplementedError (documented seam; non-interlaced global-table
+    GIFs are what the synth writer and most generated assets emit);
+    so do truncated streams and index counts that disagree with the
+    descriptor."""
+    if content[:6] not in (b"GIF87a", b"GIF89a") or len(content) < 13:
+        raise NotImplementedError("not a GIF stream")
+    packed = content[10]
+    if not packed & 0x80 or (packed & 0x07) != 0x07:
+        raise NotImplementedError("pixel decode needs a 256-entry global table")
+    pos = 13
+    if pos + 768 > len(content):
+        raise NotImplementedError("truncated global color table")
+    palette = np.frombuffer(content[pos : pos + 768], dtype=np.uint8).reshape(
+        256, 3
+    )
+    pos += 768
+
+    def subblocks(p: int) -> tuple[int, bytes]:
+        buf = bytearray()
+        while True:
+            if p >= len(content):
+                raise NotImplementedError("truncated sub-blocks")
+            n = content[p]
+            p += 1
+            if n == 0:
+                return p, bytes(buf)
+            if p + n > len(content):
+                raise NotImplementedError("truncated sub-block")
+            buf += content[p : p + n]
+            p += n
+
+    frames: list[tuple[int, int, int, int, int, "np.ndarray"]] = []
+    pending_delay = 0
+    while True:
+        if pos >= len(content):
+            raise NotImplementedError("missing GIF trailer")
+        b = content[pos]
+        pos += 1
+        if b == 0x3B:
+            break
+        if b == 0x21:
+            label = content[pos] if pos < len(content) else None
+            if label is None:
+                raise NotImplementedError("truncated extension")
+            pos += 1
+            if label == 0xF9:
+                if pos + 6 > len(content) or content[pos] != 4:
+                    raise NotImplementedError("malformed GCE")
+                pending_delay = int.from_bytes(
+                    content[pos + 2 : pos + 4], "little"
+                )
+                pos += 5
+                if content[pos] != 0:
+                    raise NotImplementedError("unterminated GCE")
+                pos += 1
+            else:
+                pos, _ = subblocks(pos)
+        elif b == 0x2C:
+            if pos + 10 > len(content):
+                raise NotImplementedError("truncated image descriptor")
+            left, top, fw, fh = struct.unpack("<HHHH", content[pos : pos + 8])
+            flags = content[pos + 8]
+            pos += 9
+            if flags & 0x80:
+                raise NotImplementedError("local color tables unsupported")
+            if flags & 0x40:
+                raise NotImplementedError("interlaced frames unsupported")
+            min_code = content[pos]
+            pos += 1
+            pos, data = subblocks(pos)
+            idx = np.frombuffer(
+                bytearray(_lzw_decode(data, min_code)), dtype=np.uint8
+            )
+            if idx.size != fw * fh:
+                raise NotImplementedError("LZW pixel count != descriptor dims")
+            frames.append(
+                (left, top, fw, fh, pending_delay, idx.reshape(fh, fw))
+            )
+            pending_delay = 0
+        else:
+            raise NotImplementedError(f"unknown GIF block 0x{b:02x}")
+    return palette, frames
+
+
+GIF_PIXEL_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("fw", T.IntegerType(), False),
+        T.StructField("fh", T.IntegerType(), False),
+        T.StructField("n_pixels", T.IntegerType(), False),
+        T.StructField("sum_r", T.LongType(), False),
+        T.StructField("sum_g", T.LongType(), False),
+        T.StructField("sum_b", T.LongType(), False),
+        T.StructField("wsum_y", T.LongType(), False),
+        T.StructField("wsum_x", T.LongType(), False),
+        T.StructField("mean_luma", T.DoubleType(), False),
+    ]
+)
+
+
+def gif_pixel_features(
+    df: DataFrame,
+    id_col: str = "media_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """Per-FRAME pixel feature extraction over animated GIFs — the
+    video pixel decode, end to end: global color table + LZW decode
+    per frame, palette-mapped exact integer channel sums, the y-/x-
+    weighted luma sums (order/geometry-sensitive, catching wrong
+    scanline order or a misaligned LZW stream where plain sums are
+    blind), and mean luminance (one double division over exact
+    integers). Undecodable rows emit NO frames (flatMap).
+
+    Same mapInPandas seam as the other media operators: bytes stay
+    executor-side; the palette map + per-frame sums are vectorized
+    NumPy. A real mp4/webm demux+decode swaps in behind the same
+    per-frame schema."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, content in zip(pdf[id_col], pdf[content_col]):
+                b = bytes(content) if content is not None else b""
+                try:
+                    palette, frames = _decode_gif_pixels(b)
+                except (NotImplementedError, IndexError, struct.error):
+                    continue
+                pal = palette.astype(np.int64)
+                for f, (_l, _t, fw, fh, _d, idx) in enumerate(frames):
+                    rgb = pal[idx]  # (fh, fw, 3)
+                    luma = rgb.sum(axis=2)  # (fh, fw) int64
+                    rows.append(
+                        (
+                            rid,
+                            f,
+                            fw,
+                            fh,
+                            fw * fh,
+                            int(rgb[:, :, 0].sum()),
+                            int(rgb[:, :, 1].sum()),
+                            int(rgb[:, :, 2].sum()),
+                            int(
+                                (
+                                    luma
+                                    * np.arange(fh, dtype=np.int64)[:, None]
+                                ).sum()
+                            ),
+                            int(
+                                (
+                                    luma
+                                    * np.arange(fw, dtype=np.int64)[None, :]
+                                ).sum()
+                            ),
+                            int(luma.sum()) / (3 * fw * fh),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "frame_idx",
+                    "fw",
+                    "fh",
+                    "n_pixels",
+                    "sum_r",
+                    "sum_g",
+                    "sum_b",
+                    "wsum_y",
+                    "wsum_x",
+                    "mean_luma",
+                ],
+            )
+
+    fanned = df.select(id_col, content_col).repartition(
+        max(df.sparkSession.sparkContext.defaultParallelism, 1)
+    )
+    return fanned.mapInPandas(extract, GIF_PIXEL_SCHEMA)

@@ -602,3 +602,121 @@ def media_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = params.mapInPandas(build, "media_id long, content binary")
     return gif_frame_index(media, every_n=2)
+
+
+@register(
+    "media_gif_pixels",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id AS media_id, CAST(1 + doc_id % 3 AS INT) AS nf
+      FROM documents WHERE doc_id % 4 = 2
+    ), fr AS (
+      SELECT media_id, unnest(generate_series(0, nf - 1)) AS f FROM p
+    ), dims AS (
+      SELECT media_id, f,
+             CAST(4 + (media_id + 3 * f) % 12 AS INT) AS fw,
+             CAST(3 + (media_id + 5 * f) % 6 AS INT) AS fh
+      FROM fr
+    ), px AS (
+      SELECT media_id, f, fw, fh,
+             unnest(generate_series(0, fw * fh - 1)) AS pp
+      FROM dims
+    ), mapped AS (
+      SELECT media_id, f, fw, fh,
+             pp // fw AS y, pp % fw AS x,
+             (media_id + 13 * f + 5 * (pp // fw) + 3 * (pp % fw)) % 256 AS i
+      FROM px
+    ), rgb AS (
+      SELECT media_id, f, fw, fh, y, x,
+             (i * 3 + 1) % 256 AS r,
+             (i * 5 + 7) % 256 AS g,
+             (i * 7 + 11) % 256 AS b
+      FROM mapped
+    )
+    SELECT media_id, CAST(f AS INT) AS frame_idx, fw, fh,
+           CAST(fw * fh AS INT) AS n_pixels,
+           CAST(SUM(r) AS BIGINT) AS sum_r,
+           CAST(SUM(g) AS BIGINT) AS sum_g,
+           CAST(SUM(b) AS BIGINT) AS sum_b,
+           CAST(SUM(y * (r + g + b)) AS BIGINT) AS wsum_y,
+           CAST(SUM(x * (r + g + b)) AS BIGINT) AS wsum_x,
+           CAST(SUM(r + g + b) AS DOUBLE) / (3 * fw * fh) AS mean_luma
+    FROM rgb GROUP BY media_id, f, fw, fh
+    """,
+    tags=("multimodal", "codec", "video", "pandas"),
+)
+def media_gif_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video pixel decode — the layer under the frame walker:
+    every gif-kind document synthesizes an ANIMATED GIF whose
+    256-entry palette and per-frame pixel indices follow closed
+    formulas, each frame LZW-COMPRESSED by the full variable-width
+    encoder (table growth, width bumps); ``operators.multimodal
+    .gif_pixel_features`` re-reads palette and pixels FROM BYTES ALONE
+    (global color table + full LZW decode incl. the KwKwK case),
+    emitting per frame the exact palette-mapped channel sums, the
+    y-/x-weighted luma sums (scanline-order- and stream-alignment-
+    sensitive — a single mis-decoded LZW code moves every subsequent
+    pixel and breaks them), and mean luminance. The oracle recomputes
+    every feature from the formulas, so writer and reader are checked
+    against an external engine, not each other. GIF+LZW is the one
+    mainstream VIDEO-style container fully decodable with the
+    stdlib — mp4/webm swap in behind the same per-frame schema at the
+    documented codec seam.
+
+    Scale: map-only (parameter projection → synth+decode mapInPandas;
+    only the fan-out RoundRobin exchange); LZW is per-frame
+    independent; palette mapping and sums are vectorized NumPy; pixel
+    bytes never leave the executor."""
+    import pandas as pd
+
+    from rag_lakehouse_spark.operators.multimodal import (
+        gif_pixel_features,
+        synth_media_bytes,
+    )
+
+    params = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 4 == 2)
+        .select(
+            F.col("doc_id").alias("media_id"),
+            (1 + F.col("doc_id") % 3).cast("int").alias("nf"),
+        )
+    )
+    _PAL = b"".join(
+        bytes([(i * 3 + 1) % 256, (i * 5 + 7) % 256, (i * 7 + 11) % 256])
+        for i in range(256)
+    )
+
+    def build(batches):
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                mid, nf = int(r.media_id), int(r.nf)
+                frames = []
+                for f in range(nf):
+                    fw = 4 + (mid + 3 * f) % 12
+                    fh = 3 + (mid + 5 * f) % 6
+                    idx = bytes(
+                        (mid + 13 * f + 5 * y + 3 * x) % 256
+                        for y in range(fh)
+                        for x in range(fw)
+                    )
+                    frames.append(
+                        (f % 4, f % 3, fw, fh, 4 + (mid + f) % 10, idx)
+                    )
+                out.append(
+                    (
+                        mid,
+                        synth_media_bytes(
+                            "gif",
+                            width=16 + mid % 32,
+                            height=8 + mid % 16,
+                            palette=_PAL,
+                            pixel_frames=frames,
+                        ),
+                    )
+                )
+            yield pd.DataFrame(out, columns=["media_id", "content"])
+
+    media = params.mapInPandas(build, "media_id long, content binary")
+    return gif_pixel_features(media)

@@ -643,3 +643,113 @@ def test_gif_frame_walk_round_trip_property():
                 _walk_gif_frames(gif[:-2])
 
     check()
+
+
+def test_gif_lzw_round_trip_property():
+    """r11: the full variable-width LZW codec — arbitrary index
+    streams (random, constant runs, repeating patterns; sizes
+    crossing the 9->10->11-bit width bumps) must round-trip
+    encode -> decode bit-exactly."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from rag_lakehouse_spark.operators.multimodal import (
+        _lzw_decode,
+        _lzw_encode,
+    )
+
+    _stream = st.one_of(
+        st.binary(max_size=400),
+        st.tuples(
+            st.integers(min_value=0, max_value=255),
+            st.integers(min_value=0, max_value=2000),
+        ).map(lambda t: bytes([t[0]]) * t[1]),
+        st.tuples(st.binary(min_size=1, max_size=6), st.integers(1, 400)).map(
+            lambda t: (t[0] * t[1])[:2000]
+        ),
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(data=_stream)
+    def check(data):
+        assert _lzw_decode(_lzw_encode(data)) == data
+
+    check()
+
+
+def test_gif_pixel_round_trip_property_and_malformed():
+    """r11: synth -> _decode_gif_pixels — hypothesis-chosen frame
+    geometries and ARBITRARY index bytes must come back bit-exact in
+    scanline order; interlace/local-table flags and truncation raise
+    per the contract."""
+    import struct as _struct
+
+    import pytest as _pytest
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from rag_lakehouse_spark.operators.multimodal import (
+        _decode_gif_pixels,
+        synth_media_bytes,
+    )
+
+    pal = bytes(range(256)) * 3  # any 768 bytes form a palette
+
+    _frame = st.tuples(
+        st.integers(0, 20),  # left
+        st.integers(0, 20),  # top
+        st.integers(1, 12),  # fw
+        st.integers(1, 9),  # fh
+        st.integers(0, 1000),  # delay
+    )
+
+    @settings(max_examples=30, deadline=None)
+    @given(frames=st.lists(_frame, min_size=1, max_size=4), data=st.data())
+    def check(frames, data):
+        fr = []
+        for l, t, fw, fh, d in frames:
+            idx = bytes(
+                data.draw(
+                    st.lists(
+                        st.integers(0, 255),
+                        min_size=fw * fh,
+                        max_size=fw * fh,
+                    )
+                )
+            )
+            fr.append((l, t, fw, fh, d, idx))
+        gif = synth_media_bytes(
+            "gif", width=30, height=20, palette=pal, pixel_frames=fr
+        )
+        palette, got = _decode_gif_pixels(gif)
+        assert palette.tobytes() == pal
+        assert [(g[0], g[1], g[2], g[3], g[4]) for g in got] == [
+            (f[0], f[1], f[2], f[3], f[4]) for f in fr
+        ]
+        for g, f in zip(got, fr):
+            assert g[5].tobytes() == f[5]
+        with _pytest.raises(NotImplementedError):
+            _decode_gif_pixels(gif[:-2])  # truncated
+
+    check()
+
+    base = synth_media_bytes(
+        "gif", width=4, height=3, palette=pal,
+        pixel_frames=[(0, 0, 2, 2, 5, bytes(4))],
+    )
+    # interlace flag on the image descriptor (after 13+768 header+GCT
+    # and the 8-byte GCE: introducer+desc fields end at +9)
+    desc_flags_off = 13 + 768 + 8 + 9
+    assert base[13 + 768 + 8] == 0x2C
+    inter = bytearray(base)
+    inter[desc_flags_off] |= 0x40
+    with _pytest.raises(NotImplementedError):
+        _decode_gif_pixels(bytes(inter))
+    local = bytearray(base)
+    local[desc_flags_off] |= 0x80
+    with _pytest.raises(NotImplementedError):
+        _decode_gif_pixels(bytes(local))
+    # no global color table -> pixel decode refuses (walker still works)
+    plain = synth_media_bytes("gif", width=4, height=3)
+    with _pytest.raises(NotImplementedError):
+        _decode_gif_pixels(plain)

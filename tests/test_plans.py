@@ -410,3 +410,14 @@ def test_kn_bigram_scans_corpus_once_after_model_checkpoint(spark, sf_dir):
     re-planned the corpus explode five times."""
     plan = plan_of("corpus_kn_bigram_scores", spark, sf_dir)
     assert plan.count("Scan parquet") == 1, plan.count("Scan parquet")
+
+
+def test_media_gif_pixels_is_map_only(spark, sf_dir):
+    """Synth → LZW decode → pixel features is a pure per-row pipeline:
+    the only exchange is the mapInPandas fan-out repartition."""
+    plan = plan_of("media_gif_pixels", spark, sf_dir)
+    import re
+
+    exchanges = re.findall(r"Exchange \w+", plan)
+    assert all("RoundRobin" in e or "SinglePartition" in e for e in exchanges), exchanges
+    assert "SortMergeJoin" not in plan and "HashAggregate" not in plan

@@ -254,6 +254,10 @@ _media_ids = st.lists(
         # frame inventories; 2^40-scale ids exercise the int64 delay/
         # geometry formulas and the cumulative-delay fold
         "media_gif_frames",
+        # r11 pixel decode: the LZW round trip at fuzzed ids/dims —
+        # a single mis-decoded code would shift every later pixel and
+        # break the weighted sums
+        "media_gif_pixels",
     ],
 )
 def test_media_query_matches_oracle_at_generated_params(
