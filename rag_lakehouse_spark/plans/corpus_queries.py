@@ -1749,21 +1749,22 @@ def corpus_kn_bigram_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     ), fs AS (
       SELECT s, MIN(doc_id) AS first_id FROM sh GROUP BY 1
-    ), pd AS (
-      SELECT sh.doc_id,
-             CAST(COUNT(*) AS BIGINT) AS n_sh,
-             CAST(SUM(CASE WHEN fs.first_id = sh.doc_id THEN 1 ELSE 0 END)
-                  AS BIGINT) AS n_novel
-      FROM sh JOIN fs USING (s) GROUP BY 1
+    ), nv AS (
+      SELECT first_id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_novel
+      FROM fs GROUP BY 1
+    ), ns AS (
+      SELECT doc_id,
+             CAST(len({TX.duckdb_char_shingles('text', 8)}) AS BIGINT) AS n_sh
+      FROM documents
     ), mx AS (SELECT MAX(doc_id) AS m FROM documents)
-    SELECT CAST((d.doc_id * 10) // (mx.m + 1) AS INT) AS ingest_decile,
+    SELECT CAST((ns.doc_id * 10) // (mx.m + 1) AS INT) AS ingest_decile,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(SUM(coalesce(pd.n_sh, 0)) AS BIGINT) AS n_shingles,
-           CAST(SUM(coalesce(pd.n_novel, 0)) AS BIGINT) AS n_novel,
-           CASE WHEN SUM(coalesce(pd.n_sh, 0)) > 0
-                THEN CAST(SUM(coalesce(pd.n_novel, 0)) AS DOUBLE)
-                     / SUM(coalesce(pd.n_sh, 0)) END AS novelty_rate
-    FROM documents d CROSS JOIN mx LEFT JOIN pd USING (doc_id)
+           CAST(SUM(ns.n_sh) AS BIGINT) AS n_shingles,
+           CAST(SUM(coalesce(nv.n_novel, 0)) AS BIGINT) AS n_novel,
+           CASE WHEN SUM(ns.n_sh) > 0
+                THEN CAST(SUM(coalesce(nv.n_novel, 0)) AS DOUBLE)
+                     / SUM(ns.n_sh) END AS novelty_rate
+    FROM ns CROSS JOIN mx LEFT JOIN nv USING (doc_id)
     GROUP BY 1
     """,
     tags=("text", "dedup", "training-data", "governance"),
@@ -1779,40 +1780,34 @@ def corpus_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     diminishing-returns curve behind data-mixture and crawl-budget
     decisions.
 
-    Scale: one shingle explode (normalization materialized BEFORE the
-    per-element lambda per the standing O(len^2)-regex rule), one
-    groupBy(shingle) for first-ids and one equi-join back on the SAME
-    shingle partitioning (the exchange-reuse pair every inverted-index
-    query here uses); the decile map is an integer expression against
-    one broadcast max. No all-pairs anything."""
+    Scale: the novelty side never joins back to the corpus — per-doc
+    novel counts are a groupBy(first_id) over the shingle->first-id
+    table itself (a count of wins per doc, bounded by |docs| rows),
+    and per-doc shingle totals are a map-only array size (shingles
+    are distinct within a doc by construction). So the corpus
+    shingle-explodes ONCE; the original join-back form re-planned the
+    explode per consumer (4 parquet scans, plan-audited) and shuffled
+    corpus-sized shingle rows a second time. The decile map is an
+    integer expression against one broadcast max. No all-pairs
+    anything."""
     d = load_table(spark, sf_dir, "documents")
     sh = TX.with_shingles(d.select("doc_id", "text")).select(
         "doc_id", F.explode("shingles").alias("s")
     )
     fs = sh.groupBy("s").agg(F.min("doc_id").alias("first_id"))
-    pd_ = (
-        sh.join(fs, "s")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_sh"),
-            F.sum(
-                F.when(F.col("first_id") == F.col("doc_id"), 1).otherwise(0)
-            )
-            .cast("bigint")
-            .alias("n_novel"),
-        )
+    nv = fs.groupBy(F.col("first_id").alias("doc_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_novel")
+    )
+    ns = TX.with_shingles(d.select("doc_id", "text")).select(
+        "doc_id", F.size("shingles").cast("bigint").alias("n_sh")
     )
     mx = d.agg(F.max("doc_id").alias("m"))
-    j = (
-        d.select("doc_id")
-        .crossJoin(F.broadcast(mx))
-        .join(pd_, "doc_id", "left")
-    )
+    j = ns.crossJoin(F.broadcast(mx)).join(nv, "doc_id", "left")
     g = j.groupBy(
         F.expr("CAST((doc_id * 10) DIV (m + 1) AS INT)").alias("ingest_decile")
     ).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.sum(F.coalesce("n_sh", F.lit(0))).cast("bigint").alias("n_shingles"),
+        F.sum("n_sh").cast("bigint").alias("n_shingles"),
         F.sum(F.coalesce("n_novel", F.lit(0))).cast("bigint").alias("n_novel"),
     )
     return g.select(
