@@ -736,3 +736,85 @@ def events_cohort_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(churned).cast("bigint").alias("n_churned"),
         (F.sum(churned).cast("double") / F.count(F.lit(1))).alias("churn_rate"),
     )
+
+
+@register(
+    "events_decayed_engagement",
+    oracle="""
+    WITH mx AS (SELECT MAX(ts) AS ref FROM events),
+    aged AS (
+      SELECT user_id,
+             least((epoch_us(mx.ref) - epoch_us(ts)) // 86400000000, 40)
+               AS age_d
+      FROM events CROSS JOIN mx WHERE user_id IS NOT NULL
+    ), scored AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CAST(1 AS BIGINT) << CAST(40 - age_d AS INT))
+                  AS BIGINT) AS score_q
+      FROM aged GROUP BY user_id
+    )
+    SELECT user_id, n_events, score_q,
+           CAST(score_q AS DOUBLE) / 1099511627776e0 AS decayed_score
+    FROM scored
+    ORDER BY score_q DESC, user_id ASC
+    LIMIT 20
+    """,
+    tags=("events", "agg", "decay", "training-data"),
+)
+def events_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential time-decay engagement counters — the leaderboard
+    primitive streaming analytics actually serves (recent activity
+    counts more) made EXACT: each event contributes 2^-age_days
+    (half-life = one day, ages clamped at 40 — contributions below
+    2^-40 round to the fixed-point floor), summed per user in 2^-40
+    FIXED POINT (each weight is the exact integer
+    ``1 << (40 - age)``, so the sum is order-free int64 — the
+    quantize-the-INPUT rule applied to decay weights, which are
+    dyadic and therefore exact rather than approximated). Top-20
+    users by (decayed score, user_id); the one double is a final
+    power-of-two division (exact).
+
+    Scale: one scan, one broadcast max-timestamp, per-user partial
+    sums with map-side combine, TakeOrderedAndProject for the
+    leaderboard. Decayed sums are MERGEABLE (they are plain integer
+    sums under a FIXED reference time), so the same fold serves a
+    streaming state or rollup — re-referencing to a newer 'now' is a
+    single global shift right by the elapsed days, which is why
+    production decayed counters store fixed-point integers exactly
+    like this."""
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("ref"))
+    # integer day age, clamped at 40
+    aged = (
+        ev.filter(F.col("user_id").isNotNull())
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "user_id",
+            F.least(
+                F.expr(
+                    "CAST((unix_micros(ref) - unix_micros(ts))"
+                    " DIV 86400000000 AS BIGINT)"
+                ),
+                F.lit(40).cast("bigint"),
+            ).alias("age_d"),
+        )
+    )
+    scored = aged.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(40 - age_d AS INT))"))
+        .cast("bigint")
+        .alias("score_q"),
+    )
+    return (
+        scored.select(
+            "user_id",
+            "n_events",
+            "score_q",
+            (F.col("score_q").cast("double") / F.lit(float(1 << 40))).alias(
+                "decayed_score"
+            ),
+        )
+        .orderBy(F.desc("score_q"), F.asc("user_id"))
+        .limit(20)
+    )

@@ -81,11 +81,11 @@ _PRIORITY: tuple[str, ...] = (
     "events_hll_incremental",
     "embedding_ivf_balance_report",
     "text_hashed_features",
-    # (r11 session 2: part (b) grew by 14 — the bloom pair, the CMS
+    # (r11 session 2: part (b) grew by 15 — the bloom pair, the CMS
     # pair, Kneser-Ney, int8 SQ, the quantile sketch, the novelty/
     # dedup-ROI governance pair, the streaming sample, the IVF-SQ rung,
-    # and the three new media rungs — so part (c)'s stale tail shrank
-    # by 14; the displaced rows lead
+    # the decayed counters, and the three new media rungs — so part
+    # (c)'s stale tail shrank by 15; the displaced rows lead
     # the r12 re-confirmation queue.)
     "join_bloom_prefilter",
     "join_bloom_incremental",
@@ -101,6 +101,7 @@ _PRIORITY: tuple[str, ...] = (
     "corpus_sample_incremental",
     "ann_ivf_sq_portable",
     "media_gif_pixels",
+    "events_decayed_engagement",
     # -- r11 part (c): oldest-first re-confirmation (freshness ledger:
     # last driver rows r5, then the r6 cohort in registration order) --
     "q8_market_share",
@@ -127,9 +128,9 @@ _PRIORITY: tuple[str, ...] = (
     "map_funcs_events",
     "variant_json_events",
     "window_ignore_nulls_nav",
-    "events_sliding_windows",
     # (Deferred to the r12 re-confirmation queue by the 50-slot budget,
-    # oldest debt first next round: embed_and_search,
+    # oldest debt first next round: events_sliding_windows,
+    # embed_and_search,
     # media_features_pipeline,
     # q2_min_cost_supplier,
     # q6_forecast_revenue,

@@ -131,6 +131,10 @@ QUERIES = [
     # filtered identically; n=1 types make every rank pick the only
     # bucket; exact quarters sit ON centi-grid cell edges
     "events_quantile_sketch_portable",
+    # r11 decayed counters: same-instant generated events give age 0
+    # (weight 2^40) and tied score_q across users (user_id ASC cutoff
+    # order must agree); NULL users are filtered identically
+    "events_decayed_engagement",
 ]
 
 
