@@ -68,7 +68,15 @@ DUCKDB_WS = "[ \\t\\n\\x0B\\f\\r]+"
 # legal only on ALREADY-ASCII text (e.g. inside ``normalized``, where
 # the preceding regexp_replace removed every non-ASCII char — both
 # engines' trim sets agree on pure ASCII-space edges).
-_EDGE_WS = r"^[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+$"
+# \A/\z, NOT ^/$: Java's $ (no MULTILINE) also matches BEFORE a final
+# line terminator — and NEL (U+0085) / LS (U+2028) / PS (U+2029) are
+# line terminators to Java — so '$'-anchored trim DELETED an interior
+# '\n' from text ending "...\n" + NEL, while DuckDB's RE2 '$' (end-of-
+# text only)
+# kept it: a one-token divergence found by the r11 corpus fuzz. \z is
+# end-of-input in Java; RE2 has no such trap, so the DuckDB twin keeps
+# its '$'.
+_EDGE_WS = r"\A[ \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+\z"
 _DUCKDB_EDGE_WS = "^[ \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+$"
 
 
