@@ -79,17 +79,18 @@ def duckdb_bloom_positions(key_sql: str) -> list[str]:
     return [f"({duckdb_affine60(h, a, b)} >> {_POS_SHIFT})" for a, b in BLOOM_AB]
 
 
-def bloom_build(keys: DataFrame, key_col: str) -> list[int]:
-    """Distributed build -> the dense ``N_WORDS``-long word list.
-
-    One explode of k positions per key, then groupBy(word).bit_or —
-    map-side partial ORs bound the shuffle by N_WORDS per task
-    whatever |keys| is. The collect is the bitmap itself (512 B),
-    never the keys."""
+def bloom_word_partials(keys: DataFrame, key_col: str) -> DataFrame:
+    """(word, w) bit_or partials for a key relation — ONE definition of
+    the position->word packing, shared by the batch build (collected
+    below) and the streaming fold (``streaming.rollup_sink
+    .maintain_bloom_words``): a packing change in two places would let
+    the maintained bitmap silently diverge from the batch bitmap and
+    void the shared-oracle guarantee. At most N_WORDS rows after the
+    map-side partial ORs."""
     pos = keys.select(
         F.explode(F.array(*bloom_positions(F.col(key_col)))).alias("pos")
     )
-    words = (
+    return (
         pos.select(
             F.shiftright("pos", 5).cast("int").alias("word"),
             F.col("pos").bitwiseAND(F.lit(31)).cast("int").alias("bit"),
@@ -101,8 +102,13 @@ def bloom_build(keys: DataFrame, key_col: str) -> list[int]:
             ).alias("w")
         )
     )
+
+
+def bloom_build(keys: DataFrame, key_col: str) -> list[int]:
+    """Distributed build -> the dense ``N_WORDS``-long word list.
+    The collect is the bitmap itself (512 B), never the keys."""
     dense = [0] * N_WORDS
-    for r in words.collect():
+    for r in bloom_word_partials(keys, key_col).collect():
         dense[r["word"]] = r["w"]
     return dense
 

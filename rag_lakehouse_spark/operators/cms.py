@@ -93,7 +93,13 @@ def cms_estimate(sketch: DataFrame, items: DataFrame, item_col: str) -> DataFram
         "*",
         F.posexplode(F.array(*cms_positions(F.col(item_col)))).alias("j", "idx"),
     )
-    joined = pos.join(F.broadcast(sketch), ["j", "idx"])
+    # LEFT join: an item whose (j, idx) counter was never incremented
+    # has count 0 by CMS definition — an inner join would drop the row
+    # (or overestimate from the colliding counters alone) for items
+    # outside the build corpus.
+    joined = pos.join(F.broadcast(sketch), ["j", "idx"], "left").withColumn(
+        "c", F.coalesce("c", F.lit(0).cast("bigint"))
+    )
     others = [c for c in items.columns]
     return joined.groupBy(*others).agg(F.min("c").cast("bigint").alias("cms_est"))
 

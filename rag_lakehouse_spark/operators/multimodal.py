@@ -953,6 +953,11 @@ def _lzw_decode(data: bytes, min_code_size: int = 8) -> bytes:
     bumps, CLEAR resets). Malformed streams — out-of-range codes,
     missing END — raise NotImplementedError per the media-decoder
     contract."""
+    if not 2 <= min_code_size <= 8:
+        # GIF caps the literal alphabet at 256 (min code size 8); a
+        # corrupted byte > 8 must degrade per the decoder contract,
+        # not blow up building a >256-literal table (ValueError).
+        raise NotImplementedError("LZW min code size out of range")
     clear, end = 1 << min_code_size, (1 << min_code_size) + 1
     pos = acc = n_bits = 0
     width = min_code_size + 1
@@ -1136,7 +1141,10 @@ def gif_pixel_features(
                 b = bytes(content) if content is not None else b""
                 try:
                     palette, frames = _decode_gif_pixels(b)
-                except (NotImplementedError, IndexError, struct.error):
+                except (NotImplementedError, IndexError, struct.error, ValueError):
+                    # decoders contract to NotImplementedError;
+                    # ValueError stays as the defensive backstop (the
+                    # image/audio paths carry the same one)
                     continue
                 pal = palette.astype(np.int64)
                 for f, (_l, _t, fw, fh, _d, idx) in enumerate(frames):

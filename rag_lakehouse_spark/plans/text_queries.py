@@ -1569,6 +1569,7 @@ def text_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _cms_oracle() -> str:
     from rag_lakehouse_spark.operators.cms import (
+        CMS_D,
         duckdb_cms_idx_case,
         duckdb_cms_sketch_cte,
     )
@@ -1587,7 +1588,7 @@ def _cms_oracle() -> str:
     heavy AS (SELECT tok, cnt FROM tf, tot WHERE cnt * 200 >= n),
     pos AS (
       SELECT tok, cnt, g.j, {duckdb_cms_idx_case("tok", "g.j")} AS idx
-      FROM heavy CROSS JOIN generate_series(0, 3) g(j)
+      FROM heavy CROSS JOIN generate_series(0, {CMS_D - 1}) g(j)
     )
     SELECT pos.tok AS item, pos.cnt AS exact_cnt,
            CAST(MIN(s.c) AS BIGINT) AS cms_est,

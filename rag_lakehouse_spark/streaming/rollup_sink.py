@@ -534,24 +534,13 @@ def read_cms_counters(spark: SparkSession, state_path: str) -> DataFrame:
 
 def _bloom_partials(df: DataFrame) -> DataFrame:
     """Micro-batch of keys (first column) → Bloom word partials
-    (word, w). The batch hashes ONCE; the partial is at most
-    N_WORDS = 128 rows."""
-    from rag_lakehouse_spark.operators.bloom import bloom_positions
+    (word, w) via the SAME packing helper the batch build collects
+    (``bloom.bloom_word_partials`` — one definition, so batch and
+    maintained bitmaps cannot diverge). The batch hashes ONCE; the
+    partial is at most N_WORDS = 128 rows."""
+    from rag_lakehouse_spark.operators.bloom import bloom_word_partials
 
-    key = F.col(df.columns[0])
-    pos = df.select(F.explode(F.array(*bloom_positions(key))).alias("pos"))
-    return (
-        pos.select(
-            F.shiftright("pos", 5).cast("int").alias("word"),
-            F.col("pos").bitwiseAND(F.lit(31)).cast("int").alias("bit"),
-        )
-        .groupBy("word")
-        .agg(
-            F.bit_or(
-                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))")
-            ).alias("w")
-        )
-    )
+    return bloom_word_partials(df, df.columns[0])
 
 
 def _bloom_merge(prev: DataFrame, batch: DataFrame) -> DataFrame:

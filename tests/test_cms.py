@@ -98,3 +98,18 @@ def test_cms_fold_equals_batch_and_skips_replay(spark, sf_dir, tmp_path_factory)
     ).filter(F.col("t") != "")
     want = {(r.j, r.idx): r.c for r in cms_build(toks, "t").collect()}
     assert got == want
+
+
+def test_cms_estimate_is_zero_for_unseen_items(spark):
+    """Review catch: an item absent from the build corpus must estimate
+    as min over its counters INCLUDING the never-incremented ones
+    (count 0) — the left-join path; the old inner join dropped the row
+    or overestimated from colliding counters alone."""
+    tdf = spark.createDataFrame([("aa",), ("bb",)], "t string")
+    sketch = cms_build(tdf, "t")
+    items = spark.createDataFrame(
+        [("zz-not-in-corpus", 0)], "item string, exact_cnt long"
+    )
+    rows = cms_estimate(sketch, items, "item").collect()
+    assert len(rows) == 1
+    assert rows[0].cms_est == 0  # at least one of its 4 counters is empty

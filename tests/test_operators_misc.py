@@ -753,3 +753,29 @@ def test_gif_pixel_round_trip_property_and_malformed():
     plain = synth_media_bytes("gif", width=4, height=3)
     with _pytest.raises(NotImplementedError):
         _decode_gif_pixels(plain)
+
+
+def test_gif_pixel_decoder_rejects_bad_min_code_size():
+    """Review catch: a corrupted LZW min-code byte (> 8) must degrade
+    per the decoder contract (NotImplementedError -> row skipped), not
+    blow up building a >256-literal table (ValueError would kill the
+    Spark task)."""
+    import pytest as _pytest
+
+    from rag_lakehouse_spark.operators.multimodal import (
+        _decode_gif_pixels,
+        synth_media_bytes,
+    )
+
+    pal = bytes(range(256)) * 3
+    gif = bytearray(
+        synth_media_bytes(
+            "gif", width=4, height=3, palette=pal,
+            pixel_frames=[(0, 0, 2, 2, 5, bytes(4))],
+        )
+    )
+    mcs_off = 13 + 768 + 8 + 10  # header + GCT + GCE + descriptor
+    assert gif[mcs_off] == 8
+    gif[mcs_off] = 9
+    with _pytest.raises(NotImplementedError):
+        _decode_gif_pixels(bytes(gif))
