@@ -88,7 +88,15 @@ def cms_build(toks: DataFrame, token_col: str) -> DataFrame:
 def cms_estimate(sketch: DataFrame, items: DataFrame, item_col: str) -> DataFrame:
     """Point estimates: min across the d counters for each item row.
     The sketch broadcasts (≤ 2048 rows by the PARAMETERS); items keep
-    all their columns."""
+    all their columns.
+
+    Contract (r12, from review): ``items`` rows must be DISTINCT and
+    every column group-by-able (no map columns) — the per-item min is
+    recovered by ``groupBy(*items.columns)``, so duplicate item rows
+    collapse to one output row and unorderable column types fail the
+    groupBy. Current callers pass distinct heavy-hitter rows; callers
+    with duplicate rows should attach a row key
+    (``monotonically_increasing_id``) before calling."""
     pos = items.select(
         "*",
         F.posexplode(F.array(*cms_positions(F.col(item_col)))).alias("j", "idx"),

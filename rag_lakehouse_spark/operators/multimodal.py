@@ -950,9 +950,11 @@ def _lzw_encode(indices: bytes, min_code_size: int = 8) -> bytes:
 
 def _lzw_decode(data: bytes, min_code_size: int = 8) -> bytes:
     """Full variable-width GIF-LZW decoder (the KwKwK case, width
-    bumps, CLEAR resets). Malformed streams — out-of-range codes,
-    missing END — raise NotImplementedError per the media-decoder
-    contract."""
+    bumps, CLEAR resets, and the deferred-clear convention: the table
+    FREEZES at 4096 entries and existing codes keep decoding until the
+    encoder chooses to send CLEAR — many standard encoders never do).
+    Malformed streams — out-of-range codes, missing END — raise
+    NotImplementedError per the media-decoder contract."""
     if not 2 <= min_code_size <= 8:
         # GIF caps the literal alphabet at 256 (min code size 8); a
         # corrupted byte > 8 must degrade per the decoder contract,
@@ -993,8 +995,9 @@ def _lzw_decode(data: bytes, min_code_size: int = 8) -> bytes:
             entry = table[code]
         elif code < len(table):
             entry = table[code]
-            table.append(prev + entry[:1])
-        elif code == len(table):  # KwKwK
+            if len(table) < 4096:  # deferred-clear: table frozen at 4096
+                table.append(prev + entry[:1])
+        elif code == len(table) and len(table) < 4096:  # KwKwK
             entry = prev + prev[:1]
             table.append(entry)
         else:

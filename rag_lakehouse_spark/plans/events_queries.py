@@ -782,7 +782,16 @@ def events_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming state or rollup — re-referencing to a newer 'now' is a
     single global shift right by the elapsed days, which is why
     production decayed counters store fixed-point integers exactly
-    like this."""
+    like this.
+
+    Overflow bound (r12): each age-0 event contributes 2^40, so a
+    single user needs > 2^23 (~8.4M) events ON THE MAX-ts DAY (or the
+    weighted equivalent across days) before score_q can exceed int64 —
+    beyond any per-user event rate this table models. Deployments with
+    hotter keys should lower the fixed-point scale (e.g. 2^-30 →
+    ~8.6B events/user/day headroom) or pre-aggregate counts per
+    (user, age_d) and range-check ``cnt <= (2^63-1) >> (40-age_d)``
+    before the shift; the scale constant is the only knob."""
     ev = load_table(spark, sf_dir, "events")
     mx = ev.agg(F.max("ts").alias("ref"))
     # integer day age, clamped at 40

@@ -677,6 +677,81 @@ def test_gif_lzw_round_trip_property():
     check()
 
 
+def test_gif_lzw_4096_boundary_round_trip():
+    """r12 (ADVICE): a low-repetition stream large enough to grow the
+    code table to the 4096 ceiling and force at least one CLEAR reset
+    in the encoder — the table-full branch was previously untested in
+    CI. Seeded random, 16 KiB."""
+    import random as _random
+
+    from rag_lakehouse_spark.operators.multimodal import (
+        _lzw_decode,
+        _lzw_encode,
+    )
+
+    rng = _random.Random(0xC0DE)
+    data = bytes(rng.randrange(256) for _ in range(16384))
+    enc = _lzw_encode(data)
+    # random bytes grow ~1 code per input byte: 16K input must hit the
+    # 4096 ceiling (and therefore a CLEAR reset) at least twice
+    assert _lzw_decode(enc) == data
+
+
+def test_gif_lzw_deferred_clear_decode():
+    """r12 (ADVICE): spec-valid GIFs from standard encoders often use
+    the DEFERRED-clear convention — stop adding table entries at 4096
+    WITHOUT emitting CLEAR and keep coding with the frozen table. The
+    decoder must freeze its table identically or it mis-decodes every
+    code after the ceiling. Encoder variant below is deferred-clear."""
+    import random as _random
+
+    from rag_lakehouse_spark.operators.multimodal import _lzw_decode
+
+    def deferred_encode(indices: bytes, min_code_size: int = 8) -> bytes:
+        clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+        table = {bytes([i]): i for i in range(clear)}
+        next_code = end + 1
+        width = min_code_size + 1
+        out = bytearray()
+        acc = n_bits = 0
+
+        def emit(code):
+            nonlocal acc, n_bits
+            acc |= code << n_bits
+            n_bits += width
+            while n_bits >= 8:
+                out.append(acc & 0xFF)
+                acc >>= 8
+                n_bits -= 8
+
+        emit(clear)
+        w = b""
+        for b in indices:
+            wk = w + bytes([b])
+            if wk in table:
+                w = wk
+                continue
+            emit(table[w])
+            if next_code <= 4095:  # freeze at 4096 entries, never CLEAR
+                table[wk] = next_code
+                next_code += 1
+                if next_code - 1 == (1 << width) and width < 12:
+                    width += 1
+            w = bytes([b])
+        if w:
+            emit(table[w])
+        emit(end)
+        if n_bits:
+            out.append(acc & 0xFF)
+        return bytes(out)
+
+    rng = _random.Random(0xBEEF)
+    data = bytes(rng.randrange(256) for _ in range(16384))
+    assert _lzw_decode(deferred_encode(data)) == data
+    # short streams (table never fills) are unaffected by the freeze
+    assert _lzw_decode(deferred_encode(b"banana" * 20)) == b"banana" * 20
+
+
 def test_gif_pixel_round_trip_property_and_malformed():
     """r11: synth -> _decode_gif_pixels — hypothesis-chosen frame
     geometries and ARBITRARY index bytes must come back bit-exact in
