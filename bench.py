@@ -4,7 +4,13 @@ $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 
     {"metric": "...", "value": <total_sec>, "unit": "sec",
-     "queries": {name: sec, ...}, "duckdb": {name: sec, ...}, "sf": <sf>}
+     "queries": {name: sec, ...}, "queries_rel": {name: ratio, ...},
+     "duckdb": {name: sec, ...}, "sf": <sf>}
+
+"queries_rel" (r12) is each query's median divided by the Spark anchor
+interpolated at its suite position — contention-TOLERANT units: on a
+loaded host absolute seconds inflate but these ratios hold, so
+round-over-round canary bands are stated in anchor-relative units.
 
 Each query executes to completion via collect() ON A FRESH DataFrame
 per run (r11, VERDICT r10 #3): count() over an aggregate-tail plan
@@ -178,6 +184,34 @@ def main() -> None:
     lo, hi = min(spark_anchor.values()), max(spark_anchor.values())
     anchor_contended = bool(lo > 0 and hi / lo > 1.25)
 
+    # Anchor-RELATIVE ratios (VERDICT r11 #2): host contention inflates
+    # every Spark timing roughly proportionally, so a contended run's
+    # absolute seconds are unusable but its SHAPE is not. Express each
+    # query's median as a ratio to the anchor reading interpolated at
+    # its suite position (first/mid/last are timed at positions 0,
+    # len/2, len) — canary bands in these units stay comparable
+    # round-over-round even on a loaded host, where absolute seconds
+    # would force discarding the run (three r11 judge runs were lost
+    # to exactly that).
+    def anchor_at(pos: float) -> float:
+        n = len(live)
+        a_first = spark_anchor["first"]
+        a_mid = spark_anchor.get("mid", a_first)
+        a_last = spark_anchor.get("last", a_mid)
+        mid_pos = n / 2
+        if n == 0:
+            return a_first
+        if pos <= mid_pos:
+            f = pos / mid_pos if mid_pos else 0.0
+            return a_first + f * (a_mid - a_first)
+        f = (pos - mid_pos) / (n - mid_pos)
+        return a_mid + f * (a_last - a_mid)
+
+    queries_rel = {
+        name: round(timings[name] / max(anchor_at(qi + 0.5), 1e-9), 2)
+        for qi, name in enumerate(live)
+    }
+
     duck_timings: dict[str, float] = {}
     duck_error = None
     if not os.environ.get("SPARK_GRAFT_SKIP_DUCKDB"):
@@ -197,6 +231,8 @@ def main() -> None:
         "action": action,
         "spark_anchor": spark_anchor,
         "anchor_contended": anchor_contended,
+        "queries_rel": queries_rel,
+        "value_rel": round(sum(queries_rel.values()), 2),
         "duckdb": duck_timings,
         "warmup": warmed,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

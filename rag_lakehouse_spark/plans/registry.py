@@ -66,6 +66,7 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # COVERAGE.md records the per-round log.
 _PRIORITY: tuple[str, ...] = (
     # -- r12 part (a): queries NEW this round (prepended as built) --
+    "media_png_pixels",
     # -- r12 part (b): the 16 r6-vintage rows displaced from the r11
     # front by that round's additions (VERDICT r11 #4: "after r12 no
     # query's latest driver row should predate r7") --

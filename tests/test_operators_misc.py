@@ -854,3 +854,174 @@ def test_gif_pixel_decoder_rejects_bad_min_code_size():
     gif[mcs_off] = 9
     with _pytest.raises(NotImplementedError):
         _decode_gif_pixels(bytes(gif))
+
+
+def test_png_pixel_round_trip_property():
+    """r12 (VERDICT r11 #1): arbitrary pixel bytes at hypothesis-chosen
+    dims must survive synth -> _decode_png_pixels bit-exactly. Heights
+    >= 5 force the writer's y%5 filter cycle through every filter type
+    (None/Sub/Up/Average/Paeth); per-filter single-row checks below
+    pin each unfilter branch in isolation."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from rag_lakehouse_spark.operators.multimodal import (
+        _decode_png_pixels,
+        synth_media_bytes,
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=9),
+        h=st.integers(min_value=1, max_value=12),
+        data=st.data(),
+    )
+    def check(w, h, data):
+        raw = bytes(
+            data.draw(
+                st.lists(
+                    st.integers(min_value=0, max_value=255),
+                    min_size=3 * w * h,
+                    max_size=3 * w * h,
+                )
+            )
+        )
+        png = synth_media_bytes("png", width=w, height=h, payload=raw)
+        w2, h2, img = _decode_png_pixels(png)
+        assert (w2, h2) == (w, h)
+        assert img.tobytes() == raw
+        assert np.array_equal(
+            img, np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
+        )
+
+    check()
+
+
+def test_png_each_filter_type_in_isolation():
+    """Each of the five PNG filters reversed correctly on its own: a
+    hand-built two-row image per filter type (row 0 fixed None, row 1
+    the filter under test) so a broken branch can't hide behind the
+    y%5 cycle."""
+    import struct as _struct
+    import zlib as _zlib
+
+    from rag_lakehouse_spark.operators.multimodal import (
+        _decode_png_pixels,
+        _png_paeth,
+    )
+
+    def chunk(ctype, body):
+        return (
+            _struct.pack(">I", len(body))
+            + ctype
+            + body
+            + _struct.pack(">I", _zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    w = 4
+    row0 = bytes([10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120])
+    row1 = bytes([13, 7, 255, 0, 128, 64, 200, 3, 99, 250, 1, 77])
+    for ftype in range(5):
+        filt = bytearray()
+        for i, v in enumerate(row1):
+            a = row1[i - 3] if i >= 3 else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = a
+            elif ftype == 2:
+                pred = row0[i]
+            elif ftype == 3:
+                pred = (a + row0[i]) >> 1
+            else:
+                c = row0[i - 3] if i >= 3 else 0
+                pred = _png_paeth(a, row0[i], c)
+            filt.append((v - pred) & 0xFF)
+        raw = b"\x00" + row0 + b"" + bytes([ftype]) + bytes(filt)
+        png = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", _struct.pack(">II5B", w, 2, 8, 2, 0, 0, 0))
+            + chunk(b"IDAT", _zlib.compress(raw))
+            + chunk(b"IEND", b"")
+        )
+        _, _, img = _decode_png_pixels(png)
+        assert img.tobytes() == row0 + row1, f"filter {ftype}"
+
+
+def test_png_pixel_decoder_rejects_malformed():
+    """Interlace, bad CRC, undefined filter bytes, truncated IDAT, and
+    size-mismatched payloads all raise NotImplementedError per the
+    media-decoder contract."""
+    import struct as _struct
+    import zlib as _zlib
+
+    import pytest as _pytest
+
+    from rag_lakehouse_spark.operators.multimodal import (
+        _decode_png_pixels,
+        synth_media_bytes,
+    )
+
+    good = synth_media_bytes("png", width=4, height=3, payload=bytes(36))
+
+    def chunk(ctype, body):
+        return (
+            _struct.pack(">I", len(body))
+            + ctype
+            + body
+            + _struct.pack(">I", _zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    # Adam7 interlace flag set
+    interlaced = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", _struct.pack(">II5B", 4, 3, 8, 2, 0, 0, 1))
+        + chunk(b"IDAT", _zlib.compress(bytes(3 * (4 * 3 + 1))))
+        + chunk(b"IEND", b"")
+    )
+    with _pytest.raises(NotImplementedError, match="interlace"):
+        _decode_png_pixels(interlaced)
+    # palette color type
+    pal = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", _struct.pack(">II5B", 4, 3, 8, 3, 0, 0, 0))
+        + chunk(b"IDAT", b"x")
+        + chunk(b"IEND", b"")
+    )
+    with _pytest.raises(NotImplementedError, match="truecolor"):
+        _decode_png_pixels(pal)
+    # corrupt one IDAT payload byte -> CRC mismatch
+    bad = bytearray(good)
+    idat = good.index(b"IDAT")
+    bad[idat + 5] ^= 0xFF
+    with _pytest.raises(NotImplementedError, match="CRC"):
+        _decode_png_pixels(bytes(bad))
+    # truncated stream
+    with _pytest.raises(NotImplementedError):
+        _decode_png_pixels(good[:-4])
+    # undefined filter byte (5), CRC re-stamped so only the filter fails
+    raw = bytearray(bytes(3 * (4 * 3 + 1)))
+    raw[0] = 5
+    undef = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", _struct.pack(">II5B", 4, 3, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", _zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    with _pytest.raises(NotImplementedError, match="filter"):
+        _decode_png_pixels(undef)
+    # inflated size disagrees with IHDR dims (one scanline short)
+    short = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", _struct.pack(">II5B", 4, 3, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", _zlib.compress(bytes(2 * (4 * 3 + 1))))
+        + chunk(b"IEND", b"")
+    )
+    with _pytest.raises(NotImplementedError, match="size"):
+        _decode_png_pixels(short)
+    # header-only synth (no IDAT) and non-PNG bytes
+    with _pytest.raises(NotImplementedError):
+        _decode_png_pixels(synth_media_bytes("png", width=4, height=3))
+    with _pytest.raises(NotImplementedError):
+        _decode_png_pixels(synth_media_bytes("bmp", width=4, height=3))
