@@ -1108,12 +1108,21 @@ def events_hll_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: per-increment cost is one micro-batch hash + a
     |types| x 256-row state merge; history is never re-hashed. The
     exact-distinct column joins from the batch table for the error
-    report only — sketch-only serving reads state alone."""
+    report only — sketch-only serving reads state alone.
+
+    r12: after the stream terminates the state is COMPACTED
+    (``compact_fold_state`` — rewrite as canonical v0, drop
+    predecessors) and the report is served from the post-compaction
+    read, so the shared oracle also externally hash-checks that
+    offline compaction preserves every register (the
+    across-the-boundary fold semantics are pytest-pinned in
+    tests/test_streaming_rollup.py for all eight fold families)."""
     import os
     import shutil
     import tempfile
 
     from rag_lakehouse_spark.streaming.rollup_sink import (
+        compact_fold_state,
         maintain_hll_registers,
         read_hll_registers,
     )
@@ -1132,6 +1141,7 @@ def events_hll_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         state = os.path.join(base, "hll_registers")
         maintain_hll_registers(spark, stream, state).awaitTermination()
+        assert compact_fold_state(spark, state)  # offline maintenance
         regs = read_hll_registers(spark, state).localCheckpoint(eager=True)
         return _hll_report(regs, ev).localCheckpoint(eager=True)
     finally:

@@ -250,6 +250,55 @@ def fold_batch(
     return True
 
 
+def compact_fold_state(spark: SparkSession, state_path: str) -> bool:
+    """OFFLINE compaction for the fold-rewrite layout (VERDICT r11 #5)
+    — run while the stream is stopped, like ``append_state
+    .compact_state`` for the append layout: rewrite the live version
+    as the canonical ``v0``, flip the pointer, drop every predecessor.
+    Returns True iff a compaction happened (False: no state yet, or
+    already compact).
+
+    What it buys: the state becomes a single self-contained "model
+    table" dir whose name no longer encodes ingestion history — the
+    checkpointed-model-table contract (SCALE.md): archivable, copyable
+    to a serving cluster, and the version-number monotonicity resets.
+    The idempotency watermark (``last_batch_id``) and checkpoint
+    identity (``ckpt_id``) live in the DATA columns, not the dir name,
+    so replay semantics are untouched: a resumed stream's next fold
+    (batch id > watermark) writes ``v{id}`` beside ``v0`` exactly as
+    before, and a replayed already-folded batch is still skipped.
+
+    Crash-safe at every point like ``fold_batch``: before the pointer
+    flip, CURRENT still names the old live dir and the half-written
+    ``v0`` is invisible garbage (overwritten by the next attempt);
+    after the flip, ``v0`` is committed and the old dirs are invisible
+    garbage (GC'd best-effort below). Lazy DataFrames resolved before
+    compaction lose their files immediately — the offline contract
+    (readers re-resolve via ``read_state`` after maintenance), same as
+    the append layout's."""
+    live = _version_dir(state_path)
+    if live is None or live == "v0":
+        return False
+    root = _local(state_path)
+    spark.read.parquet(os.path.join(state_path, live)).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(state_path, "v0"))
+    tmp = os.path.join(root, f"_{_CURRENT}.compact.tmp")
+    with open(tmp, "w", encoding="utf-8") as f:
+        f.write("v0")
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(root, _CURRENT))  # atomic on POSIX
+    try:
+        entries = os.listdir(root)
+    except OSError:
+        entries = []
+    for e in entries:
+        if re.fullmatch(r"v\d+", e) and e != "v0":
+            shutil.rmtree(os.path.join(root, e), ignore_errors=True)
+    return True
+
+
 def _ckpt_query_id(checkpoint_location: str) -> str | None:
     """The streaming query id persisted in the checkpoint's metadata
     file — stable across restarts from the same checkpoint, regenerated
