@@ -65,8 +65,13 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # r7 cohort — after r12 no query's latest driver row predates r8.
 # COVERAGE.md records the per-round log.
 _PRIORITY: tuple[str, ...] = (
-    # -- r12 part (a): queries NEW this round (prepended as built) --
+    # -- r12 part (a): queries NEW or changed this round (prepended as
+    # built; changed = events_hll_incremental now compacts mid-path,
+    # ann_portable_recall_report gained the graph rung row) --
     "media_png_pixels",
+    "ann_graph_portable",
+    "ann_portable_recall_report",
+    "events_hll_incremental",
     # -- r12 part (b): the 16 r6-vintage rows displaced from the r11
     # front by that round's additions (VERDICT r11 #4: "after r12 no
     # query's latest driver row should predate r7") --

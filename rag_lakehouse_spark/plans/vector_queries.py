@@ -1991,6 +1991,144 @@ def _exact_sets_sql() -> tuple[str, str]:
     return cos, l2
 
 
+# --- graph ANN (r12, VERDICT r11 #6): frozen M-NN graph + beam walk ---
+
+# out-degree, beam width, walk rounds, entry count, answer size —
+# tuned on the isotropic corpus (operators/graph_ann.py module doc):
+# single-entry plateaus at 0.3-0.4 recall@10; 4 spread entries at
+# beam 24 × 6 rounds reach 0.8-0.9 across all three SFs
+_G_M, _G_B, _G_T, _G_E, _G_K = 8, 24, 6, 4, 10
+
+
+def _graph_oracle() -> str:
+    """Unrolled-CTE DuckDB twin of the frozen-graph beam walk: the
+    graph build (all-pairs top-M), the spread entry set, and each of
+    the T rounds (frontier union + top-B cut) as explicit CTEs —
+    fixed rounds make the iterative join SQL-expressible without
+    recursion."""
+    sim = (
+        f"{VEC.duckdb_dot('a.embedding', 'b.embedding')}"
+        " / (a.nrm * b.nrm + 1e-24)"
+    )
+    qscore = (
+        f"{VEC.duckdb_dot('e.embedding', 'q.qv')} / (e.nrm * q.qn + 1e-24)"
+    )
+    rounds = []
+    prev = "beam0"
+    for t in range(1, _G_T + 1):
+        rounds.append(
+            f"""cand{t} AS (
+      SELECT vec_id FROM {prev}
+      UNION
+      SELECT g.dst AS vec_id FROM {prev} b JOIN graph g ON g.src = b.vec_id
+    ), beam{t} AS (
+      SELECT vec_id FROM (
+        SELECT c.vec_id,
+               ROW_NUMBER() OVER (ORDER BY s.score DESC, c.vec_id ASC) AS rn
+        FROM cand{t} c JOIN s ON s.vec_id = c.vec_id) t{t}
+      WHERE rn <= {_G_B}
+    )"""
+        )
+        prev = f"beam{t}"
+    rounds_sql = ",\n    ".join(rounds)
+    return f"""
+    WITH e AS ({_E_NORMED}),
+    q AS (SELECT embedding AS qv, nrm AS qn FROM e WHERE vec_id = 0),
+    s AS (
+      SELECT e.vec_id, {qscore} AS score FROM e, q WHERE e.vec_id <> 0
+    ),
+    pairs AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst, {sim} AS sim
+      FROM e a, e b
+      WHERE a.vec_id <> b.vec_id AND a.vec_id <> 0 AND b.vec_id <> 0
+    ),
+    graph AS (
+      SELECT src, dst FROM (
+        SELECT src, dst,
+               ROW_NUMBER() OVER (PARTITION BY src
+                                  ORDER BY sim DESC, dst ASC) AS rn
+        FROM pairs) p
+      WHERE rn <= {_G_M}
+    ),
+    nmax AS (SELECT MAX(vec_id) AS n FROM s),
+    beam0 AS (
+      SELECT DISTINCT CAST(1 + (i * (n - 1)) // {_G_E} AS BIGINT) AS vec_id
+      FROM nmax, generate_series(0, {_G_E - 1}) AS g(i)
+    ),
+    {rounds_sql}
+    SELECT * FROM (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY s.score DESC, b.vec_id ASC)
+                  AS INT) AS rank,
+             b.vec_id AS neighbor_id,
+             s.score AS score
+      FROM {prev} b JOIN s ON s.vec_id = b.vec_id) fin
+    WHERE rank <= {_G_K}
+    """
+
+
+@register(
+    "ann_graph_portable",
+    oracle=_graph_oracle(),
+    tags=("vector", "ann", "graph", "portable-twin"),
+)
+def ann_graph_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph ANN — the ladder's top rung (SRP-LSH → IVF → PQ → IVF-PQ
+    → IVF-SQ → GRAPH): a frozen M-NN neighbor graph (out-degree 8,
+    exact cosine top-M adjacency, the deterministic stand-in for an
+    NSW build) walked by round-synchronous greedy beam search (beam
+    24, 6 rounds, 4 entry nodes spread across the id range — the
+    flat-graph substitute for HNSW's upper layers) answering top-10
+    for query vector 0. The frozen-artifact trick's third
+    application: the graph is DATA, the walk is PLAN — each round one
+    bounded equi-join (beam × adjacency) plus a top-B cut — so the
+    candidate set AND its order are externally hash-checked through
+    the full build+walk, which no trained HNSW index can be.
+    Measured recall@10 vs exact cosine: 0.8-0.9 at every SF (the
+    recall report row below), against the untrained quantizer rungs'
+    0.1-0.5 floors. Beam/round/degree/entry semantics are fuzzed
+    against a pure-Python referee (tests/test_similarity.py).
+
+    Scale: the quadratic exact build is the TEST-SF artifact only —
+    at corpus scale the same (src, dst) table comes from NN-descent
+    or the package's LSH/IVF candidate machinery, stored
+    bucketed/sorted by src (operators/graph_ann.py module doc); the
+    WALK — the serving path — touches |beam|·M adjacency rows and
+    |frontier| vector fetches per round, never a corpus scan under a
+    sorted layout, and the O(B)-row beam is eagerly checkpointed per
+    round so the iterative plan does not nest.
+
+    Reference parity: src/api.py:10-84 serves retrieval through
+    chromadb's HNSW — this is that serving path as Spark plans."""
+    from rag_lakehouse_spark.operators.graph_ann import beam_search, knn_graph
+
+    e = _normed(load_table(spark, sf_dir, "embeddings"))
+    corpus = e.filter(F.col("vec_id") != 0)
+    # the frozen index artifact: built once, checkpointed (never
+    # re-planned per round)
+    graph = knn_graph(corpus, m=_G_M).localCheckpoint(eager=True)
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv"), F.col("nrm").alias("qn")
+    )
+    scores = corpus.crossJoin(F.broadcast(q)).select(
+        "vec_id",
+        (
+            VEC.dot("embedding", "qv")
+            / (F.col("nrm") * F.col("qn") + F.lit(1e-24))
+        ).alias("score"),
+    )
+    entries = (
+        corpus.agg(F.max("vec_id").alias("n"))
+        .crossJoin(spark.range(_G_E).withColumnRenamed("id", "i"))
+        .select(F.expr(f"1 + (i * (n - 1)) DIV {_G_E}").alias("vec_id"))
+    )
+    walked = beam_search(
+        graph, scores, entries, beam_width=_G_B, rounds=_G_T
+    )
+    return walked.filter(F.col("rank") <= _G_K).select(
+        "rank", F.col("vec_id").alias("neighbor_id"), "score"
+    )
+
+
 def _recall_oracle() -> str:
     cos, l2 = _exact_sets_sql()
     return f"""
@@ -2002,6 +2140,8 @@ def _recall_oracle() -> str:
       SELECT 'ivf_frozen', neighbor_id FROM ({_ivf_oracle()}) ivfm
       UNION ALL
       SELECT 'ivf_pq_frozen', neighbor_id FROM ({_ivfpq_oracle()}) ivfpqm
+      UNION ALL
+      SELECT 'graph_frozen', neighbor_id FROM ({_graph_oracle()}) gm
     )
     SELECT method,
            CAST(COUNT(*) AS BIGINT) AS n_returned,
@@ -2040,13 +2180,20 @@ def ann_portable_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     the metric mismatch a deployment must mind when reranking
     compressed candidates by cosine.
 
+    r12: the graph rung joins the report — unlike the quantizer rungs
+    its frozen build is an EXACT M-NN graph (only the walk
+    approximates), so its recall reads directly as beam-search loss:
+    high recall here with the untrained quantizers at their floors is
+    the expected signature.
+
     Scale: each rung's plan is its registered twin's (map-only
     encode, 1-row broadcast LUTs, probe-pruned scans); the report
-    itself joins four 10-row sets."""
+    itself joins five 10-row sets."""
     methods = [
         ("pq_frozen", ann_pq_portable),
         ("ivf_frozen", knn_ivf_portable),
         ("ivf_pq_frozen", ann_ivf_pq_portable),
+        ("graph_frozen", ann_graph_portable),
     ]
     m = None
     for name, fn in methods:

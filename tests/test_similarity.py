@@ -87,3 +87,129 @@ def test_ivf_with_trained_centroids_finds_self(emb, queries):
     # which learned cell it was assigned to
     assert all(r.neighbor_id == r.query_id for r in top)
     assert all(r.score == pytest.approx(1.0, abs=1e-9) for r in top)
+
+
+# --- r12: graph ANN (frozen M-NN graph + beam walk) ---
+
+
+def test_beam_search_matches_python_referee_fuzz(spark):
+    """The Spark iterative-bounded-join walk must equal the pure-Python
+    referee on hypothesis-chosen graphs, entry sets, beam widths, and
+    round counts — including tie scores (total order (score DESC,
+    vec_id ASC)), dangling entries, and duplicate entries."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from rag_lakehouse_spark.operators.graph_ann import (
+        beam_search,
+        beam_search_py,
+    )
+
+    @settings(max_examples=6, deadline=None)
+    @given(data=st.data())
+    def check(data):
+        n = data.draw(st.integers(min_value=3, max_value=24), label="n")
+        nodes = list(range(1, n + 1))
+        # coarse score grid → frequent ties, exercising the tiebreak
+        scores = {
+            i: data.draw(
+                st.integers(min_value=-3, max_value=3), label=f"s{i}"
+            )
+            / 4.0
+            for i in nodes
+        }
+        adj = {
+            i: data.draw(
+                st.lists(
+                    st.sampled_from([j for j in nodes if j != i]),
+                    max_size=4,
+                    unique=True,
+                ),
+                label=f"adj{i}",
+            )
+            for i in nodes
+        }
+        entries = data.draw(
+            st.lists(st.sampled_from(nodes), min_size=1, max_size=4),
+            label="entries",
+        )
+        beam_width = data.draw(st.integers(min_value=1, max_value=8), label="B")
+        rounds = data.draw(st.integers(min_value=1, max_value=4), label="T")
+
+        want = beam_search_py(adj, scores, entries, beam_width, rounds)
+
+        edges = [(s, d) for s, ds in adj.items() for d in ds]
+        graph_df = spark.createDataFrame(
+            edges or [(0, 0)], "src bigint, dst bigint"
+        )
+        if not edges:
+            graph_df = graph_df.filter(F.lit(False))
+        scores_df = spark.createDataFrame(
+            [(k, float(v)) for k, v in scores.items()],
+            "vec_id bigint, score double",
+        )
+        entries_df = spark.createDataFrame(
+            [(e,) for e in entries], "vec_id bigint"
+        )
+        rows = beam_search(
+            graph_df, scores_df, entries_df, beam_width, rounds
+        ).collect()
+        got = sorted((r.rank, r.vec_id, r.score) for r in rows)
+        assert got == [(rk, nid, float(s)) for rk, nid, s in want]
+
+    check()
+
+
+def test_beam_search_is_monotone_and_bounded():
+    """Referee-level properties at fuzz scale (no Spark): the best
+    beam score never worsens round over round, the beam never exceeds
+    its width, and more rounds never return a worse top-1."""
+    import random
+
+    from rag_lakehouse_spark.operators.graph_ann import beam_search_py
+
+    rng = random.Random(42)
+    for _ in range(50):
+        n = rng.randint(4, 40)
+        nodes = list(range(1, n + 1))
+        scores = {i: rng.uniform(-1, 1) for i in nodes}
+        adj = {
+            i: rng.sample(
+                [j for j in nodes if j != i], k=rng.randint(0, min(6, n - 1))
+            )
+            for i in nodes
+        }
+        entries = rng.sample(nodes, k=rng.randint(1, 3))
+        width = rng.randint(1, 10)
+        prev_best = None
+        for t in range(1, 5):
+            beam = beam_search_py(adj, scores, entries, width, t)
+            assert len(beam) <= width
+            assert [r for r, _, _ in beam] == list(range(1, len(beam) + 1))
+            best = beam[0][2]
+            if prev_best is not None:
+                assert best >= prev_best - 1e-12
+            prev_best = best
+
+
+def test_knn_graph_degree_and_symmetry_free(spark, emb):
+    """The frozen adjacency: exactly min(m, n-1) out-edges per node,
+    no self-loops, and the neighbor of a PLANTED duplicate vector is
+    that duplicate (sim 1 sorts first)."""
+    from rag_lakehouse_spark.operators.graph_ann import knn_graph
+    from rag_lakehouse_spark.plans.vector_queries import _normed
+
+    base = _normed(emb.filter(F.col("vec_id") < 40))
+    g = knn_graph(base, m=5)
+    deg = g.groupBy("src").count().collect()
+    assert all(r["count"] == 5 for r in deg)
+    assert len(deg) == 40
+    assert g.filter(F.col("src") == F.col("dst")).count() == 0
+    # plant an exact duplicate of vec 3 as id 1000: its top neighbor
+    # must be 3 (cosine 1), and vice versa
+    dup = base.filter(F.col("vec_id") == 3).withColumn(
+        "vec_id", F.lit(1000).cast("bigint")
+    )
+    g2 = knn_graph(base.unionByName(dup), m=1)
+    top = {r.src: r.dst for r in g2.collect()}
+    assert top[1000] == 3 and top[3] == 1000
