@@ -70,6 +70,7 @@ _PRIORITY: tuple[str, ...] = (
     # ann_portable_recall_report gained the graph rung row) --
     "media_png_pixels",
     "ann_graph_portable",
+    "rag_eval_fused",
     "ann_portable_recall_report",
     "events_hll_incremental",
     # -- r12 part (b): the 16 r6-vintage rows displaced from the r11

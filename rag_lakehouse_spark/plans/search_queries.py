@@ -868,6 +868,110 @@ def _eval_metrics(hits: DataFrame, nrel: DataFrame) -> DataFrame:
     )
 
 
+# Graded-relevance extension of the shared tail (r12, VERDICT r11 #7):
+# relevance levels g ∈ {1, 2} with the standard graded gain 2^g - 1
+# (→ weights 1 and 3, exact small integers, so the per-hit product
+# w·discount is ONE correctly-rounded multiply in both engines), DCG
+# folded over rank-sorted (rank, rel) hits left-to-right, and IDCG
+# composed from the SAME literal prefix-sum array: ideal ordering puts
+# all level-2 docs first, so
+#   IDCG = 3·P[min(c2,10)] + (P[min(c2+c1,10)] - P[min(c2,10)])
+# with P the literal _NDCG_IDEAL prefix sums — no transcendental at
+# query time, same as the binary tail.
+_EVAL_METRICS_GRADED_SQL = f"""agg AS (
+      SELECT query_id,
+             CAST(MIN(rank) AS INT) AS first_rel_rank,
+             CAST(COUNT(*) AS BIGINT) AS n_hit,
+             list_reduce(
+               list_prepend(0e0, list_transform(
+                 list_sort(array_agg([rank, rel])),
+                 p -> (CASE WHEN p[2] = 2 THEN 3e0 ELSE 1e0 END)
+                        * ({_GAIN_SQL})[p[1]])),
+               (a, x) -> a + x) AS dcg
+      FROM hits GROUP BY query_id
+    ), idcg AS (
+      SELECT query_id,
+             (CASE WHEN least(n_rel2, 10) > 0
+                   THEN 3e0 * ({_IDEAL_SQL})[CAST(least(n_rel2, 10) AS INT)]
+                   ELSE 0e0 END)
+             + (CASE WHEN least(n_rel2 + n_rel1, 10) > 0
+                     THEN ({_IDEAL_SQL})[CAST(least(n_rel2 + n_rel1, 10) AS INT)]
+                     ELSE 0e0 END)
+             - (CASE WHEN least(n_rel2, 10) > 0
+                     THEN ({_IDEAL_SQL})[CAST(least(n_rel2, 10) AS INT)]
+                     ELSE 0e0 END) AS ideal
+      FROM nrel
+    )
+    SELECT n.query_id, a.first_rel_rank,
+           coalesce(1.0 / a.first_rel_rank, 0.0) AS rr,
+           n.n_rel1, n.n_rel2,
+           CAST(coalesce(a.n_hit, 0) AS BIGINT) AS n_hit,
+           coalesce(CAST(a.n_hit AS DOUBLE) / nullif(n.n_rel1 + n.n_rel2, 0),
+                    0.0) AS recall_at_10,
+           CASE WHEN i.ideal > 0 THEN coalesce(a.dcg / i.ideal, 0.0)
+                ELSE 0.0 END AS ndcg_graded_at_10
+    FROM nrel n
+    JOIN idcg i USING (query_id)
+    LEFT JOIN agg a USING (query_id)"""
+
+
+def _eval_metrics_graded(hits: DataFrame, nrel: DataFrame) -> DataFrame:
+    """Spark twin of ``_EVAL_METRICS_GRADED_SQL``: ``hits`` =
+    (query_id, rank, rel∈{1,2}) judged top-10 rows, ``nrel`` =
+    (query_id, n_rel1, n_rel2) graded relevant-set sizes."""
+    gain = F.array(*[F.lit(g) for g in _NDCG_GAIN])
+    ideal = F.array(*[F.lit(x) for x in _NDCG_IDEAL])
+
+    def prefix(c):  # P[min(c,10)], with P[0] = 0
+        cc = F.least(c, F.lit(10)).cast("int")
+        return F.when(cc > 0, F.element_at(ideal, cc)).otherwise(F.lit(0.0))
+
+    agg = hits.groupBy("query_id").agg(
+        F.min("rank").cast("int").alias("first_rel_rank"),
+        F.count(F.lit(1)).cast("bigint").alias("n_hit"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("rank", "rel"))),
+            F.lit(0.0),
+            lambda a, s: a
+            + F.when(s["rel"] == 2, F.lit(3.0)).otherwise(F.lit(1.0))
+            * F.element_at(gain, s["rank"]),
+        ).alias("dcg"),
+    )
+    idcg = nrel.select(
+        "query_id",
+        (
+            F.lit(3.0) * prefix(F.col("n_rel2"))
+            + prefix(F.col("n_rel2") + F.col("n_rel1"))
+            - prefix(F.col("n_rel2"))
+        ).alias("ideal"),
+    )
+    return (
+        nrel.join(idcg, "query_id")
+        .join(agg, "query_id", "left")
+        .select(
+            "query_id",
+            "first_rel_rank",
+            F.coalesce(F.lit(1.0) / F.col("first_rel_rank"), F.lit(0.0)).alias(
+                "rr"
+            ),
+            "n_rel1",
+            "n_rel2",
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("bigint").alias("n_hit"),
+            F.coalesce(
+                F.col("n_hit").cast("double")
+                / F.nullif(F.col("n_rel1") + F.col("n_rel2"), F.lit(0)),
+                F.lit(0.0),
+            ).alias("recall_at_10"),
+            F.when(
+                F.col("ideal") > 0,
+                F.coalesce(F.col("dcg") / F.col("ideal"), F.lit(0.0)),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("ndcg_graded_at_10"),
+        )
+    )
+
+
 from rag_lakehouse_spark.plans.embed_common import (  # noqa: E402
     CHUNK_EMB_CTES as _EMBED_CTES,
     chunked_embeddings as _chunked_embeddings,
@@ -1190,3 +1294,275 @@ def rag_eval_bm25_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         return result.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+# --- fused retrieval evaluation (r12, VERDICT r11 #7) ---
+
+_EVAL_FUSED_ORACLE = f"""
+    WITH lens AS (SELECT doc_id, len({_DUCK_TOKS}) AS dl FROM documents),
+    qtf AS (
+      SELECT doc_id AS query_id, term, COUNT(*) AS tf FROM (
+        SELECT doc_id, unnest({_DUCK_TOKS}) AS term FROM documents
+        WHERE doc_id < {N_EVAL_QUERIES})
+      WHERE term <> '' GROUP BY query_id, term
+    ),
+    qterms AS (
+      SELECT query_id, term FROM qtf
+      QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY tf DESC, term) <= {N_EVAL_QUERY_TERMS}
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM (
+        SELECT doc_id, unnest({_DUCK_TOKS}) AS term FROM documents)
+      WHERE term <> '' AND term IN (SELECT DISTINCT term FROM qterms)
+      GROUP BY doc_id, term
+    ),
+    stats AS (
+      SELECT COUNT(*) AS n_docs,
+             CAST(CAST(SUM(dl) AS BIGINT) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM lens
+    ),
+    idf AS (
+      SELECT term,
+             round(ln(1e0 + (n_docs - df + 5e-1) / (df + 5e-1)), 9) AS idf
+      FROM (SELECT term, COUNT(*) AS df FROM tf GROUP BY term), stats
+    ),
+    contrib AS (
+      SELECT t.doc_id, t.term,
+             idf.idf * (t.tf * {K1 + 1.0!r}e0)
+               / (t.tf + {K1!r}e0 * ({1.0 - B!r}e0 + {B!r}e0 * l.dl / s.avgdl)) AS contrib
+      FROM tf t JOIN lens l ON l.doc_id = t.doc_id
+      JOIN idf ON idf.term = t.term, stats s
+    ),
+    scores AS (
+      SELECT q.query_id, c.doc_id,
+             list_reduce(list_prepend(0e0, array_agg(c.contrib ORDER BY c.term)),
+                         (a, b) -> a + b) AS score
+      FROM contrib c JOIN qterms q ON q.term = c.term
+      GROUP BY q.query_id, c.doc_id
+    ),
+    lex AS (
+      SELECT query_id, doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY score DESC, doc_id) AS lex_rank
+      FROM scores QUALIFY lex_rank <= 20
+    ),
+    e AS (SELECT vec_id, embedding,
+                 sqrt({VEC.duckdb_dot("embedding", "embedding")}) AS nrm
+          FROM embeddings),
+    vq AS (SELECT vec_id AS query_id, embedding AS qv, nrm AS qn
+           FROM e WHERE vec_id < {N_EVAL_QUERIES}),
+    vec AS (
+      SELECT query_id, doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY vscore DESC, doc_id) AS vec_rank
+      FROM (
+        SELECT q.query_id, b.vec_id AS doc_id,
+               {VEC.duckdb_dot("b.embedding", "q.qv")}
+                 / (b.nrm * q.qn + 1e-24) AS vscore
+        FROM e b, vq q) sc
+      QUALIFY vec_rank <= 20
+    ),
+    fusedall AS (
+      SELECT COALESCE(l.query_id, v.query_id) AS query_id,
+             COALESCE(l.doc_id, v.doc_id) AS doc_id,
+             (COALESCE(1e0 / ({RRF_K} + l.lex_rank), 0e0)
+              + COALESCE(1e0 / ({RRF_K} + v.vec_rank), 0e0)) AS rrf_score
+      FROM lex l FULL OUTER JOIN vec v
+        ON l.query_id = v.query_id AND l.doc_id = v.doc_id
+    ),
+    fused AS (
+      SELECT query_id, doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY rrf_score DESC, doc_id) AS rank
+      FROM fusedall QUALIFY rank <= 10
+    ),
+    qsrc AS (
+      SELECT doc_id AS query_id, source AS q_source FROM documents
+      WHERE doc_id < {N_EVAL_QUERIES}
+    ),
+    judged AS (
+      SELECT f.query_id, f.rank,
+             CASE WHEN f.doc_id = f.query_id THEN 2
+                  WHEN d.source = q.q_source THEN 1
+                  ELSE 0 END AS rel
+      FROM fused f
+      JOIN documents d ON d.doc_id = f.doc_id
+      JOIN qsrc q ON q.query_id = f.query_id
+    ),
+    hits AS (SELECT query_id, rank, rel FROM judged WHERE rel >= 1),
+    nrel AS (
+      SELECT q.query_id,
+             CAST(SUM(CASE WHEN d.doc_id <> q.query_id
+                            AND d.source = q.q_source
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_rel1,
+             CAST(SUM(CASE WHEN d.doc_id = q.query_id
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_rel2
+      FROM documents d, qsrc q GROUP BY q.query_id
+    ),
+    {_EVAL_METRICS_GRADED_SQL}
+    """
+
+
+@register(
+    "rag_eval_fused",
+    oracle=_EVAL_FUSED_ORACLE,
+    tags=("rag", "evaluation", "hybrid", "rrf", "graded"),
+)
+def rag_eval_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUSED retrieval evaluation with GRADED relevance — the third
+    rung of the evaluation ladder (dense ``rag_eval_retrieval``,
+    lexical ``rag_eval_bm25``, fused here), covering the full modern
+    retrieval stack under one oracle-checked metric family. Per query
+    (the first 5 documents): the lexical run is the exact
+    ``rag_eval_bm25`` scoring (5 top-tf query terms, term-sorted
+    contribution fold) ranked top-20; the dense run is cosine of the
+    query's OWN embedding against the embeddings table top-20 (the
+    ``rag_hybrid_rrf`` doc_id ↔ vec_id projection); the two rank
+    lists fuse by reciprocal rank fusion (1/(60+rank), absent list →
+    0 — integer rank arithmetic, so fusion adds no rounding
+    precedent) and the fused top-10 is judged on a THREE-level scale:
+    rel 2 = the query document itself, rel 1 = same source, 0
+    otherwise. Metrics come from the graded tail
+    (``_eval_metrics_graded`` / ``_EVAL_METRICS_GRADED_SQL``): MRR
+    and recall over rel ≥ 1, and graded NDCG@10 with gain 2^rel - 1
+    folded rank-sorted over the shared literal discount LUT, IDCG
+    composed from the literal prefix-sum array (level-2 docs first) —
+    no transcendental at query time; the graded tail is fuzzed
+    against a pure-Python referee (tests/test_plans.py).
+
+    Scale: the lexical side is ``rag_eval_bm25``'s bounded plan
+    (broadcast ≤25-term semi-join); the dense side broadcasts 5 query
+    vectors and top-20-prunes per query (WindowGroupLimit); fusion
+    joins two ≤100-row lists; judgement and nrel are conditional
+    aggregates over one docs×5 broadcast pass; the metric tail
+    touches ≤10 rows per query. A real judgment set swaps the graded
+    CASE for a qrels join — plans unchanged.
+
+    Reference parity: the reference retrieves dense-only
+    (src/api.py:40-84); fusion + graded eval is training-data-
+    pipeline surface beyond it."""
+    docs = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings").withColumn(
+        "nrm", VEC.l2_norm("embedding")
+    )
+
+    # lexical per-query top-20 (the rag_eval_bm25 scoring, wider cut)
+    qtf = (
+        docs.filter(F.col("doc_id") < N_EVAL_QUERIES)
+        .select(
+            F.col("doc_id").alias("query_id"), F.explode(_toks()).alias("term")
+        )
+        .filter(F.col("term") != "")
+        .groupBy("query_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    wq = W.partitionBy("query_id").orderBy(F.desc("tf"), F.asc("term"))
+    qterms = (
+        qtf.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= N_EVAL_QUERY_TERMS)
+        .select("query_id", "term")
+    )
+    corpus_tf = (
+        docs.select("doc_id", F.explode(_toks()).alias("term"))
+        .filter(F.col("term") != "")
+        .join(F.broadcast(qterms.select("term").distinct()), "term")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    lens = docs.select("doc_id", F.size(_toks()).alias("dl"))
+    contrib = _bm25_contribs_from_stats(corpus_tf, lens)
+    scores = (
+        contrib.join(F.broadcast(qterms), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(_term_sorted_score_fold().alias("score"))
+    )
+    wl = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    lex = (
+        scores.withColumn("lex_rank", F.row_number().over(wl))
+        .filter(F.col("lex_rank") <= 20)
+        .select("query_id", "doc_id", "lex_rank")
+    )
+
+    # dense per-query top-20
+    vq = e.filter(F.col("vec_id") < N_EVAL_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    wv = W.partitionBy("query_id").orderBy(F.desc("vscore"), F.asc("doc_id"))
+    vec = (
+        e.crossJoin(F.broadcast(vq))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("doc_id"),
+            (
+                VEC.dot("embedding", "qv")
+                / (F.col("nrm") * F.col("qn") + F.lit(1e-24))
+            ).alias("vscore"),
+        )
+        .withColumn("vec_rank", F.row_number().over(wv))
+        .filter(F.col("vec_rank") <= 20)
+        .select("query_id", "doc_id", "vec_rank")
+    )
+
+    fusedall = lex.join(vec, ["query_id", "doc_id"], "full_outer").select(
+        "query_id",
+        "doc_id",
+        (
+            F.coalesce(
+                F.lit(1.0) / (F.lit(RRF_K) + F.col("lex_rank")), F.lit(0.0)
+            )
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(RRF_K) + F.col("vec_rank")), F.lit(0.0)
+            )
+        ).alias("rrf_score"),
+    )
+    wf = W.partitionBy("query_id").orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+    fused = (
+        fusedall.withColumn("rank", F.row_number().over(wf))
+        .filter(F.col("rank") <= 10)
+    )
+
+    qsrc = (
+        docs.filter(F.col("doc_id") < N_EVAL_QUERIES)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.col("source").alias("q_source"),
+        )
+    )
+    judged = (
+        fused.join(docs.select("doc_id", "source"), "doc_id")
+        .join(F.broadcast(qsrc), "query_id")
+        .select(
+            "query_id",
+            "rank",
+            F.when(F.col("doc_id") == F.col("query_id"), F.lit(2))
+            .when(F.col("source") == F.col("q_source"), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("rel"),
+        )
+    )
+    hits = judged.filter(F.col("rel") >= 1).select("query_id", "rank", "rel")
+    nrel = (
+        docs.select("doc_id", "source")
+        .crossJoin(F.broadcast(qsrc))
+        .groupBy("query_id")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("doc_id") != F.col("query_id"))
+                    & (F.col("source") == F.col("q_source")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_rel1"),
+            F.sum(
+                F.when(F.col("doc_id") == F.col("query_id"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_rel2"),
+        )
+    )
+    return _eval_metrics_graded(hits, nrel)

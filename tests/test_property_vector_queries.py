@@ -88,6 +88,12 @@ QUERIES = [
     # (the code-0 guard), and exact-quarter components put values
     # exactly ON code boundaries — floor + least(255) must agree
     "embedding_sq_int8_report",
+    # r12 graph ANN: duplicate vectors force cosine ties in BOTH the
+    # M-NN adjacency build (sim DESC, dst ASC) and the per-round beam
+    # cuts (score DESC, vec_id ASC); zero vectors hit the 1e-24 norm
+    # guard inside graph edges; ≥22 rows keep the 4 spread entries
+    # distinct-ish and the 6-round walk non-degenerate
+    "ann_graph_portable",
 ]
 
 
@@ -467,4 +473,61 @@ def test_ann_ivf_sq_portable_ties_on_constructed_vectors(spark, tmp_path):
     problems = compare(
         "ann_ivf_sq_portable", q.fn(spark, sf_dir), con, q.oracle
     )
+    assert not problems, problems
+
+
+# r12: fused retrieval eval joins documents AND embeddings — its own
+# dual-table fuzz (the shared _run writes embeddings only). Generated
+# duplicate vectors tie the dense ranks, duplicate/NULL texts tie or
+# empty the lexical ranks, NULL sources empty a query's rel-1 set
+# (rel-2 self-retrieval must still score), and tiny corpora make the
+# fused top-10 mostly judged-irrelevant — the graded tail's coalesce
+# paths fire on both engines.
+_fz_words = ["aa", "bb", "cc", "vector", "merge", "日本", "aa bb"]
+_fz_doc = st.one_of(
+    st.none(),
+    st.lists(st.sampled_from(_fz_words), max_size=6).map(" ".join),
+)
+
+
+@settings(**_SETTINGS)
+@given(rows=_rows, docs=st.lists(_fz_doc, min_size=5, max_size=12))
+def test_rag_eval_fused_matches_oracle_on_generated_inputs(
+    spark, tmp_path, rows, docs
+):
+    sf_dir = str(tmp_path)
+    data = []
+    for i, (vec, label) in enumerate(rows):
+        if i % 3 == 0 and i > 0:
+            vec = data[i - 1][1]
+        data.append((i, vec, label))
+    spark.createDataFrame(
+        data, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(sf_dir, "embeddings.parquet")
+    )
+    doc_rows = [
+        (
+            i,
+            t,
+            "en",
+            None if i % 5 == 4 else f"src{i % 2}",
+            len(t) if t else 0,
+        )
+        for i, t in enumerate(docs)
+    ]
+    spark.createDataFrame(
+        doc_rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    )
+    con = duckdb.connect()
+    for t in ("embeddings", "documents"):
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS "
+            f"SELECT * FROM '{sf_dir}/{t}.parquet/*.parquet'"
+        )
+    q = registry.QUERIES["rag_eval_fused"]
+    problems = compare("rag_eval_fused", q.fn(spark, sf_dir), con, q.oracle)
     assert not problems, problems
