@@ -722,6 +722,151 @@ def synth_media_bytes(
     raise ValueError(f"unknown media kind: {kind}")
 
 
+def synth_jpeg_bytes(
+    width: int,
+    height: int,
+    n_components: int = 3,
+    progressive: bool = False,
+    jfif_minor: int = 1,
+    has_exif: bool = False,
+    entropy: bytes = b"",
+) -> bytes:
+    """Deterministic format-valid JFIF/JPEG bytes, pure stdlib — the
+    fifth REAL container (after PNG/BMP/GIF/WAV): SOI, APP0 (JFIF
+    1.minor, aspect-ratio units), optional APP1 (Exif header), a dummy
+    DQT, SOF0 (baseline) or SOF2 (progressive) carrying precision 8 +
+    dims + per-component specs, a dummy DHT, SOS followed by the
+    entropy-coded payload with REAL FF→FF00 byte stuffing, EOI. The
+    walker (``_walk_jpeg``) re-parses everything from bytes alone —
+    including UN-stuffing the entropy run — so a synth→walk round trip
+    checks marker framing, segment lengths, and the stuffing rule on
+    both sides. (Real pixel decode needs a DCT/Huffman codec — the
+    documented PIL/turbojpeg seam; marker-level metadata is what
+    corpus triage actually reads.)"""
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    if not 1 <= n_components <= 4:
+        raise ValueError("n_components must be 1..4")
+    out = [b"\xff\xd8"]  # SOI
+    out.append(
+        seg(0xE0, b"JFIF\x00" + bytes([1, jfif_minor, 0]) + struct.pack(">HH", 1, 1) + b"\x00\x00")
+    )
+    if has_exif:
+        out.append(seg(0xE1, b"Exif\x00\x00" + b"II*\x00"))
+    out.append(seg(0xDB, b"\x00" + bytes(64)))  # dummy quant table
+    sof_body = (
+        b"\x08"
+        + struct.pack(">HH", height, width)
+        + bytes([n_components])
+        + b"".join(bytes([c + 1, 0x11, 0]) for c in range(n_components))
+    )
+    out.append(seg(0xC2 if progressive else 0xC0, sof_body))
+    out.append(seg(0xC4, b"\x00" + bytes(16) + b"\x00"))  # dummy DHT
+    sos_body = bytes([n_components]) + b"".join(
+        bytes([c + 1, 0]) for c in range(n_components)
+    ) + b"\x00\x3f\x00"
+    out.append(seg(0xDA, sos_body))
+    stuffed = bytearray()
+    for b in entropy:
+        stuffed.append(b)
+        if b == 0xFF:
+            stuffed.append(0x00)  # byte stuffing
+    out.append(bytes(stuffed))
+    out.append(b"\xff\xd9")  # EOI
+    return b"".join(out)
+
+
+def _walk_jpeg(
+    content: bytes,
+) -> tuple[int, int, int, bool, int, int, bool, int, int]:
+    """(width, height, n_components, progressive, jfif_major,
+    jfif_minor, has_exif, n_entropy_bytes, n_segments) from a JPEG
+    stream's marker structure — parsed FROM BYTES ALONE: walk the
+    FF-marker segments (big-endian lengths INCLUDING their own two
+    bytes), read dims from the first SOFn, JFIF version from APP0,
+    Exif presence from APP1, then count the entropy-coded bytes after
+    SOS with FF00 byte-stuffing UN-counted and RSTn markers skipped,
+    until EOI. Malformed streams — missing SOI/EOI, truncated
+    segments, a bare FF-marker inside the entropy run that is neither
+    stuffing nor RSTn nor EOI — raise NotImplementedError per the
+    media-decoder contract."""
+    if content[:2] != b"\xff\xd8":
+        raise NotImplementedError("not a JPEG stream (no SOI)")
+    pos = 2
+    w = h = ncomp = None
+    progressive = False
+    jfif_major = jfif_minor = 0
+    has_exif = False
+    n_segments = 0
+    n_entropy = 0
+    while True:
+        if pos + 2 > len(content):
+            raise NotImplementedError("JPEG truncated before EOI")
+        if content[pos] != 0xFF:
+            raise NotImplementedError("expected marker, got data byte")
+        marker = content[pos + 1]
+        if marker == 0xD9:  # EOI
+            if w is None:
+                raise NotImplementedError("JPEG missing SOF dims")
+            return (
+                int(w),
+                int(h),
+                int(ncomp),
+                progressive,
+                jfif_major,
+                jfif_minor,
+                has_exif,
+                n_entropy,
+                n_segments,
+            )
+        if marker == 0xFF:  # fill byte
+            pos += 1
+            continue
+        if pos + 4 > len(content):
+            raise NotImplementedError("truncated JPEG segment header")
+        (length,) = struct.unpack(">H", content[pos + 2 : pos + 4])
+        if length < 2 or pos + 2 + length > len(content):
+            raise NotImplementedError("JPEG segment length out of bounds")
+        body = content[pos + 4 : pos + 2 + length]
+        n_segments += 1
+        if marker == 0xE0 and body[:5] == b"JFIF\x00":
+            jfif_major, jfif_minor = body[5], body[6]
+        elif marker == 0xE1 and body[:6] == b"Exif\x00\x00":
+            has_exif = True
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3) or (
+            0xC5 <= marker <= 0xCF and marker not in (0xC8, 0xCC)
+        ):
+            h, w = struct.unpack(">HH", body[1:5])
+            ncomp = body[5]
+            progressive = marker in (0xC2, 0xC6, 0xCA, 0xCE)
+        pos += 2 + length
+        if marker == 0xDA:  # SOS: entropy-coded run follows
+            while True:
+                if pos >= len(content):
+                    raise NotImplementedError("entropy run truncated")
+                b = content[pos]
+                if b != 0xFF:
+                    n_entropy += 1
+                    pos += 1
+                    continue
+                if pos + 1 >= len(content):
+                    raise NotImplementedError("entropy run truncated at FF")
+                nxt = content[pos + 1]
+                if nxt == 0x00:  # stuffed FF data byte
+                    n_entropy += 1
+                    pos += 2
+                elif 0xD0 <= nxt <= 0xD7:  # RSTn — marker, not data
+                    pos += 2
+                elif nxt == 0xD9:  # EOI terminates the run
+                    break
+                else:
+                    raise NotImplementedError(
+                        "unexpected marker inside entropy run"
+                    )
+
+
 def _walk_gif_frames(
     content: bytes,
 ) -> list[tuple[int, int, int, int, int, int, int]]:

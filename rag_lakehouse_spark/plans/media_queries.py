@@ -824,3 +824,114 @@ def media_png_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_pixel_features(
         media, decode_fn=_decode_png_pixels, channel_order="rgb"
     )
+
+
+@register(
+    "media_jpeg_metadata",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(16 + doc_id % 32 AS INT) AS width,
+           CAST(8 + doc_id % 16 AS INT) AS height,
+           CAST(1 + doc_id % 3 AS INT) AS n_components,
+           (doc_id % 2 = 1) AS progressive,
+           CAST(1 AS INT) AS jfif_major,
+           CAST(doc_id % 3 AS INT) AS jfif_minor,
+           (doc_id % 3 = 0) AS has_exif,
+           CAST(10 + doc_id % 50 AS INT) AS n_entropy_bytes,
+           CAST(5 + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS INT)
+             AS n_segments
+    FROM documents WHERE doc_id % 4 = 3
+    """,
+    tags=("multimodal", "codec", "image", "pandas"),
+)
+def media_jpeg_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JPEG marker-level metadata — the FIFTH real container (after
+    PNG/BMP/GIF/WAV), and the one a corpus-triage pipeline meets most:
+    every jpeg-kind document synthesizes a format-valid JFIF stream
+    (SOI, APP0, optional Exif APP1, dummy DQT/DHT, SOF0 or SOF2, SOS +
+    entropy payload with REAL FF→FF00 byte stuffing, EOI) from closed
+    per-id formulas, and ``operators.multimodal._walk_jpeg`` re-parses
+    everything FROM BYTES ALONE: dims/components/progressive flag from
+    the first SOFn, JFIF version, Exif presence, segment count, and
+    the UN-stuffED entropy byte count (the stuffing rule is what every
+    naive FF-scanner gets wrong — entropy bytes ``(id*7+5k) % 256``
+    include real 0xFF values, so a walker that miscounts stuffing or
+    mistakes a stuffed byte for a marker breaks the hash). The oracle
+    recomputes every field from the formulas, so writer and walker are
+    checked against an external engine, not each other. Pixel decode
+    (DCT/Huffman) stays the documented PIL/turbojpeg seam — marker
+    metadata is the triage read.
+
+    Scale: map-only (parameter projection → synth+walk mapInPandas);
+    bytes never leave the executor.
+
+    Reference parity: beyond the text-only reference
+    (jobs/scraper.py) — training-data-pipeline multimodal surface."""
+    import pandas as pd
+
+    from rag_lakehouse_spark.operators.multimodal import (
+        _walk_jpeg,
+        synth_jpeg_bytes,
+    )
+
+    params = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 4 == 3)
+        .select(F.col("doc_id").alias("media_id"))
+    )
+
+    def build(batches):
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                mid = int(r.media_id)
+                n = 10 + mid % 50
+                ent = bytes((mid * 7 + 5 * k) % 256 for k in range(n))
+                j = synth_jpeg_bytes(
+                    width=16 + mid % 32,
+                    height=8 + mid % 16,
+                    n_components=1 + mid % 3,
+                    progressive=(mid % 2 == 1),
+                    jfif_minor=mid % 3,
+                    has_exif=(mid % 3 == 0),
+                    entropy=ent,
+                )
+                (
+                    w,
+                    h,
+                    nc,
+                    prog,
+                    jmaj,
+                    jmin,
+                    exif,
+                    n_ent,
+                    n_seg,
+                ) = _walk_jpeg(j)
+                out.append(
+                    (mid, w, h, nc, prog, jmaj, jmin, exif, n_ent, n_seg)
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id",
+                    "width",
+                    "height",
+                    "n_components",
+                    "progressive",
+                    "jfif_major",
+                    "jfif_minor",
+                    "has_exif",
+                    "n_entropy_bytes",
+                    "n_segments",
+                ],
+            )
+
+    schema = (
+        "media_id long, width int, height int, n_components int, "
+        "progressive boolean, jfif_major int, jfif_minor int, "
+        "has_exif boolean, n_entropy_bytes int, n_segments int"
+    )
+    fanned = params.repartition(
+        max(spark.sparkContext.defaultParallelism, 1)
+    )
+    return fanned.mapInPandas(build, schema)

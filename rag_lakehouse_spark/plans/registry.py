@@ -69,6 +69,7 @@ _PRIORITY: tuple[str, ...] = (
     # built; changed = events_hll_incremental now compacts mid-path,
     # ann_portable_recall_report gained the graph rung row) --
     "media_png_pixels",
+    "media_jpeg_metadata",
     "ann_graph_portable",
     "rag_eval_fused",
     "ann_portable_recall_report",

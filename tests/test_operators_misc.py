@@ -1025,3 +1025,72 @@ def test_png_pixel_decoder_rejects_malformed():
         _decode_png_pixels(synth_media_bytes("png", width=4, height=3))
     with _pytest.raises(NotImplementedError):
         _decode_png_pixels(synth_media_bytes("bmp", width=4, height=3))
+
+
+def test_jpeg_walk_round_trip_property():
+    """r12: hypothesis over the full JPEG synth parameter domain —
+    dims, component counts, progressive flag, JFIF minor, Exif
+    presence, and arbitrary entropy bytes (0xFF-dense streams stress
+    the byte-stuffing unstuff-count) must survive synth_jpeg_bytes ->
+    _walk_jpeg exactly."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from rag_lakehouse_spark.operators.multimodal import (
+        _walk_jpeg,
+        synth_jpeg_bytes,
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=0xFFFF),
+        h=st.integers(min_value=1, max_value=0xFFFF),
+        nc=st.integers(min_value=1, max_value=4),
+        prog=st.booleans(),
+        minor=st.integers(min_value=0, max_value=9),
+        exif=st.booleans(),
+        ent=st.one_of(
+            st.binary(max_size=120),
+            st.just(b"\xff" * 40),  # maximal stuffing density
+        ),
+    )
+    def check(w, h, nc, prog, minor, exif, ent):
+        j = synth_jpeg_bytes(w, h, nc, prog, minor, exif, ent)
+        assert _walk_jpeg(j) == (
+            w, h, nc, prog, 1, minor, exif, len(ent), 5 + exif,
+        )
+
+    check()
+
+
+def test_jpeg_walk_rejects_malformed():
+    """Missing SOI, truncation everywhere (segment header, segment
+    body, entropy run, before EOI), missing SOF, and a bare marker
+    inside the entropy run all raise per the contract."""
+    import pytest as _pytest
+
+    from rag_lakehouse_spark.operators.multimodal import (
+        _walk_jpeg,
+        synth_jpeg_bytes,
+    )
+
+    good = synth_jpeg_bytes(8, 4, 3, entropy=bytes(range(20)))
+    with _pytest.raises(NotImplementedError):
+        _walk_jpeg(b"")
+    with _pytest.raises(NotImplementedError):
+        _walk_jpeg(b"\x89PNG\r\n\x1a\n")
+    with _pytest.raises(NotImplementedError):
+        _walk_jpeg(good[:-2])  # truncated before EOI
+    for cut in (3, 5, 10, len(good) - 10):
+        with _pytest.raises(NotImplementedError):
+            _walk_jpeg(good[:cut])
+    # missing SOF: SOI + APP0 + EOI only
+    no_sof = good[:2] + good[2 : 2 + 2 + 16] + b"\xff\xd9"
+    with _pytest.raises(NotImplementedError):
+        _walk_jpeg(no_sof)
+    # bare non-RST marker inside the entropy run
+    bad = bytearray(good)
+    eoi = len(bad) - 2
+    bad[eoi - 5 : eoi - 3] = b"\xff\xc0"
+    with _pytest.raises(NotImplementedError):
+        _walk_jpeg(bytes(bad))

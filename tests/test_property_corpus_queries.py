@@ -258,6 +258,14 @@ _media_ids = st.lists(
         # a single mis-decoded code would shift every later pixel and
         # break the weighted sums
         "media_gif_pixels",
+        # r12 PNG pixel decode: the inflate+unfilter round trip at
+        # fuzzed ids/dims (heights ≥ 8 cycle all five filters); 2^40
+        # ids exercise the int64 formula products
+        "media_png_pixels",
+        # r12 JPEG marker walk: fuzzed ids vary stuffing density
+        # (entropy bytes (id*7+5k)%256 include 0xFF runs), the
+        # Exif/progressive/ncomp branches, and empty jpeg-kind sets
+        "media_jpeg_metadata",
     ],
 )
 def test_media_query_matches_oracle_at_generated_params(
