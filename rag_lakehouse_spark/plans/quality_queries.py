@@ -509,3 +509,118 @@ def text_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 from rag_lakehouse_spark.plans import registry as _registry  # noqa: E402
 
 _registry.QUERIES["text_hashed_features"].oracle = _hashed_features_oracle()
+
+
+def _quality_classifier_oracle() -> str:
+    from rag_lakehouse_spark.operators.dedup_portable import duckdb_base60
+
+    toks = (
+        "list_filter(regexp_split_to_array("
+        + TX.duckdb_edge_trim("lower(coalesce(text, ''))")
+        + f", '{TX.DUCKDB_WS}'), x -> x <> '')"
+    )
+    h = duckdb_base60("t")
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({toks}) AS t FROM documents
+    ), hb AS (
+      SELECT doc_id,
+             CAST({h} % 64 AS INT) AS bucket,
+             CASE WHEN (({h} >> 6) & 1) = 1 THEN 1 ELSE -1 END AS sgn
+      FROM tok
+    ), feats AS (
+      SELECT doc_id, bucket, CAST(SUM(sgn) AS BIGINT) AS feat
+      FROM hb GROUP BY doc_id, bucket
+    ), scored AS (
+      SELECT f.doc_id,
+             CAST(SUM(f.feat * ((CAST(f.bucket AS BIGINT) * 2654435761
+                                 + 12345) % 1001 - 500)) AS BIGINT)
+               AS score_q
+      FROM feats f GROUP BY f.doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(s.score_q, 0) AS score_q,
+           CAST(coalesce(s.score_q, 0) AS DOUBLE) / 1000e0 AS score,
+           coalesce(s.score_q, 0) >= 0 AS keep
+    FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id
+    """
+
+
+@register(
+    "text_quality_classifier",
+    oracle=None,  # set below with the other builder-needing oracles
+    tags=("text", "quality", "ml", "classifier", "portable-twin"),
+)
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality classifier over hashed features — the scoring +
+    gating half of the fastText/CCNet-style filtering stage whose
+    featurizer is ``text_hashed_features``: each document's 64 sign-
+    hashed bucket sums dot a FROZEN integer weight vector
+    ``w(b) = (b·2654435761 + 12345) % 1001 - 500`` (the deterministic
+    stand-in for trained classifier weights — a real model swaps in a
+    64-row broadcast weight table, plans unchanged), giving an exact
+    int64 margin ``score_q``; the only double is the final /1000
+    display scale, and the keep/drop gate is the integer sign. Every
+    document emits a row (token-less docs score 0 via the LEFT join)
+    so the gate partitions the corpus exactly.
+
+    The margin is hash-checked end-to-end through tokenize → sign-hash
+    → bucket-sum → dot — a wrong sign bit, bucket modulus, or weight
+    formula in either engine breaks it.
+
+    Scale: one explode → (doc, bucket) aggregate with map-side
+    partials → per-doc dot as a second bounded aggregate (≤64 rows per
+    doc); weights are an EXPRESSION of the bucket id, so there is no
+    vocabulary or weight state at all — the same property that lets
+    the featurizer scale. A trained 2^18-bucket model broadcasts its
+    weight table; nothing else changes.
+
+    Reference parity: beyond the reference (its silver layer gates on
+    length/null rules only, jobs/silver_transformation.py:18-134) —
+    training-data-pipeline quality scoring."""
+    from rag_lakehouse_spark.operators.dedup_portable import base60
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(
+            F.split(
+                TX.edge_trim(F.lower(F.coalesce(F.col("text"), F.lit("")))),
+                TX.WS,
+            )
+        ).alias("t"),
+    ).filter(F.col("t") != "")
+    h = base60(F.col("t"))
+    feats = (
+        tok.select(
+            "doc_id",
+            (h % 64).cast("int").alias("bucket"),
+            F.when(F.shiftright(h, 6).bitwiseAND(F.lit(1)) == 1, F.lit(1))
+            .otherwise(F.lit(-1))
+            .alias("sgn"),
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(F.sum("sgn").cast("bigint").alias("feat"))
+    )
+    w = (
+        F.col("bucket").cast("bigint") * F.lit(2654435761).cast("bigint")
+        + F.lit(12345)
+    ) % 1001 - 500
+    scored = feats.groupBy("doc_id").agg(
+        F.sum(F.col("feat") * w).cast("bigint").alias("score_q")
+    )
+    return (
+        d.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("score_q", F.lit(0)).cast("bigint").alias("score_q"),
+            (F.coalesce("score_q", F.lit(0)).cast("double") / F.lit(1000.0)).alias(
+                "score"
+            ),
+            (F.coalesce("score_q", F.lit(0)) >= 0).alias("keep"),
+        )
+    )
+
+
+_registry.QUERIES["text_quality_classifier"].oracle = _quality_classifier_oracle()

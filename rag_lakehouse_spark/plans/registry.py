@@ -70,6 +70,7 @@ _PRIORITY: tuple[str, ...] = (
     # ann_portable_recall_report gained the graph rung row) --
     "media_png_pixels",
     "media_jpeg_metadata",
+    "text_quality_classifier",
     "ann_graph_portable",
     "rag_eval_fused",
     "ann_portable_recall_report",

@@ -193,6 +193,10 @@ def _run_rows(spark, tmp_path, rows, query_name):
         # portable-hash bucket/sign parity; sign cancellation produces
         # legitimate zero-sum buckets both engines must keep
         "text_hashed_features",
+        # r12 linear quality classifier: NULL/empty docs exercise the
+        # token-less LEFT-join zero-score row; sign cancellation and
+        # the int64 weight-formula products must agree exactly
+        "text_quality_classifier",
         # r11 count-min: tiny corpora make MANY tokens heavy (cnt*200
         # >= n trivially), so collisions inside 512-wide rows — and the
         # >= 0 overcount contract — get exercised at real density
