@@ -72,6 +72,7 @@ _PRIORITY: tuple[str, ...] = (
     "media_jpeg_metadata",
     "text_quality_classifier",
     "ann_graph_portable",
+    "ann_graph_nsw_portable",
     "rag_eval_fused",
     "ann_portable_recall_report",
     "events_hll_incremental",

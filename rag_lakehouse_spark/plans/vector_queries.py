@@ -2000,6 +2000,28 @@ def _exact_sets_sql() -> tuple[str, str]:
 _G_M, _G_B, _G_T, _G_E, _G_K = 8, 24, 6, 4, 10
 
 
+def _beam_rounds_sql(rounds: int, beam_width: int) -> tuple[str, str]:
+    """(rounds CTE text, final beam name) for the unrolled walk."""
+    out = []
+    prev = "beam0"
+    for t in range(1, rounds + 1):
+        out.append(
+            f"""cand{t} AS (
+      SELECT vec_id FROM {prev}
+      UNION
+      SELECT g.dst AS vec_id FROM {prev} b JOIN graph g ON g.src = b.vec_id
+    ), beam{t} AS (
+      SELECT vec_id FROM (
+        SELECT c.vec_id,
+               ROW_NUMBER() OVER (ORDER BY s.score DESC, c.vec_id ASC) AS rn
+        FROM cand{t} c JOIN s ON s.vec_id = c.vec_id) t{t}
+      WHERE rn <= {beam_width}
+    )"""
+        )
+        prev = f"beam{t}"
+    return ",\n    ".join(out), prev
+
+
 def _graph_oracle() -> str:
     """Unrolled-CTE DuckDB twin of the frozen-graph beam walk: the
     graph build (all-pairs top-M), the spread entry set, and each of
@@ -2013,28 +2035,11 @@ def _graph_oracle() -> str:
     qscore = (
         f"{VEC.duckdb_dot('e.embedding', 'q.qv')} / (e.nrm * q.qn + 1e-24)"
     )
-    rounds = []
-    prev = "beam0"
-    for t in range(1, _G_T + 1):
-        rounds.append(
-            f"""cand{t} AS (
-      SELECT vec_id FROM {prev}
-      UNION
-      SELECT g.dst AS vec_id FROM {prev} b JOIN graph g ON g.src = b.vec_id
-    ), beam{t} AS (
-      SELECT vec_id FROM (
-        SELECT c.vec_id,
-               ROW_NUMBER() OVER (ORDER BY s.score DESC, c.vec_id ASC) AS rn
-        FROM cand{t} c JOIN s ON s.vec_id = c.vec_id) t{t}
-      WHERE rn <= {_G_B}
-    )"""
-        )
-        prev = f"beam{t}"
-    rounds_sql = ",\n    ".join(rounds)
+    rounds_sql, prev = _beam_rounds_sql(_G_T, _G_B)
     return f"""
-    WITH e AS ({_E_NORMED}),
+    WITH e AS MATERIALIZED ({_E_NORMED}),
     q AS (SELECT embedding AS qv, nrm AS qn FROM e WHERE vec_id = 0),
-    s AS (
+    s AS MATERIALIZED (
       SELECT e.vec_id, {qscore} AS score FROM e, q WHERE e.vec_id <> 0
     ),
     pairs AS (
@@ -2042,7 +2047,7 @@ def _graph_oracle() -> str:
       FROM e a, e b
       WHERE a.vec_id <> b.vec_id AND a.vec_id <> 0 AND b.vec_id <> 0
     ),
-    graph AS (
+    graph AS MATERIALIZED (
       SELECT src, dst FROM (
         SELECT src, dst,
                ROW_NUMBER() OVER (PARTITION BY src
@@ -2129,6 +2134,143 @@ def ann_graph_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# NSW insert-order variant (same round): adjacency = top-M among
+# PRIOR ids (the literal NSW insertion rule under vec_id insert order)
+# plus the bidirectional back-edges. Early nodes keep LONG-RANGE edges
+# (their top-M was chosen from a sparse corpus) and accumulate hub
+# back-edges — measured: single-entry recall@10 1.0/1.0/0.8 across
+# SFs, vs the flat M-NN graph's 0.3-0.4 single-entry plateau. The
+# triangular build join IS the incremental fold: inserting a batch =
+# top-M among existing + back-edges, exactly what the maintained
+# index would do.
+_GN_M, _GN_B, _GN_T, _GN_K = 8, 24, 6, 10
+
+
+def _graph_nsw_oracle() -> str:
+    sim = (
+        f"{VEC.duckdb_dot('a.embedding', 'b.embedding')}"
+        " / (a.nrm * b.nrm + 1e-24)"
+    )
+    qscore = (
+        f"{VEC.duckdb_dot('e.embedding', 'q.qv')} / (e.nrm * q.qn + 1e-24)"
+    )
+    rounds_sql, final = _beam_rounds_sql(_GN_T, _GN_B)
+    return f"""
+    WITH e AS MATERIALIZED ({_E_NORMED}),
+    q AS (SELECT embedding AS qv, nrm AS qn FROM e WHERE vec_id = 0),
+    s AS MATERIALIZED (
+      SELECT e.vec_id, {qscore} AS score FROM e, q WHERE e.vec_id <> 0
+    ),
+    fwd AS MATERIALIZED (
+      SELECT src, dst FROM (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                                  ORDER BY {sim} DESC, b.vec_id ASC) AS rn
+        FROM e a, e b
+        WHERE b.vec_id < a.vec_id AND a.vec_id <> 0 AND b.vec_id <> 0) p
+      WHERE rn <= {_GN_M}
+    ),
+    graph AS MATERIALIZED (
+      SELECT src, dst FROM fwd
+      UNION ALL
+      SELECT dst AS src, src AS dst FROM fwd
+    ),
+    beam0 AS (SELECT MIN(vec_id) AS vec_id FROM s),
+    {rounds_sql}
+    SELECT * FROM (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY s.score DESC, b.vec_id ASC)
+                  AS INT) AS rank,
+             b.vec_id AS neighbor_id,
+             s.score AS score
+      FROM {final} b JOIN s ON s.vec_id = b.vec_id) fin
+    WHERE rank <= {_GN_K}
+    """
+
+
+@register(
+    "ann_graph_nsw_portable",
+    oracle=_graph_nsw_oracle(),
+    tags=("vector", "ann", "graph", "nsw", "portable-twin"),
+)
+def ann_graph_nsw_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NSW INSERT-ORDER graph ANN — the companion rung to
+    ``ann_graph_portable``'s flat M-NN graph, and the shape an
+    INCREMENTALLY-BUILT index actually has: each node's out-edges are
+    its top-M cosine neighbors among nodes inserted BEFORE it (vec_id
+    order = insertion order — one triangular self-join), plus the
+    bidirectional back-edges NSW keeps. Early nodes retain LONG-RANGE
+    edges (their top-M was chosen when the corpus was sparse) and
+    accumulate hub back-edges — which is exactly why this graph
+    navigates from a SINGLE entry (the first-inserted node): measured
+    recall@10 1.0 / 1.0 / 0.8 across the three SFs where the flat
+    M-NN graph plateaus at 0.3-0.4 single-entry. The same beam walk
+    (beam 24, 6 rounds) and the same unrolled-CTE oracle machinery
+    hash-check candidate set AND order end-to-end.
+
+    Scale: the triangular build join IS the incremental fold —
+    inserting a batch means top-M among EXISTING nodes + back-edges,
+    exactly the maintained-index update (the frozen build here replays
+    all inserts in one plan for verifiability). Hub back-edge
+    in-degree is unbounded in classic NSW — HNSW's degree pruning
+    bounds it at scale; the walk is the same bounded-join shape as the
+    flat rung, with per-round frontier ≤ beam·(M + max back-degree).
+
+    Reference parity: src/api.py:10-84 (chromadb HNSW serving) — this
+    is the closest plan-level analog of HNSW's actual graph shape."""
+    from rag_lakehouse_spark.operators.graph_ann import beam_search
+
+    e = _normed(load_table(spark, sf_dir, "embeddings"))
+    corpus = e.filter(F.col("vec_id") != 0)
+    a = corpus.select(
+        F.col("vec_id").alias("src"),
+        F.col("embedding").alias("a_emb"),
+        F.col("nrm").alias("a_nrm"),
+    )
+    b = corpus.select(
+        F.col("vec_id").alias("dst"),
+        F.col("embedding").alias("b_emb"),
+        F.col("nrm").alias("b_nrm"),
+    )
+    wn = W.partitionBy("src").orderBy(F.desc("sim"), F.asc("dst"))
+    fwd = (
+        a.join(b, F.col("dst") < F.col("src"))
+        .select(
+            "src",
+            "dst",
+            (
+                VEC.dot("a_emb", "b_emb")
+                / (F.col("a_nrm") * F.col("b_nrm") + F.lit(1e-24))
+            ).alias("sim"),
+        )
+        .withColumn("rn", F.row_number().over(wn))
+        .filter(F.col("rn") <= _GN_M)
+        .select("src", "dst")
+    )
+    graph = (
+        fwd.unionByName(
+            fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .localCheckpoint(eager=True)  # the frozen index artifact
+    )
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv"), F.col("nrm").alias("qn")
+    )
+    scores = corpus.crossJoin(F.broadcast(q)).select(
+        "vec_id",
+        (
+            VEC.dot("embedding", "qv")
+            / (F.col("nrm") * F.col("qn") + F.lit(1e-24))
+        ).alias("score"),
+    )
+    entries = corpus.agg(F.min("vec_id").alias("vec_id"))  # first-inserted
+    walked = beam_search(
+        graph, scores, entries, beam_width=_GN_B, rounds=_GN_T
+    )
+    return walked.filter(F.col("rank") <= _GN_K).select(
+        "rank", F.col("vec_id").alias("neighbor_id"), "score"
+    )
+
+
 def _recall_oracle() -> str:
     cos, l2 = _exact_sets_sql()
     return f"""
@@ -2142,6 +2284,8 @@ def _recall_oracle() -> str:
       SELECT 'ivf_pq_frozen', neighbor_id FROM ({_ivfpq_oracle()}) ivfpqm
       UNION ALL
       SELECT 'graph_frozen', neighbor_id FROM ({_graph_oracle()}) gm
+      UNION ALL
+      SELECT 'nsw_frozen', neighbor_id FROM ({_graph_nsw_oracle()}) nswm
     )
     SELECT method,
            CAST(COUNT(*) AS BIGINT) AS n_returned,
@@ -2180,20 +2324,23 @@ def ann_portable_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     the metric mismatch a deployment must mind when reranking
     compressed candidates by cosine.
 
-    r12: the graph rung joins the report — unlike the quantizer rungs
-    its frozen build is an EXACT M-NN graph (only the walk
-    approximates), so its recall reads directly as beam-search loss:
-    high recall here with the untrained quantizers at their floors is
-    the expected signature.
+    r12: the two graph rungs join the report — unlike the quantizer
+    rungs their frozen builds use EXACT similarities (only the walk
+    approximates), so their recall reads directly as beam-search
+    loss: high recall here with the untrained quantizers at their
+    floors is the expected signature, and the flat-vs-NSW gap
+    (multi-entry 0.8-0.9 vs single-entry 0.8-1.0) is the measured
+    value of insert-order long-range edges.
 
     Scale: each rung's plan is its registered twin's (map-only
     encode, 1-row broadcast LUTs, probe-pruned scans); the report
-    itself joins five 10-row sets."""
+    itself joins six 10-row sets."""
     methods = [
         ("pq_frozen", ann_pq_portable),
         ("ivf_frozen", knn_ivf_portable),
         ("ivf_pq_frozen", ann_ivf_pq_portable),
         ("graph_frozen", ann_graph_portable),
+        ("nsw_frozen", ann_graph_nsw_portable),
     ]
     m = None
     for name, fn in methods:

@@ -94,6 +94,10 @@ QUERIES = [
     # guard inside graph edges; ≥22 rows keep the 4 spread entries
     # distinct-ish and the 6-round walk non-degenerate
     "ann_graph_portable",
+    # r12 NSW insert-order variant: the triangular (dst < src) build
+    # join under duplicate/zero vectors (ties in BOTH the prior-only
+    # top-M and the walk), hub back-edges from early nodes
+    "ann_graph_nsw_portable",
 ]
 
 
