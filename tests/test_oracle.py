@@ -55,3 +55,23 @@ def test_entry_contract(spark):
     df = mod.entry(spark)
     assert df.count() > 0
     assert set(mod.oracle_sql()) <= set(mod.queries())
+
+
+def test_round_notes_registry_counts_match_live():
+    """r12 (VERDICT r11 #3 sibling): the evidence ledger's registry
+    narrative must bind to the code — parse the FIRST
+    'Registry: **N queries / M oracled**' line in ROUND_NOTES.md (the
+    current round's snapshot) and assert it equals the live registry,
+    so the r10-style count drift cannot recur inside a round."""
+    import os
+    import re
+
+    path = os.path.join(os.path.dirname(__file__), "..", "ROUND_NOTES.md")
+    with open(path, encoding="utf-8") as f:
+        text = f.read()
+    m = re.search(r"Registry: \*\*(\d+) queries / (\d+) oracled\*\*", text)
+    assert m, "ROUND_NOTES.md is missing the registry snapshot line"
+    assert (int(m.group(1)), int(m.group(2))) == (
+        len(registry.QUERIES),
+        len(ORACLED),
+    ), "ROUND_NOTES.md registry counts drifted from the live registry"
