@@ -1486,3 +1486,137 @@ def gif_pixel_features(
         max(df.sparkSession.sparkContext.defaultParallelism, 1)
     )
     return fanned.mapInPandas(extract, GIF_PIXEL_SCHEMA)
+
+
+# --- WARC container (web-archive records, the Common Crawl layout) ---
+
+
+def synth_warc_bytes(records: list[dict]) -> bytes:
+    """Serialize WARC/1.0 records (the Common Crawl container,
+    ISO 28500): each record is a version line, named headers, a blank
+    line, ``Content-Length`` payload bytes, and a ``\\r\\n\\r\\n``
+    terminator. ``records`` entries carry ``type`` (``warcinfo`` /
+    ``response``), optional ``uri``, and ``payload`` bytes; response
+    payloads are full HTTP messages (status line + headers + body).
+    Content-Length is computed from the actual payload so the walker's
+    length-driven framing is what's under test — payloads deliberately
+    may CONTAIN ``WARC/1.0`` and blank lines, which break any
+    delimiter-splitting reader."""
+    out = []
+    for i, rec in enumerate(records):
+        payload = rec["payload"]
+        headers = [
+            ("WARC-Type", rec["type"]),
+            ("WARC-Record-ID", f"<urn:synth:{i}>"),
+            ("WARC-Date", "2024-01-01T00:00:00Z"),
+        ]
+        if rec.get("uri") is not None:
+            headers.append(("WARC-Target-URI", rec["uri"]))
+        if rec["type"] == "response":
+            headers.append(
+                ("Content-Type", "application/http; msgtype=response")
+            )
+        headers.append(("Content-Length", str(len(payload))))
+        head = "WARC/1.0\r\n" + "".join(
+            f"{k}: {v}\r\n" for k, v in headers
+        )
+        out.append(head.encode("ascii") + b"\r\n" + payload + b"\r\n\r\n")
+    return b"".join(out)
+
+
+def synth_http_response(status: int, body: bytes, seq: int) -> bytes:
+    """A minimal HTTP/1.1 response message (the payload of a WARC
+    response record)."""
+    reason = {200: "OK", 301: "Moved Permanently", 404: "Not Found"}[status]
+    head = (
+        f"HTTP/1.1 {status} {reason}\r\n"
+        f"Content-Type: text/html\r\n"
+        f"X-Seq: {seq}\r\n"
+        f"Content-Length: {len(body)}\r\n"
+    )
+    return head.encode("ascii") + b"\r\n" + body
+
+
+def _walk_warc(
+    content: bytes,
+) -> tuple[int, int, int, int, str | None, int, int]:
+    """(n_records, n_responses, n_ok, first_status, first_host,
+    total_body_bytes, n_marker_bodies) parsed FROM BYTES ALONE:
+    records are framed by Content-Length (NEVER by splitting on
+    ``\\r\\n\\r\\n`` or ``WARC/1.0`` — response bodies here contain
+    both, which is exactly what naive splitters get wrong), headers
+    are case-insensitive per RFC, and each record must be followed by
+    the two-CRLF terminator. Response payloads are re-parsed as HTTP
+    messages: status from the status line, body after the header
+    block; ``n_marker_bodies`` counts bodies containing the literal
+    ``WARC/1.0`` bytes (hash-visible proof the framing was
+    length-driven). Malformed input (bad version line, missing
+    Content-Length, truncation, bad terminator) raises
+    NotImplementedError per the media-decoder contract."""
+    pos = 0
+    n_records = n_responses = n_ok = 0
+    first_status: int | None = None
+    first_host: str | None = None
+    total_body = 0
+    n_marker = 0
+    while pos < len(content):
+        eol = content.find(b"\r\n", pos)
+        if eol < 0:
+            raise NotImplementedError("WARC truncated in version line")
+        if content[pos:eol] != b"WARC/1.0":
+            raise NotImplementedError("bad WARC version line")
+        pos = eol + 2
+        headers: dict[str, str] = {}
+        while True:
+            eol = content.find(b"\r\n", pos)
+            if eol < 0:
+                raise NotImplementedError("WARC truncated in headers")
+            line = content[pos:eol]
+            pos = eol + 2
+            if not line:
+                break
+            key, _, val = line.partition(b":")
+            if not _:
+                raise NotImplementedError("WARC header without colon")
+            headers[key.strip().lower().decode("ascii")] = (
+                val.strip().decode("ascii")
+            )
+        if "content-length" not in headers:
+            raise NotImplementedError("WARC record missing Content-Length")
+        clen = int(headers["content-length"])
+        if pos + clen + 4 > len(content):
+            raise NotImplementedError("WARC payload truncated")
+        payload = content[pos : pos + clen]
+        pos += clen
+        if content[pos : pos + 4] != b"\r\n\r\n":
+            raise NotImplementedError("WARC record missing terminator")
+        pos += 4
+        n_records += 1
+        if headers.get("warc-type") == "response":
+            n_responses += 1
+            split = payload.find(b"\r\n\r\n")
+            if split < 0 or not payload.startswith(b"HTTP/1.1 "):
+                raise NotImplementedError("bad HTTP message in response")
+            status = int(payload[9:12])
+            body = payload[split + 4 :]
+            total_body += len(body)
+            if b"WARC/1.0" in body:
+                n_marker += 1
+            if status == 200:
+                n_ok += 1
+            if first_status is None:
+                first_status = status
+                uri = headers.get("warc-target-uri", "")
+                hostpart = uri.split("://", 1)[-1]
+                first_host = hostpart.split("/", 1)[0]
+    if first_status is None:
+        raise NotImplementedError("WARC stream has no response record")
+    return (
+        n_records,
+        n_responses,
+        n_ok,
+        first_status,
+        first_host,
+        total_body,
+        n_marker,
+    )

@@ -935,3 +935,143 @@ def media_jpeg_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         max(spark.sparkContext.defaultParallelism, 1)
     )
     return fanned.mapInPandas(build, schema)
+
+
+@register(
+    "media_warc_records",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(2 + doc_id % 3 AS INT) AS n_records,
+           CAST(1 + doc_id % 3 AS INT) AS n_responses,
+           CAST(  CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
+                + CASE WHEN doc_id % 3 >= 1 AND (doc_id + 1) % 3 = 0
+                       THEN 1 ELSE 0 END
+                + CASE WHEN doc_id % 3 >= 2 AND (doc_id + 2) % 3 = 0
+                       THEN 1 ELSE 0 END AS INT) AS n_ok,
+           CAST(CASE doc_id % 3 WHEN 0 THEN 200 WHEN 1 THEN 301
+                ELSE 404 END AS INT) AS first_status,
+           'host' || CAST(doc_id % 5 AS VARCHAR) || '.example'
+             AS first_host,
+           CAST(  (20 + (3 * doc_id) % 40)
+                + CASE WHEN doc_id % 3 >= 1
+                       THEN 20 + (3 * doc_id + 7) % 40 ELSE 0 END
+                + CASE WHEN doc_id % 3 >= 2
+                       THEN 20 + (3 * doc_id + 14) % 40 ELSE 0 END
+             AS BIGINT) AS total_body_bytes,
+           CAST(  CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END
+                + CASE WHEN doc_id % 3 >= 1 AND (doc_id + 1) % 2 = 0
+                       THEN 1 ELSE 0 END
+                + CASE WHEN doc_id % 3 >= 2 AND doc_id % 2 = 0
+                       THEN 1 ELSE 0 END AS INT) AS n_marker_bodies
+    FROM documents WHERE doc_id % 5 = 2
+    """,
+    tags=("multimodal", "codec", "web", "pandas"),
+)
+def media_warc_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC record walk — the SIXTH real container, and the one a
+    100 TB training-data pipeline actually starts from (Common Crawl
+    ships as WARC): every warc-kind document synthesizes a multi-record
+    WARC/1.0 stream (warcinfo + 1-3 HTTP response records) from closed
+    per-id formulas, and ``operators.multimodal._walk_warc`` re-parses
+    it FROM BYTES ALONE — Content-Length-driven record framing (bodies
+    deliberately CONTAIN ``WARC/1.0`` and blank lines, so any
+    delimiter-splitting reader mis-frames and breaks the hash),
+    case-insensitive headers, per-response HTTP status-line and body
+    extraction. The oracle recomputes record counts, OK counts, first
+    status/host, total body bytes, and the adversarial marker-body
+    count from the formulas, so writer and walker are checked against
+    an external engine, not each other.
+
+    Scale: map-only (parameter projection → synth+walk mapInPandas);
+    one WARC blob per row, bytes never leave the executor — at 100 TB
+    this is the standard "parse Common Crawl segments in place" scan
+    shape, embarrassingly parallel with no shuffle.
+
+    Reference parity: the reference scrapes live pages
+    (jobs/scraper.py:33-217); archived-crawl ingest is the offline
+    equivalent of that surface."""
+    import pandas as pd
+
+    from rag_lakehouse_spark.operators.multimodal import (
+        _walk_warc,
+        synth_http_response,
+        synth_warc_bytes,
+    )
+
+    params = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 5 == 2)
+        .select(F.col("doc_id").alias("media_id"))
+    )
+
+    def build(batches):
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                d = int(r.media_id)
+                k = 1 + d % 3
+                recs = [
+                    {"type": "warcinfo", "payload": b"software: synth\r\n"}
+                ]
+                for i in range(k):
+                    ln = 20 + (3 * d + 7 * i) % 40
+                    body = b"WARC/1.0\r\n\r\n" if (d + i) % 2 == 0 else b""
+                    body += bytes(
+                        65 + (d + 13 * j) % 26
+                        for j in range(ln - len(body))
+                    )
+                    status = [200, 301, 404][(d + i) % 3]
+                    recs.append(
+                        {
+                            "type": "response",
+                            "uri": (
+                                f"http://host{(d + i) % 5}.example"
+                                f"/p/{d}/{i}"
+                            ),
+                            "payload": synth_http_response(status, body, i),
+                        }
+                    )
+                (
+                    n_rec,
+                    n_resp,
+                    n_ok,
+                    first_status,
+                    first_host,
+                    total_body,
+                    n_marker,
+                ) = _walk_warc(synth_warc_bytes(recs))
+                out.append(
+                    (
+                        d,
+                        n_rec,
+                        n_resp,
+                        n_ok,
+                        first_status,
+                        first_host,
+                        total_body,
+                        n_marker,
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id",
+                    "n_records",
+                    "n_responses",
+                    "n_ok",
+                    "first_status",
+                    "first_host",
+                    "total_body_bytes",
+                    "n_marker_bodies",
+                ],
+            )
+
+    schema = (
+        "media_id long, n_records int, n_responses int, n_ok int, "
+        "first_status int, first_host string, total_body_bytes long, "
+        "n_marker_bodies int"
+    )
+    fanned = params.repartition(
+        max(spark.sparkContext.defaultParallelism, 1)
+    )
+    return fanned.mapInPandas(build, schema)

@@ -68,6 +68,7 @@ _PRIORITY: tuple[str, ...] = (
     # -- r12 part (a): queries NEW or changed this round (prepended as
     # built; changed = events_hll_incremental now compacts mid-path,
     # ann_portable_recall_report gained the graph rung row) --
+    "media_warc_records",
     "media_png_pixels",
     "media_jpeg_metadata",
     "text_quality_classifier",

@@ -1094,3 +1094,98 @@ def test_jpeg_walk_rejects_malformed():
     bad[eoi - 5 : eoi - 3] = b"\xff\xc0"
     with _pytest.raises(NotImplementedError):
         _walk_jpeg(bytes(bad))
+
+
+def test_warc_walk_round_trip_property():
+    """synth_warc_bytes -> _walk_warc round-trips hypothesis-chosen
+    record mixes: statuses, body lengths (incl. 0), bodies embedding
+    the ``WARC/1.0`` marker and blank lines (the delimiter-splitter
+    traps), and an optional leading warcinfo record."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from rag_lakehouse_spark.operators.multimodal import (
+        _walk_warc,
+        synth_http_response,
+        synth_warc_bytes,
+    )
+
+    resp = st.tuples(
+        st.sampled_from([200, 301, 404]),
+        st.binary(max_size=80),
+        st.booleans(),  # prefix body with the adversarial marker
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(resp, min_size=1, max_size=6), st.booleans())
+    def check(responses, leading_info):
+        recs = []
+        if leading_info:
+            recs.append(
+                {"type": "warcinfo", "payload": b"x: y\r\n\r\nWARC/1.0"}
+            )
+        expected_body = 0
+        expected_ok = 0
+        expected_marker = 0
+        for i, (status, body, mark) in enumerate(responses):
+            if mark:
+                body = b"WARC/1.0\r\n\r\n" + body
+            recs.append(
+                {
+                    "type": "response",
+                    "uri": f"http://h{i}.example/p/{i}",
+                    "payload": synth_http_response(status, body, i),
+                }
+            )
+            expected_body += len(body)
+            expected_ok += status == 200
+            expected_marker += b"WARC/1.0" in body
+        got = _walk_warc(synth_warc_bytes(recs))
+        assert got == (
+            len(recs),
+            len(responses),
+            expected_ok,
+            responses[0][0],
+            "h0.example",
+            expected_body,
+            expected_marker,
+        )
+
+    check()
+
+
+def test_warc_walk_rejects_malformed():
+    import pytest as _pytest
+
+    from rag_lakehouse_spark.operators.multimodal import (
+        _walk_warc,
+        synth_http_response,
+        synth_warc_bytes,
+    )
+
+    good = synth_warc_bytes(
+        [
+            {
+                "type": "response",
+                "uri": "http://h.example/",
+                "payload": synth_http_response(200, b"abc", 0),
+            }
+        ]
+    )
+    assert _walk_warc(good)[0] == 1
+    # truncated payload / terminator
+    with _pytest.raises(NotImplementedError):
+        _walk_warc(good[:-3])
+    # bad version line
+    with _pytest.raises(NotImplementedError):
+        _walk_warc(b"WARC/0.9" + good[8:])
+    # missing Content-Length: strip that header line
+    lines = good.split(b"\r\n")
+    no_cl = b"\r\n".join(
+        ln for ln in lines if not ln.lower().startswith(b"content-length")
+    )
+    with _pytest.raises(NotImplementedError):
+        _walk_warc(no_cl)
+    # no response record at all
+    with _pytest.raises(NotImplementedError):
+        _walk_warc(synth_warc_bytes([{"type": "warcinfo", "payload": b""}]))
