@@ -1620,3 +1620,172 @@ def _walk_warc(
         total_body,
         n_marker,
     )
+
+
+# --- ZIP container (PKZIP local headers + central directory + EOCD) ---
+
+
+def synth_zip_bytes(
+    entries: list[tuple[str, bytes, bool]], comment: bytes = b""
+) -> bytes:
+    """Serialize a ZIP archive from (name, content, stored) entries —
+    a pure-stdlib writer (struct + zlib raw deflate) so the walker can
+    be checked against closed formulas, not against ``zipfile``.
+    ``stored=True`` writes method 0; else method 8 with a raw
+    (wbits=-15) level-6 deflate body. A non-empty EOCD ``comment``
+    moves the EOCD signature away from ``len(data) - 22``, which is
+    what naive fixed-offset EOCD readers get wrong."""
+    import zlib
+
+    locals_out = []
+    centrals = []
+    offset = 0
+    for name, content, stored in entries:
+        nb = name.encode("ascii")
+        crc = zlib.crc32(content) & 0xFFFFFFFF
+        if stored:
+            method, payload = 0, content
+        else:
+            c = zlib.compressobj(6, zlib.DEFLATED, -15)
+            method, payload = 8, c.compress(content) + c.flush()
+        lfh = (
+            struct.pack(
+                "<IHHHHHIIIHH",
+                0x04034B50,
+                20,
+                0,
+                method,
+                0,
+                0x2921,
+                crc,
+                len(payload),
+                len(content),
+                len(nb),
+                0,
+            )
+            + nb
+            + payload
+        )
+        centrals.append(
+            struct.pack(
+                "<IHHHHHHIIIHHHHHII",
+                0x02014B50,
+                20,
+                20,
+                0,
+                method,
+                0,
+                0x2921,
+                crc,
+                len(payload),
+                len(content),
+                len(nb),
+                0,
+                0,
+                0,
+                0,
+                0,
+                offset,
+            )
+            + nb
+        )
+        locals_out.append(lfh)
+        offset += len(lfh)
+    cd = b"".join(centrals)
+    eocd = (
+        struct.pack(
+            "<IHHHHIIH",
+            0x06054B50,
+            0,
+            0,
+            len(entries),
+            len(entries),
+            len(cd),
+            offset,
+            len(comment),
+        )
+        + comment
+    )
+    return b"".join(locals_out) + cd + eocd
+
+
+def _walk_zip(content: bytes) -> tuple[int, int, int, int, int, int]:
+    """(n_entries, n_stored, n_deflated, total_uncompressed, n_crc_ok,
+    total_name_bytes) parsed FROM BYTES ALONE: locate the EOCD by a
+    BACKWARDS signature scan validated against the trailing comment
+    length (entry CONTENTS here deliberately contain the EOCD
+    signature, so a forward scan mis-locates), walk the central
+    directory records, then verify every entry through its LOCAL
+    header — payload sliced by the recorded compressed size,
+    decompressed per method (stored, or raw-deflate via
+    ``zlib.decompressobj(-15)``), and counted CRC-ok only when BOTH
+    the crc32 and the uncompressed length match the directory record.
+    Malformed input (no EOCD, signature mismatches, truncation,
+    unsupported method) raises NotImplementedError per the
+    media-decoder contract."""
+    import zlib
+
+    pos = None
+    scan = len(content) - 22
+    while scan >= 0:
+        if content[scan : scan + 4] == b"PK\x05\x06":
+            (clen,) = struct.unpack("<H", content[scan + 20 : scan + 22])
+            if scan + 22 + clen == len(content):
+                pos = scan
+                break
+        scan -= 1
+    if pos is None:
+        raise NotImplementedError("ZIP EOCD not found")
+    n_total, cd_size, cd_offset = struct.unpack(
+        "<HII", content[pos + 10 : pos + 20]
+    )
+    if cd_offset + cd_size > pos:
+        raise NotImplementedError("ZIP central directory out of bounds")
+    p = cd_offset
+    n_stored = n_deflated = total_unc = n_crc_ok = name_bytes = 0
+    for _ in range(n_total):
+        if content[p : p + 4] != b"PK\x01\x02":
+            raise NotImplementedError("bad central-directory signature")
+        (
+            method,
+            crc,
+            csize,
+            usize,
+            name_len,
+            extra_len,
+            comment_len,
+        ) = struct.unpack("<H4xIIIHHH", content[p + 10 : p + 34])
+        (local_off,) = struct.unpack("<I", content[p + 42 : p + 46])
+        name_bytes += name_len
+        total_unc += usize
+        if method == 0:
+            n_stored += 1
+        elif method == 8:
+            n_deflated += 1
+        else:
+            raise NotImplementedError("unsupported ZIP method")
+        if content[local_off : local_off + 4] != b"PK\x03\x04":
+            raise NotImplementedError("bad local-header signature")
+        lname, lextra = struct.unpack(
+            "<HH", content[local_off + 26 : local_off + 30]
+        )
+        data_at = local_off + 30 + lname + lextra
+        if data_at + csize > len(content):
+            raise NotImplementedError("ZIP payload truncated")
+        payload = content[data_at : data_at + csize]
+        if method == 0:
+            raw = payload
+        else:
+            d = zlib.decompressobj(-15)
+            raw = d.decompress(payload) + d.flush()
+        if len(raw) == usize and (zlib.crc32(raw) & 0xFFFFFFFF) == crc:
+            n_crc_ok += 1
+        p += 46 + name_len + extra_len + comment_len
+    return (
+        n_total,
+        n_stored,
+        n_deflated,
+        total_unc,
+        n_crc_ok,
+        name_bytes,
+    )

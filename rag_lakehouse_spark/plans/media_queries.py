@@ -1075,3 +1075,108 @@ def media_warc_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         max(spark.sparkContext.defaultParallelism, 1)
     )
     return fanned.mapInPandas(build, schema)
+
+
+@register(
+    "media_zip_entries",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id AS d, 1 + doc_id % 4 AS k FROM documents
+      WHERE doc_id % 5 = 4
+    )
+    SELECT d AS media_id,
+           CAST(k AS INT) AS n_entries,
+           CAST(  CASE WHEN d % 2 = 0 THEN 1 ELSE 0 END
+                + CASE WHEN k > 1 AND (d + 1) % 2 = 0 THEN 1 ELSE 0 END
+                + CASE WHEN k > 2 AND d % 2 = 0 THEN 1 ELSE 0 END
+                + CASE WHEN k > 3 AND (d + 1) % 2 = 0 THEN 1 ELSE 0 END
+             AS INT) AS n_stored,
+           CAST(k - (  CASE WHEN d % 2 = 0 THEN 1 ELSE 0 END
+                     + CASE WHEN k > 1 AND (d + 1) % 2 = 0 THEN 1 ELSE 0 END
+                     + CASE WHEN k > 2 AND d % 2 = 0 THEN 1 ELSE 0 END
+                     + CASE WHEN k > 3 AND (d + 1) % 2 = 0 THEN 1 ELSE 0 END)
+             AS INT) AS n_deflated,
+           CAST(  (16 + (5 * d) % 48)
+                + CASE WHEN k > 1 THEN 16 + (5 * d + 11) % 48 ELSE 0 END
+                + CASE WHEN k > 2 THEN 16 + (5 * d + 22) % 48 ELSE 0 END
+                + CASE WHEN k > 3 THEN 16 + (5 * d + 33) % 48 ELSE 0 END
+             AS BIGINT) AS total_uncompressed,
+           CAST(k AS INT) AS n_crc_ok,
+           CAST(k * (7 + d % 9) AS BIGINT) AS total_name_bytes
+    FROM p
+    """,
+    tags=("multimodal", "codec", "archive", "pandas"),
+)
+def media_zip_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZIP archive walk — the SEVENTH real container: every zip-kind
+    document synthesizes a deterministic archive (pure-stdlib writer:
+    local headers + central directory + commented EOCD; stored AND
+    raw-deflate entries) and ``operators.multimodal._walk_zip``
+    re-parses it FROM BYTES ALONE — EOCD located by the backwards
+    signature scan validated against the trailing comment length
+    (entry contents deliberately CONTAIN ``PK\\x05\\x06``, so a
+    forward scan mis-locates), central-directory records walked, and
+    every entry VERIFIED through its local header: payload sliced by
+    the recorded compressed size, inflated per method, CRC32 and
+    length checked against the directory (``n_crc_ok`` must equal
+    ``n_entries`` — a wrong slice, offset, or inflate window breaks
+    the hash). Deflate COMPRESSED sizes are deliberately not reported:
+    they depend on the zlib build, and the contract only pins what is
+    format-determined.
+
+    Scale: map-only synth+walk mapInPandas; one archive per row, bytes
+    never leave the executor — the "expand archive shards in place"
+    scan a crawl-ingest pipeline runs before text extraction.
+
+    Reference parity: beyond the text-only reference — archive triage
+    for the training-data-pipeline surface."""
+    import pandas as pd
+
+    from rag_lakehouse_spark.operators.multimodal import (
+        _walk_zip,
+        synth_zip_bytes,
+    )
+
+    params = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 5 == 4)
+        .select(F.col("doc_id").alias("media_id"))
+    )
+
+    def build(batches):
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                d = int(r.media_id)
+                k = 1 + d % 4
+                entries = []
+                for i in range(k):
+                    ln = 16 + (5 * d + 11 * i) % 48
+                    c = bytes((d * 3 + 7 * j + i) % 256 for j in range(ln))
+                    if d % 3 == 0 and i == 0:
+                        c = b"PK\x05\x06" + c[4:]
+                    name = f"f{i}_" + "x" * (d % 9) + ".bin"
+                    entries.append((name, c, (d + i) % 2 == 0))
+                z = synth_zip_bytes(entries, comment=b"c" * (d % 5))
+                out.append((d, *_walk_zip(z)))
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id",
+                    "n_entries",
+                    "n_stored",
+                    "n_deflated",
+                    "total_uncompressed",
+                    "n_crc_ok",
+                    "total_name_bytes",
+                ],
+            )
+
+    schema = (
+        "media_id long, n_entries int, n_stored int, n_deflated int, "
+        "total_uncompressed long, n_crc_ok int, total_name_bytes long"
+    )
+    fanned = params.repartition(
+        max(spark.sparkContext.defaultParallelism, 1)
+    )
+    return fanned.mapInPandas(build, schema)

@@ -69,6 +69,7 @@ _PRIORITY: tuple[str, ...] = (
     # built; changed = events_hll_incremental now compacts mid-path,
     # ann_portable_recall_report gained the graph rung row) --
     "media_warc_records",
+    "media_zip_entries",
     "media_png_pixels",
     "media_jpeg_metadata",
     "text_quality_classifier",

@@ -1189,3 +1189,68 @@ def test_warc_walk_rejects_malformed():
     # no response record at all
     with _pytest.raises(NotImplementedError):
         _walk_warc(synth_warc_bytes([{"type": "warcinfo", "payload": b""}]))
+
+
+def test_zip_walk_round_trip_property():
+    """synth_zip_bytes -> _walk_zip round-trips hypothesis-chosen
+    archives: arbitrary contents (incl. embedded EOCD signatures and
+    empty files), mixed stored/deflate, names of varied length, EOCD
+    comments of varied length."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from rag_lakehouse_spark.operators.multimodal import (
+        _walk_zip,
+        synth_zip_bytes,
+    )
+
+    entry = st.tuples(
+        st.integers(min_value=0, max_value=12),  # name suffix length
+        st.binary(max_size=120),
+        st.booleans(),
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.lists(entry, min_size=1, max_size=5),
+        st.integers(min_value=0, max_value=9),
+    )
+    def check(raw_entries, comment_len):
+        entries = [
+            (f"e{i}_" + "n" * nl + ".dat", body, stored)
+            for i, (nl, body, stored) in enumerate(raw_entries)
+        ]
+        z = synth_zip_bytes(entries, comment=b"k" * comment_len)
+        got = _walk_zip(z)
+        assert got == (
+            len(entries),
+            sum(1 for _, _, s in entries if s),
+            sum(1 for _, _, s in entries if not s),
+            sum(len(b) for _, b, _ in entries),
+            len(entries),
+            sum(len(n) for n, _, _ in entries),
+        )
+    check()
+
+
+def test_zip_walk_rejects_malformed_and_detects_corruption():
+    import pytest as _pytest
+
+    from rag_lakehouse_spark.operators.multimodal import (
+        _walk_zip,
+        synth_zip_bytes,
+    )
+
+    z = synth_zip_bytes(
+        [("a.bin", b"hello world" * 3, True), ("b.bin", b"PK\x05\x06zz", False)]
+    )
+    assert _walk_zip(z)[0] == 2
+    with _pytest.raises(NotImplementedError):
+        _walk_zip(z[: len(z) - 8])  # EOCD gone
+    with _pytest.raises(NotImplementedError):
+        _walk_zip(b"\x00" * 40)
+    # flip a payload byte: entry must drop out of n_crc_ok, not crash
+    bad = bytearray(z)
+    data_at = z.find(b"hello")
+    bad[data_at] ^= 0xFF
+    assert _walk_zip(bytes(bad))[4] == 1  # only one CRC-ok entry left
