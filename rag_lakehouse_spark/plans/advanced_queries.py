@@ -1504,3 +1504,161 @@ def events_quantile_sketch_portable(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 _registry.QUERIES["events_quantile_sketch_portable"].oracle = _qsketch_oracle()
+
+
+# --- Portable HLL set algebra: union / intersection from registers ---
+
+
+def _hll_union_oracle() -> str:
+    from rag_lakehouse_spark.operators.dedup_portable import duckdb_base60
+
+    h60 = duckdb_base60("'hll:' || CAST(user_id AS VARCHAR)")
+    est = (
+        f"CASE WHEN e_raw <= {2.5 * _HLL_M!r}e0 AND n_used < {_HLL_M} "
+        f"THEN {float(_HLL_M)!r}e0 "
+        f"* round(ln({float(_HLL_M)!r}e0 / ({_HLL_M} - n_used)), 9) "
+        f"ELSE e_raw END"
+    )
+    return f"""
+    WITH base AS (
+      SELECT event_type, user_id FROM events
+      WHERE user_id IS NOT NULL AND event_type IN ('click', 'purchase')
+        AND value >= 195
+    ), r AS (
+      SELECT event_type AS s, {h60} & 255 AS idx,
+             CASE WHEN ({h60} >> 8) = 0 THEN 53
+                  ELSE 53 - length(bin({h60} >> 8)) END AS rho
+      FROM base
+    ), regs AS (
+      SELECT s, idx, MAX(rho) AS reg_max FROM r GROUP BY s, idx
+    ), allregs AS (
+      SELECT s, idx, reg_max FROM regs
+      UNION ALL
+      SELECT 'union' AS s, idx, MAX(reg_max) AS reg_max
+      FROM regs GROUP BY idx
+    ), st AS (
+      SELECT s, CAST(COUNT(*) AS BIGINT) AS n_used,
+             CAST(SUM(CAST(1 AS BIGINT) << (53 - reg_max)) AS BIGINT)
+               AS s_present
+      FROM allregs GROUP BY s
+    ), est AS (
+      SELECT s, n_used,
+             ({_HLL_ALPHA_M2:.17e})
+               / (CAST(s_present + ({_HLL_M} - n_used) * {_POW53} AS DOUBLE)
+                  / {float(_POW53):.17e}) AS e_raw
+      FROM st
+    ), fin AS (
+      SELECT s, {est} AS est_d FROM est
+    ), ex AS (
+      SELECT CAST(COUNT(DISTINCT CASE WHEN event_type = 'click'
+                                      THEN user_id END) AS BIGINT)
+               AS exact_a,
+             CAST(COUNT(DISTINCT CASE WHEN event_type = 'purchase'
+                                      THEN user_id END) AS BIGINT)
+               AS exact_b,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_union
+      FROM base
+    )
+    SELECT a.est_d AS est_a, b.est_d AS est_b, u.est_d AS est_union,
+           (a.est_d + b.est_d) - u.est_d AS est_intersection,
+           x.exact_a, x.exact_b, x.exact_union,
+           (x.exact_a + x.exact_b) - x.exact_union AS exact_intersection,
+           (u.est_d - x.exact_union) / x.exact_union AS rel_error_union
+    FROM (SELECT est_d FROM fin WHERE s = 'click') a,
+         (SELECT est_d FROM fin WHERE s = 'purchase') b,
+         (SELECT est_d FROM fin WHERE s = 'union') u, ex x
+    """
+
+
+@register(
+    "events_hll_union_portable",
+    oracle=None,  # set below (builder needs module constants)
+    tags=("agg", "approx", "sketch", "portable-twin", "set-algebra"),
+)
+def events_hll_union_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL SET ALGEBRA with the estimates externally hash-checked: the
+    property that makes sketches the 100 TB distinct-count tool is
+    that registers are MERGEABLE — the union of two user sets is
+    estimated by the element-wise MAX of their register vectors
+    without touching raw data, and intersections follow by
+    inclusion-exclusion (est_a + est_b - est_union; no register
+    operation exists for intersection — the standard sketch-algebra
+    identity, with its known error amplification on small overlaps).
+    Per the portable-twin discipline both engines replay registers,
+    union fold, both estimate branches, and the inclusion-exclusion
+    arithmetic bit-for-bit; exact distinct counts ride along so the
+    row also REPORTS the achieved union error.
+
+    Scale: the union estimate costs one 256-row max-fold over
+    per-set register tables that a streaming pipeline already
+    maintains (``events_hll_incremental``) — audience-overlap answers
+    at any segment granularity with ZERO additional scans of the
+    event log. The per-set register aggregate (≤ 2x256 rows) is
+    eagerly checkpointed before it feeds both the per-set and the
+    union estimates, so the event scan happens exactly once (the KN
+    type-table rule: checkpoint the BOUNDED aggregate, never re-plan
+    the corpus).
+
+    Reference parity: beyond the reference (no sketch surface);
+    sketch-first serving for the analytics dashboards its API
+    (src/api.py:10-84) would front at scale."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.filter(
+        F.col("user_id").isNotNull()
+        & F.col("event_type").isin("click", "purchase")
+        & (F.col("value") >= 195)
+    )
+    regs = (
+        hll_register_rows(base)
+        .groupBy("event_type", "idx")
+        .agg(F.max("rho").alias("reg_max"))
+        .localCheckpoint(eager=True)
+    )
+    union_regs = (
+        regs.groupBy("idx")
+        .agg(F.max("reg_max").alias("reg_max"))
+        .select(F.lit("union").alias("event_type"), "idx", "reg_max")
+    )
+    est = hll_estimates(regs.unionByName(union_regs))
+    pick = lambda s: F.max(  # noqa: E731 — 3-row pivot
+        F.when(F.col("event_type") == s, F.col("est_distinct"))
+    )
+    piv = est.groupBy().agg(
+        pick("click").alias("est_a"),
+        pick("purchase").alias("est_b"),
+        pick("union").alias("est_union"),
+    )
+    ex = base.groupBy().agg(
+        F.count_distinct(
+            F.when(F.col("event_type") == "click", F.col("user_id"))
+        )
+        .cast("bigint")
+        .alias("exact_a"),
+        F.count_distinct(
+            F.when(F.col("event_type") == "purchase", F.col("user_id"))
+        )
+        .cast("bigint")
+        .alias("exact_b"),
+        F.count_distinct("user_id").cast("bigint").alias("exact_union"),
+    )
+    return piv.crossJoin(F.broadcast(ex)).select(
+        "est_a",
+        "est_b",
+        "est_union",
+        ((F.col("est_a") + F.col("est_b")) - F.col("est_union")).alias(
+            "est_intersection"
+        ),
+        "exact_a",
+        "exact_b",
+        "exact_union",
+        ((F.col("exact_a") + F.col("exact_b")) - F.col("exact_union")).alias(
+            "exact_intersection"
+        ),
+        (
+            (F.col("est_union") - F.col("exact_union"))
+            / F.col("exact_union")
+        ).alias("rel_error_union"),
+    )
+
+
+_registry.QUERIES["events_hll_union_portable"].oracle = _hll_union_oracle()

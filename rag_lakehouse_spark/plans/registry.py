@@ -70,6 +70,7 @@ _PRIORITY: tuple[str, ...] = (
     # ann_portable_recall_report gained the graph rung row) --
     "media_warc_records",
     "media_zip_entries",
+    "events_hll_union_portable",
     "media_png_pixels",
     "media_jpeg_metadata",
     "text_quality_classifier",

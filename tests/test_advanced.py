@@ -71,3 +71,51 @@ def test_approx_distinct_within_bounds(spark, sf_dir):
     ).collect()[0]
     assert abs(approx.o - exact.o) / exact.o < 0.1
     assert abs(approx.p - exact.p) / exact.p < 0.1
+
+
+def test_hll_union_registers_mergeable(spark):
+    """The set-algebra identity behind events_hll_union_portable: the
+    element-wise MAX of two sets' register vectors must equal the
+    registers computed from the concatenated raw rows — i.e. the union
+    estimate never needs a second pass over the data. Also pins the
+    inclusion-exclusion arithmetic against a direct union estimate."""
+    from rag_lakehouse_spark.plans.advanced_queries import (
+        hll_estimates,
+        hll_register_rows,
+    )
+
+    a = spark.createDataFrame(
+        [("a", i) for i in range(40)], "event_type string, user_id long"
+    )
+    b = spark.createDataFrame(
+        [("b", i) for i in range(25, 90)], "event_type string, user_id long"
+    )
+    regs = (
+        hll_register_rows(a.unionByName(b))
+        .groupBy("event_type", "idx")
+        .agg(F.max("rho").alias("reg_max"))
+    )
+    merged = (
+        regs.groupBy("idx")
+        .agg(F.max("reg_max").alias("reg_max"))
+        .select(F.lit("u").alias("event_type"), "idx", "reg_max")
+    )
+    direct = (
+        hll_register_rows(
+            a.unionByName(b).withColumn("event_type", F.lit("u"))
+        )
+        .groupBy("event_type", "idx")
+        .agg(F.max("rho").alias("reg_max"))
+    )
+    m_rows = {(r.idx, r.reg_max) for r in merged.collect()}
+    d_rows = {(r.idx, r.reg_max) for r in direct.collect()}
+    assert m_rows == d_rows  # max-merge == recompute-from-raw
+    est = {
+        r.event_type: r.est_distinct
+        for r in hll_estimates(regs.unionByName(merged)).collect()
+    }
+    assert est["u"] == pytest.approx(90, rel=0.25)
+    # inclusion-exclusion intersection ~ |25..39| = 15 (loose: error
+    # amplifies on small overlaps — the documented caveat)
+    inter = est["a"] + est["b"] - est["u"]
+    assert 0 < inter < 40
