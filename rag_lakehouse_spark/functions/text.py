@@ -200,3 +200,30 @@ def stopword_count(toks: Column, words: tuple[str, ...] = STOPWORDS_EN) -> Colum
 def duckdb_stopword_count(toks: str, words: tuple[str, ...] = STOPWORDS_EN) -> str:
     in_list = ", ".join(f"'{w}'" for w in words)
     return f"len(list_filter({toks}, t -> t IN ({in_list})))"
+
+
+# --- Encoding-health predicates (mojibake / replacement / raw control) ---
+# The detector regexes are REAL (they run over the actual text); the
+# oracled query injects known defects from closed doc_id formulas and
+# the oracle recomputes counts from those formulas -- a detector with a
+# false positive or negative on this corpus breaks the hash. Markers:
+# U+FFFD (a decoder already gave up), the classic UTF-8-bytes-read-as
+# -cp1252 digraphs (\u00e2\u20ac as in "\u00e2\u20ac\u2122", or
+# \u00c3/\u00c2 followed by another non-ASCII Latin-1 char), and raw
+# C0 control characters other than tab/newline/CR (text that reaches
+# the corpus with BEL/backspace bytes was mis-decoded upstream).
+
+_MOJIBAKE_RE = "(\u00e2\u20ac|\u00c3[\u0080-\u00bf]|\u00c2[\u00a0-\u00bf])"
+_CONTROL_RE = "[\x00-\x08\x0e-\x1f]"
+
+
+def has_replacement_char(text: Column | str) -> Column:
+    return _c(text).rlike("\ufffd")
+
+
+def has_mojibake_markers(text: Column | str) -> Column:
+    return _c(text).rlike(_MOJIBAKE_RE)
+
+
+def has_raw_control_chars(text: Column | str) -> Column:
+    return _c(text).rlike(_CONTROL_RE)

@@ -624,3 +624,83 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _registry.QUERIES["text_quality_classifier"].oracle = _quality_classifier_oracle()
+
+
+@register(
+    "text_encoding_quality",
+    oracle="""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_replacement,
+           CAST(SUM(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_mojibake,
+           CAST(SUM(CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_control,
+           CAST(SUM(CASE WHEN doc_id % 7 <> 0 AND doc_id % 5 <> 0
+                          AND doc_id % 11 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clean,
+           CAST(SUM(CASE WHEN doc_id % 7 <> 0 AND doc_id % 5 <> 0
+                          AND doc_id % 11 <> 0 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS clean_share
+    FROM documents
+    GROUP BY source
+    """,
+    tags=("quality", "text", "encoding"),
+)
+def text_encoding_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-health report -- the corpus triage a training pipeline
+    runs before tokenization: per source, how many documents carry a
+    U+FFFD replacement character (a decoder already gave up), classic
+    UTF-8-read-as-cp1252 mojibake digraphs, or raw C0 control bytes.
+    The detectors (functions/text.py: has_replacement_char /
+    has_mojibake_markers / has_raw_control_chars) are REAL regexes run
+    over the text; known defects are INJECTED from closed doc_id
+    formulas (append U+FFFD when doc_id%7==0, an \u00e2\u20ac\u2122
+    mojibake when %5==0, a BEL when %11==0 -- the synth-writer pattern
+    from the media family applied to text), and the oracle recomputes
+    every count from the formulas alone -- a detector with a false
+    positive on clean corpus text or a miss on an injected defect
+    breaks the hash.
+
+    Scale: one scan, conditional aggregates only -- the same
+    single-pass audit shape as the dq_* family; the regexes are
+    JVM-side RLIKE (no UDF).
+
+    Reference parity: the reference's silver step strips whitespace
+    variants only (jobs/silver_transformation.py:63-82); encoding
+    health is the audit it needs before multilingual scale-up."""
+    d = load_table(spark, sf_dir, "documents")
+    mut = d.withColumn(
+        "mtext",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 7 == 0, F.lit("\ufffd")).otherwise(
+                F.lit("")
+            ),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.lit("\u00e2\u20ac\u2122"),
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 11 == 0, F.lit("\x07")).otherwise(
+                F.lit("")
+            ),
+        ),
+    )
+    flags = mut.select(
+        "source",
+        TX.has_replacement_char("mtext").alias("rep"),
+        TX.has_mojibake_markers("mtext").alias("moj"),
+        TX.has_raw_control_chars("mtext").alias("ctl"),
+    )
+    clean = ~F.col("rep") & ~F.col("moj") & ~F.col("ctl")
+    return flags.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.col("rep").cast("int")).cast("bigint").alias("n_replacement"),
+        F.sum(F.col("moj").cast("int")).cast("bigint").alias("n_mojibake"),
+        F.sum(F.col("ctl").cast("int")).cast("bigint").alias("n_control"),
+        F.sum(clean.cast("int")).cast("bigint").alias("n_clean"),
+        (
+            F.sum(clean.cast("int")).cast("double") / F.count(F.lit(1))
+        ).alias("clean_share"),
+    )

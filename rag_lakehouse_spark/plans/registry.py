@@ -71,6 +71,7 @@ _PRIORITY: tuple[str, ...] = (
     "media_warc_records",
     "media_zip_entries",
     "events_hll_union_portable",
+    "text_encoding_quality",
     "media_png_pixels",
     "media_jpeg_metadata",
     "text_quality_classifier",

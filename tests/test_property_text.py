@@ -188,3 +188,46 @@ def test_vector_dot_fold_cross_engine(spark, pairs):
         con.execute(f"SELECT i, {VEC.duckdb_dot('a', 'b')} FROM t").fetchall()
     )
     assert got == want
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(max_codepoint=0x2FFF, blacklist_categories=("Cs", "Cn")),
+            max_size=30,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_encoding_predicates_match_python_referee(spark, batch):
+    """The encoding-health predicates (text_encoding_quality's
+    detectors) vs pure-Python referees over fuzzed strings INCLUDING
+    control characters (Cc deliberately allowed): the Java-regex
+    semantics must agree with a character-level definition of each
+    defect class."""
+    import re as _re
+
+    def ref_rep(s):
+        return "\ufffd" in s
+
+    _moj = _re.compile(
+        "(\u00e2\u20ac|\u00c3[\u0080-\u00bf]|\u00c2[\u00a0-\u00bf])"
+    )
+
+    def ref_moj(s):
+        return _moj.search(s) is not None
+
+    def ref_ctl(s):
+        return any("\x00" <= c <= "\x08" or "\x0e" <= c <= "\x1f" for c in s)
+
+    got = _spark_rows(
+        spark,
+        batch,
+        TX.has_replacement_char("text"),
+        TX.has_mojibake_markers("text"),
+        TX.has_raw_control_chars("text"),
+    )
+    for i, s in enumerate(batch):
+        assert got[i] == (ref_rep(s), ref_moj(s), ref_ctl(s)), (i, repr(s))
