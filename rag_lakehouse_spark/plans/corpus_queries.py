@@ -1957,3 +1957,84 @@ from rag_lakehouse_spark.plans import registry as _registry2  # noqa: E402
 _registry2.QUERIES["corpus_sample_incremental"].oracle = _registry2.QUERIES[
     "corpus_weighted_sample"
 ].oracle
+
+
+@register(
+    "corpus_domain_blocklist",
+    oracle="""
+    WITH urls AS (
+      SELECT doc_id, n_chars,
+             CASE WHEN doc_id % 4 = 1 THEN 'sub.' ELSE '' END
+               || 'h' || CAST(doc_id % 23 AS VARCHAR)
+               || CASE WHEN doc_id % 6 = 0 THEN '.spam.example'
+                       ELSE '.example' END AS host
+      FROM documents
+    ), bl AS (
+      SELECT 'spam.example' AS domain UNION ALL SELECT 'h7.example'
+    ), verdicts AS (
+      SELECT u.doc_id, u.n_chars, u.host, b.domain
+      FROM urls u LEFT JOIN bl b
+        ON u.host = b.domain OR u.host LIKE '%.' || b.domain
+    )
+    SELECT COALESCE(domain, 'allowed') AS reason,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts
+    FROM verdicts
+    GROUP BY COALESCE(domain, 'allowed')
+    """,
+    tags=("corpus", "filter", "governance", "join"),
+)
+def corpus_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL/domain blocklist filtering — the C4/RefinedWeb stage that
+    drops documents from banned hosts BEFORE any text processing
+    spends compute on them. Hosts are synthesized from closed doc_id
+    formulas (subdomain and spam-TLD variants included); the block
+    rule is the registrable-suffix convention: a listed domain bans
+    the exact host AND every subdomain (``host == domain OR host
+    endswith '.' || domain`` — the endswith guard keeps
+    ``notspam.example`` safe from a ``spam.example`` listing, which
+    substring matching gets wrong). Output: per block-reason (or
+    'allowed') document counts, char mass, and distinct hosts — the
+    governance sheet a corpus release attaches.
+
+    Scale: the blocklist is a BROADCAST literal table (real lists are
+    ~100k rows, still broadcast-size); the non-equi suffix match is a
+    BroadcastNestedLoopJoin, map-only over the corpus — no shuffle
+    until the bounded per-reason aggregate. At real registrable-suffix
+    granularity the equi-join form (extract eTLD+1, hash-join) is the
+    100x-list fallback; the suffix form here also covers multi-label
+    listings that eTLD+1 extraction cannot express.
+
+    Reference parity: the reference scrapes a fixed allowlisted site
+    (jobs/scraper.py:33); blocklisting is the inverse control a
+    multi-source crawl needs."""
+    d = load_table(spark, sf_dir, "documents")
+    urls = d.select(
+        "doc_id",
+        "n_chars",
+        F.concat(
+            F.when(F.col("doc_id") % 4 == 1, F.lit("sub.")).otherwise(
+                F.lit("")
+            ),
+            F.lit("h"),
+            (F.col("doc_id") % 23).cast("string"),
+            F.when(
+                F.col("doc_id") % 6 == 0, F.lit(".spam.example")
+            ).otherwise(F.lit(".example")),
+        ).alias("host"),
+    )
+    bl = spark.createDataFrame(
+        [("spam.example",), ("h7.example",)], "domain string"
+    )
+    cond = (F.col("host") == F.col("domain")) | F.col("host").endswith(
+        F.concat(F.lit("."), F.col("domain"))
+    )
+    verdicts = urls.join(F.broadcast(bl), cond, "left")
+    return verdicts.groupBy(
+        F.coalesce(F.col("domain"), F.lit("allowed")).alias("reason")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.count_distinct("host").cast("bigint").alias("n_hosts"),
+    )

@@ -72,6 +72,7 @@ _PRIORITY: tuple[str, ...] = (
     "media_zip_entries",
     "events_hll_union_portable",
     "text_encoding_quality",
+    "corpus_domain_blocklist",
     "media_png_pixels",
     "media_jpeg_metadata",
     "text_quality_classifier",

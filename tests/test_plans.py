@@ -527,3 +527,18 @@ def test_eval_metrics_graded_matches_python_referee(spark):
             assert gndcg == pytest.approx(ndcg, rel=1e-12), (qid, hits, n1, n2)
 
     check()
+
+
+def test_domain_blocklist_broadcast_nested_loop(spark, sf_dir):
+    """corpus_domain_blocklist: the suffix-rule blocklist must arrive
+    as a broadcast (BroadcastNestedLoopJoin BuildRight) with no
+    cartesian product and no corpus-side exchange below the join —
+    the scan is map-only until the bounded per-reason aggregate."""
+    plan = plan_of("corpus_domain_blocklist", spark, sf_dir)
+    assert "BroadcastNestedLoopJoin BuildRight" in plan
+    assert "CartesianProduct" not in plan
+    join_at = plan.index("BroadcastNestedLoopJoin")
+    below = plan[join_at:]
+    # below the join: only the blocklist's BroadcastExchange, never a
+    # hashpartitioning exchange of the corpus
+    assert "hashpartitioning" not in below
