@@ -1662,3 +1662,165 @@ def events_hll_union_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _registry.QUERIES["events_hll_union_portable"].oracle = _hll_union_oracle()
+
+
+def _qsketch_merged_oracle() -> str:
+    picks_est = ", ".join(
+        f"MIN(CASE WHEN cum >= (n * {pct} + 99) // 100 THEN ekey END)"
+        f" AS k_{nm}"
+        for nm, pct in _QSK_RANKS
+    )
+    picks_ex = ", ".join(
+        f"MIN(CASE WHEN cumq >= (nq * {pct} + 99) // 100 THEN q END)"
+        f" AS x_{nm}"
+        for nm, pct in _QSK_RANKS
+    )
+    outs = ", ".join(
+        f"CAST((k_{nm} % 64) << greatest(CAST(k_{nm} // 64 AS INT) - 5, 0)"
+        f"     AS DOUBLE) / 1e2 AS {nm}_est,\n"
+        f"           CAST(x_{nm} AS DOUBLE) / 1e2 AS {nm}_exact,\n"
+        f"           (CAST((k_{nm} % 64) << greatest(CAST(k_{nm} // 64 AS INT)"
+        f" - 5, 0) AS DOUBLE) - CAST(x_{nm} AS DOUBLE)) / CAST(x_{nm} AS DOUBLE)"
+        f" AS {nm}_rel_err"
+        for nm, pct in _QSK_RANKS
+    )
+    return f"""
+    WITH base AS (
+      SELECT event_type, CAST(floor(value * 1e2) AS BIGINT) AS q
+      FROM events WHERE value IS NOT NULL AND value >= 0e0
+    ), hb AS (
+      SELECT event_type,
+             length(bin(q)) * 64
+               + (q >> greatest(length(bin(q)) - 5, 0)) AS ekey,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM base GROUP BY 1, 2
+    ), merged AS (
+      SELECT ekey, CAST(SUM(c) AS BIGINT) AS c FROM hb GROUP BY ekey
+    ), hw AS (
+      SELECT ekey, c,
+             SUM(c) OVER (ORDER BY ekey ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(c) OVER () AS n
+      FROM merged
+    ), est AS (
+      SELECT CAST(MAX(n) AS BIGINT) AS n, {picks_est} FROM hw
+    ), qb AS (
+      SELECT q, CAST(COUNT(*) AS BIGINT) AS c FROM base GROUP BY q
+    ), qw AS (
+      SELECT q, c,
+             SUM(c) OVER (ORDER BY q ROWS UNBOUNDED PRECEDING) AS cumq,
+             SUM(c) OVER () AS nq
+      FROM qb
+    ), ex AS (
+      SELECT {picks_ex} FROM qw
+    ), tm AS (
+      SELECT CAST(COUNT(DISTINCT event_type) AS INT) AS n_types_merged
+      FROM base
+    )
+    SELECT tm.n_types_merged, est.n, {outs}
+    FROM est, ex, tm
+    """
+
+
+@register(
+    "events_quantile_sketch_merged",
+    oracle=None,  # set below (shares the rank machinery)
+    tags=("agg", "approx", "sketch", "portable-twin", "set-algebra"),
+)
+def events_quantile_sketch_merged(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Quantile-sketch MERGE with the merged estimates externally
+    hash-checked — the mergeability half of the DDSketch-style story
+    (``events_quantile_sketch_portable`` is the build half): per-type
+    log-bucket tables (the per-segment sketch artifacts a pipeline
+    maintains) are merged into one global sketch by SUMMING bucket
+    counts — never re-touching raw rows — and the global p50/p90/p99
+    read off the merged walk. The oracle computes the global quantiles
+    DIRECTLY from raw values, so the hash check proves the sketch-
+    algebra identity: merge-of-partials == build-over-union, the
+    property that lets 1000 executors sketch independently and a
+    coordinator fold 64x16-bucket tables instead of re-scanning
+    100 TB. Exact global quantiles ride along for the achieved-error
+    columns.
+
+    Scale: the merge input is |types| x ≤1k bucket rows; the merged
+    walk windows over ≤1k rows with no partition — bounded whatever
+    the data. The raw-value exact side exists only for the error
+    report and drops for sketch-only serving."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.filter(
+        F.col("value").isNotNull() & (F.col("value") >= 0.0)
+    ).select(
+        "event_type",
+        F.floor(F.col("value") * F.lit(100.0)).cast("bigint").alias("q"),
+    )
+    e = F.length(F.bin("q"))
+    ekey = (
+        e.cast("bigint") * 64
+        + F.expr("shiftright(q, greatest(CAST(length(bin(q)) AS INT) - 5, 0))")
+    )
+    hb = (
+        base.select("event_type", ekey.alias("ekey"))
+        .groupBy("event_type", "ekey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint(eager=True)  # the bounded per-segment sketches
+    )
+    merged = hb.groupBy("ekey").agg(F.sum("c").cast("bigint").alias("c"))
+    wwalk = W.orderBy("ekey").rowsBetween(W.unboundedPreceding, W.currentRow)
+    hw = merged.select(
+        "ekey",
+        F.sum("c").over(wwalk).alias("cum"),
+        F.sum("c").over(W.partitionBy()).alias("n"),
+    )
+    est = hw.groupBy().agg(
+        F.max("n").cast("bigint").alias("n"),
+        *[
+            F.min(
+                F.when(
+                    F.col("cum") >= F.expr(f"(n * {pct} + 99) DIV 100"),
+                    F.col("ekey"),
+                )
+            ).alias(f"k_{nm}")
+            for nm, pct in _QSK_RANKS
+        ],
+    )
+    qb = base.groupBy("q").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    qwalk = W.orderBy("q").rowsBetween(W.unboundedPreceding, W.currentRow)
+    qw = qb.select(
+        "q",
+        F.sum("c").over(qwalk).alias("cumq"),
+        F.sum("c").over(W.partitionBy()).alias("nq"),
+    )
+    ex = qw.groupBy().agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("cumq") >= F.expr(f"(nq * {pct} + 99) DIV 100"),
+                    F.col("q"),
+                )
+            ).alias(f"x_{nm}")
+            for nm, pct in _QSK_RANKS
+        ]
+    )
+    tm = hb.groupBy().agg(
+        F.count_distinct("event_type").cast("int").alias("n_types_merged")
+    )
+    j = est.crossJoin(F.broadcast(ex)).crossJoin(F.broadcast(tm))
+    cols = ["n_types_merged", "n"]
+    for nm, _pct in _QSK_RANKS:
+        lb = F.expr(
+            f"CAST(shiftleft(k_{nm} % 64,"
+            f" greatest(CAST(k_{nm} DIV 64 AS INT) - 5, 0)) AS DOUBLE)"
+        )
+        exv = F.col(f"x_{nm}").cast("double")
+        cols += [
+            (lb / F.lit(100.0)).alias(f"{nm}_est"),
+            (exv / F.lit(100.0)).alias(f"{nm}_exact"),
+            ((lb - exv) / exv).alias(f"{nm}_rel_err"),
+        ]
+    return j.select(*cols)
+
+
+_registry.QUERIES["events_quantile_sketch_merged"].oracle = (
+    _qsketch_merged_oracle()
+)

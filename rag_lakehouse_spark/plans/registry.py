@@ -73,6 +73,7 @@ _PRIORITY: tuple[str, ...] = (
     "events_hll_union_portable",
     "text_encoding_quality",
     "corpus_domain_blocklist",
+    "events_quantile_sketch_merged",
     "media_png_pixels",
     "media_jpeg_metadata",
     "text_quality_classifier",
