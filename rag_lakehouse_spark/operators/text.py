@@ -185,3 +185,33 @@ def strip_boilerplate(
         (F.col("n_lines") - F.coalesce(F.col("n_kept"), F.lit(0))).alias("n_stripped"),
         F.coalesce(F.col("cleaned"), F.lit("")).alias("cleaned"),
     )
+
+
+def encoding_defect_flags(df: DataFrame) -> DataFrame:
+    """(source, rep, moj, ctl) per document — the SHARED inject+detect
+    step of the encoding-health family (``text_encoding_quality`` and
+    its streaming twin fold the same flags, so batch and maintained
+    counters cannot drift). Requires (doc_id, text, source). Known
+    defects are injected from closed doc_id formulas (U+FFFD when
+    doc_id%7==0, a UTF-8-as-cp1252 mojibake digraph when %5==0, a BEL
+    when %11==0 — the media synth-writer pattern applied to text); the
+    detectors are the REAL regexes from functions.text, so the oracled
+    counts check the detectors, not the injection."""
+    mut = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("�")).otherwise(
+            F.lit("")
+        ),
+        F.when(
+            F.col("doc_id") % 5 == 0, F.lit("â€™")
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 11 == 0, F.lit("\x07")).otherwise(
+            F.lit("")
+        ),
+    )
+    return df.select(
+        "source",
+        TX.has_replacement_char(mut).alias("rep"),
+        TX.has_mojibake_markers(mut).alias("moj"),
+        TX.has_raw_control_chars(mut).alias("ctl"),
+    )

@@ -626,9 +626,7 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 _registry.QUERIES["text_quality_classifier"].oracle = _quality_classifier_oracle()
 
 
-@register(
-    "text_encoding_quality",
-    oracle="""
+_ENCODING_ORACLE = """
     SELECT source,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT)
@@ -645,7 +643,12 @@ _registry.QUERIES["text_quality_classifier"].oracle = _quality_classifier_oracle
              / COUNT(*) AS clean_share
     FROM documents
     GROUP BY source
-    """,
+    """
+
+
+@register(
+    "text_encoding_quality",
+    oracle=_ENCODING_ORACLE,
     tags=("quality", "text", "encoding"),
 )
 def text_encoding_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -670,29 +673,10 @@ def text_encoding_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference parity: the reference's silver step strips whitespace
     variants only (jobs/silver_transformation.py:63-82); encoding
     health is the audit it needs before multilingual scale-up."""
+    from rag_lakehouse_spark.operators.text import encoding_defect_flags
+
     d = load_table(spark, sf_dir, "documents")
-    mut = d.withColumn(
-        "mtext",
-        F.concat(
-            F.col("text"),
-            F.when(F.col("doc_id") % 7 == 0, F.lit("\ufffd")).otherwise(
-                F.lit("")
-            ),
-            F.when(
-                F.col("doc_id") % 5 == 0,
-                F.lit("\u00e2\u20ac\u2122"),
-            ).otherwise(F.lit("")),
-            F.when(F.col("doc_id") % 11 == 0, F.lit("\x07")).otherwise(
-                F.lit("")
-            ),
-        ),
-    )
-    flags = mut.select(
-        "source",
-        TX.has_replacement_char("mtext").alias("rep"),
-        TX.has_mojibake_markers("mtext").alias("moj"),
-        TX.has_raw_control_chars("mtext").alias("ctl"),
-    )
+    flags = encoding_defect_flags(d)
     clean = ~F.col("rep") & ~F.col("moj") & ~F.col("ctl")
     return flags.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
@@ -704,3 +688,67 @@ def text_encoding_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(clean.cast("int")).cast("double") / F.count(F.lit(1))
         ).alias("clean_share"),
     )
+
+
+@register(
+    "text_encoding_incremental",
+    oracle=_ENCODING_ORACLE,  # shared with the batch twin
+    tags=("quality", "text", "encoding", "streaming"),
+)
+def text_encoding_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The encoding-health report served from STREAMING-MAINTAINED
+    counters — the TENTH incremental-index family: documents replay
+    through an availableNow file stream (4 files, ≥4 micro-batches),
+    each batch folding its per-source counter partials into versioned
+    state via the rollup sink's fold machinery. The inject+detect step
+    is the SAME function the batch report aggregates
+    (``operators.text.encoding_defect_flags``), counter SUMS are
+    mergeable, and the fold watermark makes at-least-once replay
+    exactly-once (SUM merge class), so the maintained counters equal
+    the one-shot report however ingestion was batched — the SHARED
+    oracle hash-checks it externally. State is compacted post-stream
+    and served from the post-compaction read (same contract as
+    ``events_hll_incremental``).
+
+    Scale: per-increment cost is one micro-batch regex scan + a
+    |sources|-row state merge; history text is never re-scanned —
+    continuous encoding-health monitoring for a crawl firehose."""
+    import os
+    import shutil
+    import tempfile
+
+    from rag_lakehouse_spark.streaming.rollup_sink import (
+        compact_fold_state,
+        maintain_encoding_counters,
+        read_encoding_counters,
+    )
+
+    base = tempfile.mkdtemp(prefix="rls_enc_stream_")
+    try:
+        src = os.path.join(base, "documents")
+        d = load_table(spark, sf_dir, "documents")
+        d.select("doc_id", "text", "source").repartition(4).write.mode(
+            "overwrite"
+        ).parquet(src)
+        stream = (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        state = os.path.join(base, "encoding_counters")
+        maintain_encoding_counters(spark, stream, state).awaitTermination()
+        assert compact_fold_state(spark, state)  # offline maintenance
+        counters = read_encoding_counters(spark, state)
+        return counters.select(
+            "source",
+            "n_docs",
+            "n_replacement",
+            "n_mojibake",
+            "n_control",
+            "n_clean",
+            (
+                F.col("n_clean").cast("double") / F.col("n_docs")
+            ).alias("clean_share"),
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

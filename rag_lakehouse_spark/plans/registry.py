@@ -74,6 +74,7 @@ _PRIORITY: tuple[str, ...] = (
     "text_encoding_quality",
     "corpus_domain_blocklist",
     "events_quantile_sketch_merged",
+    "text_encoding_incremental",
     "media_png_pixels",
     "media_jpeg_metadata",
     "text_quality_classifier",

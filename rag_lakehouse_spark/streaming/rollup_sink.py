@@ -700,3 +700,84 @@ def read_weighted_sample(spark: SparkSession, state_path: str) -> DataFrame:
     if state is None:
         raise FileNotFoundError(f"no weighted-sample state at {state_path}")
     return state.select("doc_id", "n_chars", "sample_key")
+
+
+def _encoding_partials(df: DataFrame) -> DataFrame:
+    """Micro-batch of (doc_id, text, source) → per-source encoding
+    counter partials via the SAME inject+detect step the batch report
+    aggregates (``operators.text.encoding_defect_flags`` — one
+    definition, so batch and maintained counters cannot diverge)."""
+    from rag_lakehouse_spark.operators.text import encoding_defect_flags
+
+    flags = encoding_defect_flags(df)
+    clean = ~F.col("rep") & ~F.col("moj") & ~F.col("ctl")
+    return flags.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.col("rep").cast("int")).cast("bigint").alias("n_replacement"),
+        F.sum(F.col("moj").cast("int")).cast("bigint").alias("n_mojibake"),
+        F.sum(F.col("ctl").cast("int")).cast("bigint").alias("n_control"),
+        F.sum(clean.cast("int")).cast("bigint").alias("n_clean"),
+    )
+
+
+def _encoding_merge(prev: DataFrame, batch: DataFrame) -> DataFrame:
+    return (
+        prev.unionByName(batch)
+        .groupBy("source")
+        .agg(
+            *[
+                F.sum(c).cast("bigint").alias(c)
+                for c in (
+                    "n_docs",
+                    "n_replacement",
+                    "n_mojibake",
+                    "n_control",
+                    "n_clean",
+                )
+            ]
+        )
+    )
+
+
+def maintain_encoding_counters(
+    spark: SparkSession, docs_stream: DataFrame, state_path: str
+):
+    """Fold each micro-batch's per-source encoding-health counters into
+    the versioned state table — the TENTH incremental-index family.
+    Counter SUMS are mergeable and the fold-watermark makes the
+    at-least-once replay exactly-once (SUM merge class: watermarked,
+    NOT naturally idempotent — same replay contract as the CMS/daily
+    counters), so the maintained counters equal the one-shot batch
+    report however ingestion was batched — which is what lets
+    ``text_encoding_incremental`` share the batch twin's oracle. State
+    is bounded at |sources| rows regardless of corpus size."""
+    ckpt = state_path + "_ckpt"
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        fold_batch(
+            spark,
+            state_path,
+            batch_df,
+            batch_id,
+            _ckpt_query_id(ckpt),
+            partial_fn=_encoding_partials,
+            merge_fn=_encoding_merge,
+        )
+
+    return (
+        docs_stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_encoding_counters(spark: SparkSession, state_path: str) -> DataFrame:
+    """The maintained counters as a batch DataFrame:
+    (source, n_docs, n_replacement, n_mojibake, n_control, n_clean)."""
+    state = read_state(spark, state_path)
+    if state is None:
+        raise FileNotFoundError(f"no encoding counter state at {state_path}")
+    return state.select(
+        "source", "n_docs", "n_replacement", "n_mojibake", "n_control", "n_clean"
+    )

@@ -261,6 +261,8 @@ def _fold_families(spark, sf_dir):
          docs.select("doc_id", "n_chars")),
         ("dedup", _batch_fingerprints, _merge_fingerprints,
          docs.select("doc_id", "text")),
+        ("encoding", RS._encoding_partials, RS._encoding_merge,
+         docs.select("doc_id", "text", "source")),
     ]
 
 
