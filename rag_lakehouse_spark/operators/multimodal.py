@@ -205,6 +205,90 @@ def _png_paeth(a: int, b: int, c: int) -> int:
     return c
 
 
+def _png_filter_encode(
+    payload: bytes, width: int, height: int, bpp: int
+) -> bytes:
+    """Image-order sample bytes → PNG-filtered scanlines: each row is
+    prefixed with filter type ``y % 5`` (one synthesized image
+    exercises None/Sub/Up/Average/Paeth) and filtered with the
+    bpp-lane predictors the decoder must reverse. Shared by the
+    truecolor (bpp=3), grayscale, and palette (bpp=1) writers."""
+    rb = bpp * width
+    raw = bytearray()
+    prior = [0] * rb
+    for y in range(height):
+        cur = list(payload[y * rb : (y + 1) * rb])
+        ftype = y % 5
+        raw.append(ftype)
+        for i in range(rb):
+            a = cur[i - bpp] if i >= bpp else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = a
+            elif ftype == 2:
+                pred = prior[i]
+            elif ftype == 3:
+                pred = (a + prior[i]) >> 1
+            else:
+                c = prior[i - bpp] if i >= bpp else 0
+                pred = _png_paeth(a, prior[i], c)
+            raw.append((cur[i] - pred) & 0xFF)
+        prior = cur
+    return bytes(raw)
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def synth_png_indexed_bytes(
+    width: int, height: int, palette: bytes, indices: bytes
+) -> bytes:
+    """A format-valid 8-bit PALETTE PNG (color type 3): IHDR + PLTE
+    (``palette`` = concatenated RGB triples) + filtered/deflated
+    index scanlines + IEND."""
+    import zlib
+
+    if len(indices) != width * height:
+        raise ValueError("indices length must be width * height")
+    if len(palette) % 3 or not palette:
+        raise ValueError("palette must be non-empty RGB triples")
+    ihdr = struct.pack(">II5B", width, height, 8, 3, 0, 0, 0)
+    raw = _png_filter_encode(indices, width, height, 1)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", palette)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def synth_png_gray_bytes(width: int, height: int, payload: bytes) -> bytes:
+    """A format-valid 8-bit GRAYSCALE PNG (color type 0) with the
+    same y%5 filter cycling as the other writers."""
+    import zlib
+
+    if len(payload) != width * height:
+        raise ValueError("payload length must be width * height")
+    ihdr = struct.pack(">II5B", width, height, 8, 0, 0, 0, 0)
+    raw = _png_filter_encode(payload, width, height, 1)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
 def _decode_png_pixels(content: bytes) -> tuple[int, int, "np.ndarray"]:
     """(width, height, uint8 array of shape (h, w, 3) in R,G,B channel
     order, rows TOP-DOWN) — a REAL PNG pixel decode, pure stdlib+numpy
@@ -212,18 +296,21 @@ def _decode_png_pixels(content: bytes) -> tuple[int, int, "np.ndarray"]:
     and the five scanline filters (None/Sub/Up/Average/Paeth) are
     reversed per row, so after BMP and GIF-LZW this closes the last
     mainstream lossless image container decodable without a codec
-    library. Supports 8-bit truecolor (color type 2, the synth
-    writer's layout); palette/alpha/16-bit color types, Adam7
-    interlace, bad chunk CRCs, undefined filter bytes, and
-    short/truncated pixel data all raise NotImplementedError per the
-    malformed-input contract (PIL swaps in behind the same seam for
-    the rest of the matrix)."""
+    library. Supports 8-bit truecolor (color type 2), grayscale
+    (type 0, expanded to R=G=B), and palette (type 3, mapped through
+    PLTE) — r12 widened the original truecolor-only decode, so the
+    filter lanes are exercised at both bpp=3 and bpp=1; alpha/16-bit
+    color types, Adam7 interlace, bad chunk CRCs, undefined filter
+    bytes, out-of-palette indices, and short/truncated pixel data all
+    raise NotImplementedError per the malformed-input contract (PIL
+    swaps in behind the same seam for the rest of the matrix)."""
     import zlib
 
     if content[:8] != b"\x89PNG\r\n\x1a\n" or len(content) < 33:
         raise NotImplementedError("not a PNG stream")
-    pos, w = 8, None
+    pos, w, color = 8, None, None
     idat = bytearray()
+    plte: bytes | None = None
     saw_iend = False
     while pos + 12 <= len(content):
         (clen,) = struct.unpack(">I", content[pos : pos + 4])
@@ -240,12 +327,16 @@ def _decode_png_pixels(content: bytes) -> tuple[int, int, "np.ndarray"]:
             w, h, depth, color, comp, filt, interlace = struct.unpack(
                 ">II5B", body
             )
-            if (depth, color, comp, filt) != (8, 2, 0, 0):
+            if depth != 8 or comp != 0 or filt != 0 or color not in (0, 2, 3):
                 raise NotImplementedError(
-                    "PNG pixel decode supports 8-bit truecolor only"
+                    "PNG pixel decode supports 8-bit gray/truecolor/palette"
                 )
             if interlace:
                 raise NotImplementedError("Adam7 interlace not supported")
+        elif ctype == b"PLTE":
+            if clen % 3 or clen == 0:
+                raise NotImplementedError("bad PLTE length")
+            plte = bytes(body)
         elif ctype == b"IDAT":
             idat += body
         elif ctype == b"IEND":
@@ -254,11 +345,14 @@ def _decode_png_pixels(content: bytes) -> tuple[int, int, "np.ndarray"]:
         pos += 12 + clen
     if w is None or not idat or not saw_iend:
         raise NotImplementedError("PNG missing IHDR, IDAT, or IEND")
+    if color == 3 and plte is None:
+        raise NotImplementedError("palette PNG missing PLTE")
     try:
         raw = zlib.decompress(bytes(idat))
     except zlib.error as exc:
         raise NotImplementedError(f"IDAT inflate failed: {exc}") from exc
-    rb = 3 * w  # bytes per scanline after the filter byte
+    bpp = 3 if color == 2 else 1
+    rb = bpp * w  # bytes per scanline after the filter byte
     if len(raw) != h * (rb + 1):
         raise NotImplementedError("inflated size disagrees with IHDR dims")
     lines = np.frombuffer(raw, dtype=np.uint8).reshape(h, rb + 1)
@@ -271,23 +365,30 @@ def _decode_png_pixels(content: bytes) -> tuple[int, int, "np.ndarray"]:
             rec = cur
         elif ftype == 2:  # Up — vectorized across the row
             rec = (cur + prior) & 0xFF
-        elif ftype == 1:  # Sub: a per-channel-lane prefix sum mod 256
-            rec = (np.cumsum(cur.reshape(w, 3), axis=0) & 0xFF).reshape(rb)
+        elif ftype == 1:  # Sub: a per-sample-lane prefix sum mod 256
+            rec = (np.cumsum(cur.reshape(w, bpp), axis=0) & 0xFF).reshape(rb)
         elif ftype in (3, 4):  # Average/Paeth: inherently serial in x
             rec = np.zeros(rb, dtype=np.int64)
             for i in range(rb):
-                a = rec[i - 3] if i >= 3 else 0
+                a = rec[i - bpp] if i >= bpp else 0
                 if ftype == 3:
                     pred = (a + prior[i]) >> 1
                 else:
-                    c = prior[i - 3] if i >= 3 else 0
+                    c = prior[i - bpp] if i >= bpp else 0
                     pred = _png_paeth(int(a), int(prior[i]), int(c))
                 rec[i] = (cur[i] + pred) & 0xFF
         else:
             raise NotImplementedError(f"undefined PNG filter type {ftype}")
         img[y] = rec.astype(np.uint8)
         prior = rec
-    return int(w), int(h), img.reshape(h, w, 3)
+    if color == 2:
+        return int(w), int(h), img.reshape(h, w, 3)
+    if color == 0:  # grayscale → R=G=B
+        return int(w), int(h), np.repeat(img.reshape(h, w, 1), 3, axis=2)
+    pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+    if int(img.max(initial=0)) >= pal.shape[0]:
+        raise NotImplementedError("PNG palette index out of range")
+    return int(w), int(h), pal[img.reshape(h, w)]
 
 
 IMAGE_PIXEL_SCHEMA = T.StructType(
@@ -583,32 +684,11 @@ def synth_media_bytes(
         # reverse exactly this.
         if len(payload) != 3 * width * height:
             raise ValueError("payload length must be 3 * width * height")
-        rb = 3 * width
-        raw = bytearray()
-        prior = [0] * rb
-        for y in range(height):
-            cur = list(payload[y * rb : (y + 1) * rb])
-            ftype = y % 5
-            raw.append(ftype)
-            for i in range(rb):
-                a = cur[i - 3] if i >= 3 else 0
-                if ftype == 0:
-                    pred = 0
-                elif ftype == 1:
-                    pred = a
-                elif ftype == 2:
-                    pred = prior[i]
-                elif ftype == 3:
-                    pred = (a + prior[i]) >> 1
-                else:
-                    c = prior[i - 3] if i >= 3 else 0
-                    pred = _png_paeth(a, prior[i], c)
-                raw.append((cur[i] - pred) & 0xFF)
-            prior = cur
+        raw = _png_filter_encode(payload, width, height, 3)
         return (
             b"\x89PNG\r\n\x1a\n"
             + chunk(b"IHDR", ihdr_body)
-            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IDAT", zlib.compress(raw))
             + chunk(b"IEND", b"")
         )
     if kind == "bmp":

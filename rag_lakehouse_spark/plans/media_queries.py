@@ -1180,3 +1180,110 @@ def media_zip_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
         max(spark.sparkContext.defaultParallelism, 1)
     )
     return fanned.mapInPandas(build, schema)
+
+
+@register(
+    "media_png_palette_pixels",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id AS media_id,
+             CAST(12 + doc_id % 24 AS INT) AS w,
+             CAST(6 + doc_id % 12 AS INT) AS h
+      FROM documents WHERE doc_id % 4 = 2
+    ), el AS (
+      SELECT media_id, w, h,
+             unnest(generate_series(0, w * h * 3 - 1)) AS pos
+      FROM p
+    ), px AS (
+      SELECT media_id, w, h,
+             pos // (w * 3) AS y,
+             (pos % (w * 3)) // 3 AS x,
+             pos % 3 AS c,
+             CASE WHEN media_id % 2 = 0
+                  THEN (media_id * 5
+                        + 9 * ((media_id + 3 * (pos // (w * 3))
+                                + (pos % (w * 3)) // 3) % 16)
+                        + 11 * (pos % 3)) % 256
+                  ELSE (media_id * 7 + 5 * (pos // (w * 3))
+                        + 3 * ((pos % (w * 3)) // 3)) % 256
+             END AS v
+      FROM el
+    )
+    SELECT media_id, w AS width, h AS height,
+           CAST(w * h AS INT) AS n_pixels,
+           CAST(SUM(CASE WHEN c = 2 THEN v ELSE 0 END) AS BIGINT) AS sum_b,
+           CAST(SUM(CASE WHEN c = 1 THEN v ELSE 0 END) AS BIGINT) AS sum_g,
+           CAST(SUM(CASE WHEN c = 0 THEN v ELSE 0 END) AS BIGINT) AS sum_r,
+           CAST(SUM(y * v) AS BIGINT) AS wsum_y,
+           CAST(SUM(x * v) AS BIGINT) AS wsum_x,
+           CAST(SUM(v) AS DOUBLE) / (3 * w * h) AS mean_luma
+    FROM px GROUP BY media_id, w, h
+    """,
+    tags=("multimodal", "codec", "image", "pandas"),
+)
+def media_png_palette_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PNG PALETTE and GRAYSCALE pixel decode (r12 widening of the
+    truecolor-only ``media_png_pixels``): even-id documents synthesize
+    an 8-bit color-type-3 PNG (16-entry PLTE ``(5*id + 9p + 11c) %
+    256``, index map ``(id + 3y + x) % 16``), odd-id documents a
+    color-type-0 grayscale (``(7*id + 5y + 3x) % 256``, expanded to
+    R=G=B by the decoder) — both filtered with the same y%5 cycling,
+    so the five scanline filters are now exercised at bpp=1 where the
+    Sub/Paeth lane offset differs from truecolor's bpp=3 (the exact
+    bug class a truecolor-only test cannot see). The oracle recomputes
+    every weighted sum from the closed formulas incl. the palette
+    indirection; an index mapped through the wrong PLTE entry or a
+    mis-laned filter reversal breaks the hash.
+
+    Scale: map-only synth+decode mapInPandas, same as the truecolor
+    row; bytes never leave the executor.
+
+    Reference parity: beyond the text-only reference — palette PNGs
+    are the dominant icon/sprite class in a real crawl corpus."""
+    import numpy as np
+    import pandas as pd
+
+    from rag_lakehouse_spark.operators.multimodal import (
+        _decode_png_pixels,
+        image_pixel_features,
+        synth_png_gray_bytes,
+        synth_png_indexed_bytes,
+    )
+
+    params = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 4 == 2)
+        .select(
+            F.col("doc_id").alias("media_id"),
+            (12 + F.col("doc_id") % 24).cast("int").alias("w"),
+            (6 + F.col("doc_id") % 12).cast("int").alias("h"),
+        )
+    )
+
+    def build(batches):
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                w, h, mid = int(r.w), int(r.h), int(r.media_id)
+                ys = np.arange(h, dtype=np.int64)[:, None]
+                xs = np.arange(w, dtype=np.int64)[None, :]
+                if mid % 2 == 0:
+                    pal = bytes(
+                        (mid * 5 + 9 * p + 11 * c) % 256
+                        for p in range(16)
+                        for c in range(3)
+                    )
+                    idx = ((mid + 3 * ys + xs) % 16).astype(np.uint8)
+                    content = synth_png_indexed_bytes(
+                        w, h, pal, idx.tobytes()
+                    )
+                else:
+                    g = ((mid * 7 + 5 * ys + 3 * xs) % 256).astype(np.uint8)
+                    content = synth_png_gray_bytes(w, h, g.tobytes())
+                out.append((mid, content))
+            yield pd.DataFrame(out, columns=["media_id", "content"])
+
+    media = params.mapInPandas(build, "media_id long, content binary")
+    return image_pixel_features(
+        media, decode_fn=_decode_png_pixels, channel_order="rgb"
+    )

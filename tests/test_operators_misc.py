@@ -982,14 +982,24 @@ def test_png_pixel_decoder_rejects_malformed():
     )
     with _pytest.raises(NotImplementedError, match="interlace"):
         _decode_png_pixels(interlaced)
-    # palette color type
+    # RGBA color type stays outside the supported matrix (r12 widened
+    # it to gray/truecolor/palette)
+    rgba = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", _struct.pack(">II5B", 4, 3, 8, 6, 0, 0, 0))
+        + chunk(b"IDAT", b"x")
+        + chunk(b"IEND", b"")
+    )
+    with _pytest.raises(NotImplementedError, match="gray/truecolor/palette"):
+        _decode_png_pixels(rgba)
+    # palette color type WITHOUT a PLTE chunk
     pal = (
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", _struct.pack(">II5B", 4, 3, 8, 3, 0, 0, 0))
         + chunk(b"IDAT", b"x")
         + chunk(b"IEND", b"")
     )
-    with _pytest.raises(NotImplementedError, match="truecolor"):
+    with _pytest.raises(NotImplementedError, match="missing PLTE"):
         _decode_png_pixels(pal)
     # corrupt one IDAT payload byte -> CRC mismatch
     bad = bytearray(good)
@@ -1254,3 +1264,54 @@ def test_zip_walk_rejects_malformed_and_detects_corruption():
     data_at = z.find(b"hello")
     bad[data_at] ^= 0xFF
     assert _walk_zip(bytes(bad))[4] == 1  # only one CRC-ok entry left
+
+
+def test_png_palette_gray_round_trip_property():
+    """r12: palette (type 3) and grayscale (type 0) PNG round-trips at
+    hypothesis-chosen dims and palette sizes — the bpp=1 filter lanes
+    (Sub/Paeth offset 1, not 3) and the PLTE indirection must both be
+    exact; heights ≥5 exercise every filter type via the y%5 writer."""
+    import numpy as _np
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from rag_lakehouse_spark.operators.multimodal import (
+        _decode_png_pixels,
+        synth_png_gray_bytes,
+        synth_png_indexed_bytes,
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=24),
+        h=st.integers(min_value=5, max_value=16),
+        npal=st.integers(min_value=1, max_value=256),
+        seed=st.integers(min_value=0, max_value=2**31),
+        data=st.data(),
+    )
+    def check(w, h, npal, seed, data):
+        ys = _np.arange(h, dtype=_np.int64)[:, None]
+        xs = _np.arange(w, dtype=_np.int64)[None, :]
+        g = ((seed + 5 * ys + 3 * xs) % 256).astype(_np.uint8)
+        gw, gh, gimg = _decode_png_pixels(synth_png_gray_bytes(w, h, g.tobytes()))
+        assert (gw, gh) == (w, h)
+        assert _np.array_equal(gimg, _np.repeat(g[:, :, None], 3, axis=2))
+        pal = bytes(
+            data.draw(
+                st.lists(
+                    st.integers(min_value=0, max_value=255),
+                    min_size=3 * npal,
+                    max_size=3 * npal,
+                )
+            )
+        )
+        idx = ((seed + 7 * ys + xs) % npal).astype(_np.uint8)
+        pw, ph, pimg = _decode_png_pixels(
+            synth_png_indexed_bytes(w, h, pal, idx.tobytes())
+        )
+        assert (pw, ph) == (w, h)
+        exp = _np.frombuffer(pal, dtype=_np.uint8).reshape(-1, 3)[idx]
+        assert _np.array_equal(pimg, exp)
+
+    check()
