@@ -1157,15 +1157,16 @@ _registry.QUERIES["events_hll_incremental"].oracle = _hll_oracle()
 # --- Portable Bloom-filter prefilter: the runtime-filter join pattern ---
 
 
-def _bloom_oracle() -> str:
+_BLOOM_RICH_SQL = "SELECT c_custkey FROM customer WHERE c_acctbal > 9000"
+
+
+def _bloom_oracle(keys_sql: str = _BLOOM_RICH_SQL) -> str:
     from rag_lakehouse_spark.operators.bloom import (
         duckdb_bloom_cte,
         duckdb_bloom_probe,
     )
 
-    cte = duckdb_bloom_cte(
-        "SELECT c_custkey FROM customer WHERE c_acctbal > 9000", "c_custkey"
-    )
+    cte = duckdb_bloom_cte(keys_sql, "c_custkey")
     return f"""
     WITH {cte},
     probe AS (
@@ -1226,15 +1227,23 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _bloom_report(spark, sf_dir, words)
 
 
-def _bloom_report(spark: SparkSession, sf_dir: str, words: list[int]) -> DataFrame:
-    """The probe-side accounting shared by the batch build and the
-    streaming-maintained twin: given the 128-word bitmap, probe every
-    order map-only and compare against the exact member set."""
+def _bloom_report(
+    spark: SparkSession,
+    sf_dir: str,
+    words: list[int],
+    keys: DataFrame | None = None,
+) -> DataFrame:
+    """The probe-side accounting shared by the batch build, the
+    streaming-maintained twin, and the OR-union build: given the
+    128-word bitmap (and optionally a non-default exact member-key
+    relation), probe every order map-only and compare against the
+    exact member set."""
     from rag_lakehouse_spark.operators.bloom import bloom_probe
 
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
-    keys = cust.filter(F.col("c_acctbal") > 9000).select("c_custkey")
+    if keys is None:
+        keys = cust.filter(F.col("c_acctbal") > 9000).select("c_custkey")
     bits_set = sum(bin(w).count("1") for w in words)
     member = keys.withColumn("is_m", F.lit(True))
     probed = (
@@ -1823,4 +1832,53 @@ def events_quantile_sketch_merged(
 
 _registry.QUERIES["events_quantile_sketch_merged"].oracle = (
     _qsketch_merged_oracle()
+)
+
+
+_BLOOM_BUILDING_SQL = (
+    "SELECT c_custkey FROM customer"
+    " WHERE c_mktsegment = 'BUILDING' AND c_acctbal < 1000"
+)
+
+
+@register(
+    "join_bloom_union",
+    oracle=None,  # set below (builder composes the union keys SQL)
+    tags=("join", "sketch", "portable-twin", "runtime-filter", "set-algebra"),
+)
+def join_bloom_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter SET ALGEBRA with the merged bitmap externally
+    hash-checked — the membership member of the sketch-algebra trio
+    (HLL union by register MAX, quantile merge by bucket SUM, Bloom
+    union by word OR): two filters built INDEPENDENTLY over different
+    member predicates (rich customers; low-balance BUILDING-segment
+    customers) are merged word-wise with bitwise OR, and the merged
+    bitmap probes every order with exact accounting against the exact
+    union member set. The oracle builds ONE filter directly over the
+    SQL UNION of the two key sets, so the hash check proves
+    merge-of-partials == build-over-union for the OR fold — the
+    identity that lets each ingest segment maintain its own bitmap
+    while the probe side reads a single OR of all of them.
+    ``n_missed_members`` stays structurally 0 across the merge
+    (OR only sets bits).
+
+    Scale: each build shuffles ≤128 partial-OR words; the merge is a
+    128-word driver fold; the probe side never shuffles. Same 512 B
+    broadcast contract as ``join_bloom_prefilter``."""
+    from rag_lakehouse_spark.operators.bloom import N_WORDS, bloom_build
+
+    cust = load_table(spark, sf_dir, "customer")
+    rich = cust.filter(F.col("c_acctbal") > 9000).select("c_custkey")
+    building = cust.filter(
+        (F.col("c_mktsegment") == "BUILDING") & (F.col("c_acctbal") < 1000)
+    ).select("c_custkey")
+    wa = bloom_build(rich, "c_custkey")
+    wb = bloom_build(building, "c_custkey")
+    words = [wa[i] | wb[i] for i in range(N_WORDS)]
+    union_keys = rich.unionByName(building).distinct()
+    return _bloom_report(spark, sf_dir, words, keys=union_keys)
+
+
+_registry.QUERIES["join_bloom_union"].oracle = _bloom_oracle(
+    f"{_BLOOM_RICH_SQL} UNION {_BLOOM_BUILDING_SQL}"
 )

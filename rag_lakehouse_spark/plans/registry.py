@@ -75,6 +75,7 @@ _PRIORITY: tuple[str, ...] = (
     "text_encoding_quality",
     "corpus_domain_blocklist",
     "events_quantile_sketch_merged",
+    "join_bloom_union",
     "text_encoding_incremental",
     "media_png_pixels",
     "media_jpeg_metadata",
