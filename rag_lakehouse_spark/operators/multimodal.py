@@ -1869,3 +1869,60 @@ def _walk_zip(content: bytes) -> tuple[int, int, int, int, int, int]:
         n_crc_ok,
         name_bytes,
     )
+
+
+def synth_warc_gz_bytes(records: list[dict]) -> bytes:
+    """The Common Crawl ON-DISK layout: a multi-member gzip stream,
+    each WARC record compressed as its OWN gzip member and the members
+    concatenated — the property that lets a reader range-request one
+    record from a 1 GB .warc.gz without inflating the prefix. Members
+    are produced with raw ``zlib.compressobj(..., wbits=16+15)`` so
+    the stream is deterministic for a given zlib build (compressed
+    bytes are never reported — only structure counts, per the
+    format-determined-fields rule)."""
+    import zlib
+
+    out = []
+    for rec in records:
+        c = zlib.compressobj(6, zlib.DEFLATED, 16 + 15)
+        out.append(c.compress(synth_warc_bytes([rec])) + c.flush())
+    return b"".join(out)
+
+
+def _walk_warc_gz(
+    content: bytes,
+) -> tuple[int, int, int, int, int, str | None, int, int]:
+    """(n_members, n_records, n_responses, n_ok, first_status,
+    first_host, total_body_bytes, n_marker_bodies): walk the gzip
+    MEMBERS one at a time via ``decompressobj(16+15)`` + the
+    ``unused_data`` hand-off (a whole-stream ``gzip.decompress`` would
+    hide member boundaries — and member boundaries ARE the record
+    index in this layout), then parse the concatenated WARC with the
+    same ``_walk_warc`` the uncompressed query uses. A member that
+    ends mid-stream, trailing garbage that is not a gzip header, or a
+    member count that disagrees with the record count raises
+    NotImplementedError per the media-decoder contract."""
+    import zlib
+
+    n_members = 0
+    warc = bytearray()
+    buf = content
+    while buf:
+        if buf[:2] != b"\x1f\x8b":
+            raise NotImplementedError("trailing bytes are not a gzip member")
+        d = zlib.decompressobj(16 + 15)
+        try:
+            warc += d.decompress(buf)
+        except zlib.error as exc:
+            raise NotImplementedError(f"gzip member inflate: {exc}") from exc
+        if not d.eof:
+            raise NotImplementedError("gzip member truncated")
+        n_members += 1
+        buf = d.unused_data
+    rec = _walk_warc(bytes(warc))
+    if rec[0] != n_members:
+        raise NotImplementedError(
+            "member count disagrees with record count (not record-per-"
+            "member layout)"
+        )
+    return (n_members, *rec)

@@ -1287,3 +1287,123 @@ def media_png_palette_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_pixel_features(
         media, decode_fn=_decode_png_pixels, channel_order="rgb"
     )
+
+
+@register(
+    "media_warc_gz_records",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(2 + doc_id % 3 AS INT) AS n_members,
+           CAST(2 + doc_id % 3 AS INT) AS n_records,
+           CAST(1 + doc_id % 3 AS INT) AS n_responses,
+           CAST(  CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
+                + CASE WHEN doc_id % 3 >= 1 AND (doc_id + 1) % 3 = 0
+                       THEN 1 ELSE 0 END
+                + CASE WHEN doc_id % 3 >= 2 AND (doc_id + 2) % 3 = 0
+                       THEN 1 ELSE 0 END AS INT) AS n_ok,
+           CAST(CASE doc_id % 3 WHEN 0 THEN 200 WHEN 1 THEN 301
+                ELSE 404 END AS INT) AS first_status,
+           'host' || CAST(doc_id % 5 AS VARCHAR) || '.example'
+             AS first_host,
+           CAST(  (20 + (3 * doc_id) % 40)
+                + CASE WHEN doc_id % 3 >= 1
+                       THEN 20 + (3 * doc_id + 7) % 40 ELSE 0 END
+                + CASE WHEN doc_id % 3 >= 2
+                       THEN 20 + (3 * doc_id + 14) % 40 ELSE 0 END
+             AS BIGINT) AS total_body_bytes,
+           CAST(  CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END
+                + CASE WHEN doc_id % 3 >= 1 AND (doc_id + 1) % 2 = 0
+                       THEN 1 ELSE 0 END
+                + CASE WHEN doc_id % 3 >= 2 AND doc_id % 2 = 0
+                       THEN 1 ELSE 0 END AS INT) AS n_marker_bodies
+    FROM documents WHERE doc_id % 5 = 1
+    """,
+    tags=("multimodal", "codec", "web", "pandas"),
+)
+def media_warc_gz_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Common Crawl ON-DISK layout — record-per-member gzip WARC
+    (.warc.gz): each record is its own gzip member, members
+    concatenated, which is what makes single-record range requests
+    possible against a 1 GB shard. ``_walk_warc_gz`` walks the MEMBER
+    boundaries via ``decompressobj`` + ``unused_data`` hand-off (a
+    whole-stream gunzip would hide them — and the boundaries ARE the
+    record index in this layout), verifies member-per-record, and
+    re-parses the concatenated WARC with the same length-framed
+    ``_walk_warc`` the uncompressed query uses. The oracle recomputes
+    every field — including the member count — from the closed per-id
+    formulas; compressed byte counts are deliberately unreported
+    (zlib-build dependent, the ZIP-csize rule).
+
+    Scale: map-only synth+walk mapInPandas; per-row cost is the
+    member-at-a-time inflate a real crawl reader pays, embarrassingly
+    parallel, bytes never leave the executor.
+
+    Reference parity: the offline twin of the reference's live
+    scraper (jobs/scraper.py:33-217), in the container the public
+    crawl corpus actually ships."""
+    import pandas as pd
+
+    from rag_lakehouse_spark.operators.multimodal import (
+        _walk_warc_gz,
+        synth_http_response,
+        synth_warc_gz_bytes,
+    )
+
+    params = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 5 == 1)
+        .select(F.col("doc_id").alias("media_id"))
+    )
+
+    def build(batches):
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                d = int(r.media_id)
+                k = 1 + d % 3
+                recs = [
+                    {"type": "warcinfo", "payload": b"software: synth\r\n"}
+                ]
+                for i in range(k):
+                    ln = 20 + (3 * d + 7 * i) % 40
+                    body = b"WARC/1.0\r\n\r\n" if (d + i) % 2 == 0 else b""
+                    body += bytes(
+                        65 + (d + 13 * j) % 26
+                        for j in range(ln - len(body))
+                    )
+                    status = [200, 301, 404][(d + i) % 3]
+                    recs.append(
+                        {
+                            "type": "response",
+                            "uri": (
+                                f"http://host{(d + i) % 5}.example"
+                                f"/p/{d}/{i}"
+                            ),
+                            "payload": synth_http_response(status, body, i),
+                        }
+                    )
+                out.append((d, *_walk_warc_gz(synth_warc_gz_bytes(recs))))
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id",
+                    "n_members",
+                    "n_records",
+                    "n_responses",
+                    "n_ok",
+                    "first_status",
+                    "first_host",
+                    "total_body_bytes",
+                    "n_marker_bodies",
+                ],
+            )
+
+    schema = (
+        "media_id long, n_members int, n_records int, n_responses int, "
+        "n_ok int, first_status int, first_host string, "
+        "total_body_bytes long, n_marker_bodies int"
+    )
+    fanned = params.repartition(
+        max(spark.sparkContext.defaultParallelism, 1)
+    )
+    return fanned.mapInPandas(build, schema)

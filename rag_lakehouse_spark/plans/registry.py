@@ -69,6 +69,7 @@ _PRIORITY: tuple[str, ...] = (
     # built; changed = events_hll_incremental now compacts mid-path,
     # ann_portable_recall_report gained the graph rung row) --
     "media_warc_records",
+    "media_warc_gz_records",
     "media_png_palette_pixels",
     "media_zip_entries",
     "events_hll_union_portable",

@@ -1315,3 +1315,63 @@ def test_png_palette_gray_round_trip_property():
         assert _np.array_equal(pimg, exp)
 
     check()
+
+
+def test_warc_gz_member_walk_property():
+    """Record-per-member .warc.gz: hypothesis-chosen record mixes must
+    round-trip through synth_warc_gz_bytes -> _walk_warc_gz with the
+    member count pinned to the record count, and a NON-record-per-
+    member stream (all records in one member) must be rejected."""
+    import zlib as _zlib
+
+    import pytest as _pytest
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from rag_lakehouse_spark.operators.multimodal import (
+        _walk_warc_gz,
+        synth_http_response,
+        synth_warc_bytes,
+        synth_warc_gz_bytes,
+    )
+
+    def make_recs(responses):
+        return [
+            {
+                "type": "response",
+                "uri": f"http://h{i}.example/p",
+                "payload": synth_http_response(status, body, i),
+            }
+            for i, (status, body) in enumerate(responses)
+        ]
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.sampled_from([200, 301, 404]), st.binary(max_size=60)),
+            min_size=1,
+            max_size=5,
+        )
+    )
+    def check(responses):
+        recs = make_recs(responses)
+        got = _walk_warc_gz(synth_warc_gz_bytes(recs))
+        assert got[0] == got[1] == len(recs)
+        assert got[2] == len(responses)
+        assert got[6] == sum(len(b) for _, b in responses)
+
+    check()
+
+    # one member holding two records: valid gzip+WARC, wrong LAYOUT
+    recs = make_recs([(200, b"a"), (404, b"b")])
+    c = _zlib.compressobj(6, _zlib.DEFLATED, 16 + 15)
+    single = c.compress(synth_warc_bytes(recs)) + c.flush()
+    with _pytest.raises(NotImplementedError, match="member count"):
+        _walk_warc_gz(single)
+    # truncated member
+    two = synth_warc_gz_bytes(recs)
+    with _pytest.raises(NotImplementedError):
+        _walk_warc_gz(two[:-5])
+    # trailing garbage
+    with _pytest.raises(NotImplementedError, match="not a gzip member"):
+        _walk_warc_gz(two + b"junk")
