@@ -205,6 +205,125 @@ def _png_paeth(a: int, b: int, c: int) -> int:
     return c
 
 
+# Adam7: per-pass (x_start, y_start, x_step, y_step). A pass whose
+# sub-image is empty at the actual dims contributes NO scanlines.
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _png_unfilter(raw: bytes, width: int, height: int, bpp: int) -> "np.ndarray":
+    """Filtered scanlines (``height`` rows of 1 filter byte +
+    ``bpp*width`` sample bytes) → the (height, bpp*width) uint8 sample
+    array — the per-row reversal of the five PNG filters, with
+    bpp-laned Sub/Average/Paeth predictors. Shared by the sequential
+    decode and each Adam7 pass (a pass is just a smaller image with
+    its own zeroed prior row)."""
+    rb = bpp * width
+    lines = np.frombuffer(raw, dtype=np.uint8).reshape(height, rb + 1)
+    img = np.zeros((height, rb), dtype=np.uint8)
+    prior = np.zeros(rb, dtype=np.int64)
+    for y in range(height):
+        ftype = int(lines[y, 0])
+        cur = lines[y, 1:].astype(np.int64)
+        if ftype == 0:  # None
+            rec = cur
+        elif ftype == 2:  # Up — vectorized across the row
+            rec = (cur + prior) & 0xFF
+        elif ftype == 1:  # Sub: a per-sample-lane prefix sum mod 256
+            rec = (np.cumsum(cur.reshape(width, bpp), axis=0) & 0xFF).reshape(
+                rb
+            )
+        elif ftype in (3, 4):  # Average/Paeth: inherently serial in x
+            rec = np.zeros(rb, dtype=np.int64)
+            for i in range(rb):
+                a = rec[i - bpp] if i >= bpp else 0
+                if ftype == 3:
+                    pred = (a + prior[i]) >> 1
+                else:
+                    c = prior[i - bpp] if i >= bpp else 0
+                    pred = _png_paeth(int(a), int(prior[i]), int(c))
+                rec[i] = (cur[i] + pred) & 0xFF
+        else:
+            raise NotImplementedError(f"undefined PNG filter type {ftype}")
+        img[y] = rec.astype(np.uint8)
+        prior = rec
+    return img
+
+
+def _png_deinterlace(
+    raw: bytes, width: int, height: int, bpp: int
+) -> "np.ndarray":
+    """Adam7 → the (height, bpp*width) sample array: the inflated
+    stream is the CONCATENATION of seven independently-filtered
+    sub-images (pass p covers the (x0 + j*dx, y0 + i*dy) grid; empty
+    passes contribute nothing), each unfiltered with its own zeroed
+    prior row and scattered back onto the pixel grid. A stream whose
+    length disagrees with the seven pass geometries raises
+    NotImplementedError."""
+    img = np.zeros((height, width, bpp), dtype=np.uint8)
+    pos = 0
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (width - x0 + dx - 1) // dx
+        ph = (height - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        nbytes = ph * (bpp * pw + 1)
+        chunk = raw[pos : pos + nbytes]
+        if len(chunk) != nbytes:
+            raise NotImplementedError("interlaced PNG pass truncated")
+        pos += nbytes
+        sub = _png_unfilter(chunk, pw, ph, bpp).reshape(ph, pw, bpp)
+        img[y0 : y0 + ph * dy : dy, x0 : x0 + pw * dx : dx] = sub
+    if pos != len(raw):
+        raise NotImplementedError(
+            "inflated size disagrees with Adam7 pass geometry"
+        )
+    return img.reshape(height, width * bpp)
+
+
+def _png_interlace_encode(
+    payload: bytes, width: int, height: int, bpp: int
+) -> bytes:
+    """Image-order sample bytes → the Adam7 stream: extract each
+    pass's sub-image, filter it with the same y%5 cycling the
+    sequential writer uses (per-pass row index), concatenate."""
+    img = np.frombuffer(payload, dtype=np.uint8).reshape(height, width, bpp)
+    out = bytearray()
+    for x0, y0, dx, dy in _ADAM7:
+        sub = img[y0::dy, x0::dx]
+        ph, pw = sub.shape[0], sub.shape[1]
+        if pw == 0 or ph == 0:
+            continue
+        out += _png_filter_encode(sub.tobytes(), pw, ph, bpp)
+    return bytes(out)
+
+
+def synth_png_interlaced_bytes(
+    width: int, height: int, payload: bytes
+) -> bytes:
+    """A format-valid Adam7-INTERLACED 8-bit truecolor PNG (IHDR
+    interlace=1), passes filtered with y%5 cycling."""
+    import zlib
+
+    if len(payload) != 3 * width * height:
+        raise ValueError("payload length must be 3 * width * height")
+    ihdr = struct.pack(">II5B", width, height, 8, 2, 0, 0, 1)
+    raw = _png_interlace_encode(payload, width, height, 3)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
 def _png_filter_encode(
     payload: bytes, width: int, height: int, bpp: int
 ) -> bytes:
@@ -299,11 +418,14 @@ def _decode_png_pixels(content: bytes) -> tuple[int, int, "np.ndarray"]:
     library. Supports 8-bit truecolor (color type 2), grayscale
     (type 0, expanded to R=G=B), and palette (type 3, mapped through
     PLTE) — r12 widened the original truecolor-only decode, so the
-    filter lanes are exercised at both bpp=3 and bpp=1; alpha/16-bit
-    color types, Adam7 interlace, bad chunk CRCs, undefined filter
-    bytes, out-of-palette indices, and short/truncated pixel data all
-    raise NotImplementedError per the malformed-input contract (PIL
-    swaps in behind the same seam for the rest of the matrix)."""
+    filter lanes are exercised at both bpp=3 and bpp=1 — and, since
+    session 2, ADAM7 INTERLACE (seven independently-filtered
+    sub-images deinterleaved back onto the pixel grid, empty passes
+    skipped). Alpha/16-bit color types, bad chunk CRCs, undefined
+    filter bytes, out-of-palette indices, and short/truncated pixel
+    or pass data all raise NotImplementedError per the
+    malformed-input contract (PIL swaps in behind the same seam for
+    the rest of the matrix)."""
     import zlib
 
     if content[:8] != b"\x89PNG\r\n\x1a\n" or len(content) < 33:
@@ -331,8 +453,8 @@ def _decode_png_pixels(content: bytes) -> tuple[int, int, "np.ndarray"]:
                 raise NotImplementedError(
                     "PNG pixel decode supports 8-bit gray/truecolor/palette"
                 )
-            if interlace:
-                raise NotImplementedError("Adam7 interlace not supported")
+            if interlace not in (0, 1):
+                raise NotImplementedError("undefined PNG interlace method")
         elif ctype == b"PLTE":
             if clen % 3 or clen == 0:
                 raise NotImplementedError("bad PLTE length")
@@ -352,35 +474,15 @@ def _decode_png_pixels(content: bytes) -> tuple[int, int, "np.ndarray"]:
     except zlib.error as exc:
         raise NotImplementedError(f"IDAT inflate failed: {exc}") from exc
     bpp = 3 if color == 2 else 1
-    rb = bpp * w  # bytes per scanline after the filter byte
-    if len(raw) != h * (rb + 1):
-        raise NotImplementedError("inflated size disagrees with IHDR dims")
-    lines = np.frombuffer(raw, dtype=np.uint8).reshape(h, rb + 1)
-    img = np.zeros((h, rb), dtype=np.uint8)
-    prior = np.zeros(rb, dtype=np.int64)
-    for y in range(h):
-        ftype = int(lines[y, 0])
-        cur = lines[y, 1:].astype(np.int64)
-        if ftype == 0:  # None
-            rec = cur
-        elif ftype == 2:  # Up — vectorized across the row
-            rec = (cur + prior) & 0xFF
-        elif ftype == 1:  # Sub: a per-sample-lane prefix sum mod 256
-            rec = (np.cumsum(cur.reshape(w, bpp), axis=0) & 0xFF).reshape(rb)
-        elif ftype in (3, 4):  # Average/Paeth: inherently serial in x
-            rec = np.zeros(rb, dtype=np.int64)
-            for i in range(rb):
-                a = rec[i - bpp] if i >= bpp else 0
-                if ftype == 3:
-                    pred = (a + prior[i]) >> 1
-                else:
-                    c = prior[i - bpp] if i >= bpp else 0
-                    pred = _png_paeth(int(a), int(prior[i]), int(c))
-                rec[i] = (cur[i] + pred) & 0xFF
-        else:
-            raise NotImplementedError(f"undefined PNG filter type {ftype}")
-        img[y] = rec.astype(np.uint8)
-        prior = rec
+    if interlace:
+        img = _png_deinterlace(raw, w, h, bpp)
+    else:
+        rb = bpp * w  # bytes per scanline after the filter byte
+        if len(raw) != h * (rb + 1):
+            raise NotImplementedError(
+                "inflated size disagrees with IHDR dims"
+            )
+        img = _png_unfilter(raw, w, h, bpp)
     if color == 2:
         return int(w), int(h), img.reshape(h, w, 3)
     if color == 0:  # grayscale → R=G=B

@@ -1407,3 +1407,101 @@ def media_warc_gz_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         max(spark.sparkContext.defaultParallelism, 1)
     )
     return fanned.mapInPandas(build, schema)
+
+
+@register(
+    "media_png_interlaced_pixels",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id AS media_id,
+             CAST(9 + doc_id % 21 AS INT) AS w,
+             CAST(5 + doc_id % 13 AS INT) AS h
+      FROM documents WHERE doc_id % 4 = 1
+    ), el AS (
+      SELECT media_id, w, h,
+             unnest(generate_series(0, w * h * 3 - 1)) AS pos
+      FROM p
+    ), px AS (
+      SELECT media_id, w, h,
+             pos // (w * 3) AS y,
+             (pos % (w * 3)) // 3 AS x,
+             pos % 3 AS c,
+             (media_id * 13 + 3 * (pos // (w * 3))
+              + 7 * ((pos % (w * 3)) // 3) + 9 * (pos % 3)) % 256 AS v
+      FROM el
+    )
+    SELECT media_id, w AS width, h AS height,
+           CAST(w * h AS INT) AS n_pixels,
+           CAST(SUM(CASE WHEN c = 2 THEN v ELSE 0 END) AS BIGINT) AS sum_b,
+           CAST(SUM(CASE WHEN c = 1 THEN v ELSE 0 END) AS BIGINT) AS sum_g,
+           CAST(SUM(CASE WHEN c = 0 THEN v ELSE 0 END) AS BIGINT) AS sum_r,
+           CAST(SUM(y * v) AS BIGINT) AS wsum_y,
+           CAST(SUM(x * v) AS BIGINT) AS wsum_x,
+           CAST(SUM(v) AS DOUBLE) / (3 * w * h) AS mean_luma
+    FROM px GROUP BY media_id, w, h
+    """,
+    tags=("multimodal", "codec", "image", "pandas"),
+)
+def media_png_interlaced_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADAM7-INTERLACED PNG pixel decode — the last documented gap in
+    the pure-stdlib PNG matrix (sequential truecolor r12 s1,
+    palette/gray earlier in s2, interlace here): the writer extracts
+    the seven Adam7 sub-images, filters each with the same y%5
+    cycling (per-PASS row index, so the filter state machine restarts
+    at every pass exactly as the spec requires), deflates the
+    concatenation; ``_png_deinterlace`` re-inflates, unfilters each
+    pass against its own zeroed prior row, and scatters the samples
+    back onto the (y0 + i*dy, x0 + j*dx) grid — empty passes skipped,
+    length-vs-geometry mismatches rejected. Dims are deliberately
+    small and ODD (9-29 x 5-17) so several passes are ragged or empty
+    (the ceil arithmetic a stride bug corrupts); the y/x-weighted
+    sums make any mis-scattered pass hash-visible, and the oracle
+    recomputes everything from the closed per-pixel formula.
+
+    Scale: map-only synth+decode mapInPandas, bytes never leave the
+    executor — identical shape to the other pixel rows.
+
+    Reference parity: beyond the text-only reference — interlaced
+    PNGs are what progressive-rendering-era sites actually serve."""
+    import numpy as np
+    import pandas as pd
+
+    from rag_lakehouse_spark.operators.multimodal import (
+        _decode_png_pixels,
+        image_pixel_features,
+        synth_png_interlaced_bytes,
+    )
+
+    params = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 4 == 1)
+        .select(
+            F.col("doc_id").alias("media_id"),
+            (9 + F.col("doc_id") % 21).cast("int").alias("w"),
+            (5 + F.col("doc_id") % 13).cast("int").alias("h"),
+        )
+    )
+
+    def build(batches):
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                w, h, mid = int(r.w), int(r.h), int(r.media_id)
+                v = (
+                    (
+                        mid * 13
+                        + 3 * np.arange(h, dtype=np.int64)[:, None, None]
+                        + 7 * np.arange(w, dtype=np.int64)[None, :, None]
+                        + 9 * np.arange(3, dtype=np.int64)[None, None, :]
+                    )
+                    % 256
+                ).astype(np.uint8)
+                out.append(
+                    (mid, synth_png_interlaced_bytes(w, h, v.tobytes()))
+                )
+            yield pd.DataFrame(out, columns=["media_id", "content"])
+
+    media = params.mapInPandas(build, "media_id long, content binary")
+    return image_pixel_features(
+        media, decode_fn=_decode_png_pixels, channel_order="rgb"
+    )

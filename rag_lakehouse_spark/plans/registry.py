@@ -71,6 +71,7 @@ _PRIORITY: tuple[str, ...] = (
     "media_warc_records",
     "media_warc_gz_records",
     "media_png_palette_pixels",
+    "media_png_interlaced_pixels",
     "media_zip_entries",
     "events_hll_union_portable",
     "text_encoding_quality",

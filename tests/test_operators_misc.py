@@ -973,7 +973,11 @@ def test_png_pixel_decoder_rejects_malformed():
             + _struct.pack(">I", _zlib.crc32(ctype + body) & 0xFFFFFFFF)
         )
 
-    # Adam7 interlace flag set
+    # Adam7 flag with SEQUENTIAL-sized data: since session 2 the
+    # decoder deinterlaces for real, so a stream whose length
+    # disagrees with the seven pass geometries must be rejected as
+    # truncated, not silently misread (4x3 needs 42 Adam7 bytes; the
+    # sequential layout supplies 39)
     interlaced = (
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", _struct.pack(">II5B", 4, 3, 8, 2, 0, 0, 1))
@@ -982,6 +986,15 @@ def test_png_pixel_decoder_rejects_malformed():
     )
     with _pytest.raises(NotImplementedError, match="interlace"):
         _decode_png_pixels(interlaced)
+    # undefined interlace method (2)
+    bad_ilace = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", _struct.pack(">II5B", 4, 3, 8, 2, 0, 0, 2))
+        + chunk(b"IDAT", _zlib.compress(bytes(42)))
+        + chunk(b"IEND", b"")
+    )
+    with _pytest.raises(NotImplementedError, match="interlace method"):
+        _decode_png_pixels(bad_ilace)
     # RGBA color type stays outside the supported matrix (r12 widened
     # it to gray/truecolor/palette)
     rgba = (
@@ -1375,3 +1388,43 @@ def test_warc_gz_member_walk_property():
     # trailing garbage
     with _pytest.raises(NotImplementedError, match="not a gzip member"):
         _walk_warc_gz(two + b"junk")
+
+
+def test_png_interlaced_round_trip_property():
+    """Adam7 at hypothesis-chosen dims (incl. dims < 8 where several
+    passes are EMPTY and dims that make every pass ragged) across all
+    three color types' bpp lanes via truecolor: writer passes filter
+    with per-pass y%5 cycling, decoder must scatter back exactly."""
+    import numpy as _np
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from rag_lakehouse_spark.operators.multimodal import (
+        _decode_png_pixels,
+        synth_png_interlaced_bytes,
+    )
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=36),
+        h=st.integers(min_value=1, max_value=24),
+        seed=st.integers(min_value=0, max_value=2**31),
+    )
+    def check(w, h, seed):
+        v = (
+            (
+                seed
+                + 3 * _np.arange(h, dtype=_np.int64)[:, None, None]
+                + 7 * _np.arange(w, dtype=_np.int64)[None, :, None]
+                + 9 * _np.arange(3, dtype=_np.int64)[None, None, :]
+            )
+            % 256
+        ).astype(_np.uint8)
+        W, H, img = _decode_png_pixels(
+            synth_png_interlaced_bytes(w, h, v.tobytes())
+        )
+        assert (W, H) == (w, h)
+        assert _np.array_equal(img, v)
+
+    check()
