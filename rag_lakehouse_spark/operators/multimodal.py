@@ -2028,3 +2028,153 @@ def _walk_warc_gz(
             "member layout)"
         )
     return (n_members, *rec)
+
+
+# --- TIFF container (IFD chains, both byte orders, inline-vs-offset) ---
+
+_TIFF_TYPE_SIZE = {3: 2, 4: 4}  # SHORT, LONG — the two types we emit
+
+
+def synth_tiff_bytes(pages: list[dict], big_endian: bool) -> bytes:
+    """Serialize a multi-page baseline TIFF: header (II/MM + magic 42 +
+    first-IFD offset), one IFD per page (entry tags 256 width / 257
+    height / 258 bits-per-sample / 259 compression / 273 strip
+    offsets), chained by next-IFD offsets. Entries honor the TIFF
+    inline-vs-offset rule — a value whose total size fits in the
+    4-byte value slot is stored INLINE (left-justified), otherwise the
+    slot holds an offset into a data area appended after the IFD
+    chain. ``pages`` entries: width, height, bits (list of SHORTs),
+    compression, strips (list of LONGs)."""
+    bo = ">" if big_endian else "<"
+    ifd_sizes = [2 + 12 * 5 + 4 for _ in pages]
+    header_len = 8
+    ifd_offsets = []
+    at = header_len
+    for sz in ifd_sizes:
+        ifd_offsets.append(at)
+        at += sz
+    data_area = bytearray()
+    data_base = at
+
+    def entry(tag: int, typ: int, values: list[int]) -> bytes:
+        size = _TIFF_TYPE_SIZE[typ] * len(values)
+        fmt = "H" if typ == 3 else "I"
+        packed = b"".join(struct.pack(bo + fmt, v) for v in values)
+        head = struct.pack(bo + "HHI", tag, typ, len(values))
+        if size <= 4:
+            return head + packed + b"\x00" * (4 - size)
+        off = data_base + len(data_area)
+        data_area.extend(packed)
+        return head + struct.pack(bo + "I", off)
+
+    out = bytearray()
+    out += (b"MM" if big_endian else b"II") + struct.pack(
+        bo + "HI", 42, ifd_offsets[0] if pages else 0
+    )
+    for i, p in enumerate(pages):
+        nxt = ifd_offsets[i + 1] if i + 1 < len(pages) else 0
+        ifd = struct.pack(bo + "H", 5)
+        ifd += entry(256, 4, [p["width"]])
+        ifd += entry(257, 4, [p["height"]])
+        ifd += entry(258, 3, p["bits"])
+        ifd += entry(259, 3, [p["compression"]])
+        ifd += entry(273, 4, p["strips"])
+        ifd += struct.pack(bo + "I", nxt)
+        out += ifd
+    return bytes(out) + bytes(data_area)
+
+
+def _walk_tiff(
+    content: bytes,
+) -> tuple[bool, int, int, int, int, int, int, int]:
+    """(big_endian, n_pages, first_width, first_height,
+    first_compression, total_pixels, total_bits, total_strips) parsed
+    FROM BYTES ALONE: byte order from the II/MM header (the classic
+    TIFF bug is honoring it in the header and forgetting it in entry
+    values), magic 42 verified, the IFD chain walked via next-IFD
+    offsets with a cycle guard, and every entry value read through
+    the inline-vs-offset rule (≤4 bytes in the value slot,
+    left-justified; else an offset into the data area) — the rule
+    naive parsers break on multi-valued SHORT entries. Unknown entry
+    types, truncation, and IFD cycles raise NotImplementedError per
+    the media-decoder contract."""
+    if len(content) < 8:
+        raise NotImplementedError("TIFF truncated in header")
+    if content[:2] == b"II":
+        bo, big = "<", False
+    elif content[:2] == b"MM":
+        bo, big = ">", True
+    else:
+        raise NotImplementedError("not a TIFF stream")
+    magic, off = struct.unpack(bo + "HI", content[2:8])
+    if magic != 42:
+        raise NotImplementedError("bad TIFF magic")
+
+    def read_values(typ: int, count: int, slot: bytes) -> list[int]:
+        if typ not in _TIFF_TYPE_SIZE:
+            raise NotImplementedError(f"unsupported TIFF entry type {typ}")
+        size = _TIFF_TYPE_SIZE[typ] * count
+        fmt = "H" if typ == 3 else "I"
+        if size <= 4:
+            raw = slot[:size]
+        else:
+            (p,) = struct.unpack(bo + "I", slot)
+            raw = content[p : p + size]
+            if len(raw) != size:
+                raise NotImplementedError("TIFF value area truncated")
+        return [
+            struct.unpack(bo + fmt, raw[k : k + _TIFF_TYPE_SIZE[typ]])[0]
+            for k in range(0, size, _TIFF_TYPE_SIZE[typ])
+        ]
+
+    n_pages = total_pixels = total_bits = total_strips = 0
+    first_w = first_h = first_comp = None
+    seen: set[int] = set()
+    while off:
+        if off in seen:
+            raise NotImplementedError("TIFF IFD cycle")
+        seen.add(off)
+        if off + 2 > len(content):
+            raise NotImplementedError("TIFF IFD truncated")
+        (n_entries,) = struct.unpack(bo + "H", content[off : off + 2])
+        end = off + 2 + 12 * n_entries + 4
+        if end > len(content):
+            raise NotImplementedError("TIFF IFD entries truncated")
+        w = h = comp = None
+        bits: list[int] = []
+        strips: list[int] = []
+        for k in range(n_entries):
+            e = content[off + 2 + 12 * k : off + 2 + 12 * (k + 1)]
+            tag, typ, count = struct.unpack(bo + "HHI", e[:8])
+            vals = read_values(typ, count, e[8:12])
+            if tag == 256:
+                w = vals[0]
+            elif tag == 257:
+                h = vals[0]
+            elif tag == 258:
+                bits = vals
+            elif tag == 259:
+                comp = vals[0]
+            elif tag == 273:
+                strips = vals
+        if w is None or h is None:
+            raise NotImplementedError("TIFF page missing dims")
+        n_pages += 1
+        total_pixels += w * h
+        total_bits += sum(bits)
+        total_strips += len(strips)
+        if first_w is None:
+            first_w, first_h, first_comp = w, h, comp or 0
+        (off,) = struct.unpack(bo + "I", content[end - 4 : end])
+    if first_w is None:
+        raise NotImplementedError("TIFF has no IFD")
+    return (
+        big,
+        n_pages,
+        first_w,
+        first_h,
+        first_comp,
+        total_pixels,
+        total_bits,
+        total_strips,
+    )

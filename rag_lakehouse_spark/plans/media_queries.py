@@ -1505,3 +1505,117 @@ def media_png_interlaced_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_pixel_features(
         media, decode_fn=_decode_png_pixels, channel_order="rgb"
     )
+
+
+@register(
+    "media_tiff_metadata",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id AS d, 1 + doc_id % 3 AS k FROM documents
+      WHERE doc_id % 5 = 0
+    )
+    SELECT d AS media_id,
+           (d % 2 = 1) AS big_endian,
+           CAST(k AS INT) AS n_pages,
+           CAST(10 + d % 50 AS INT) AS first_width,
+           CAST(6 + d % 30 AS INT) AS first_height,
+           CAST(CASE WHEN d % 3 = 0 THEN 5 ELSE 1 END AS INT)
+             AS first_compression,
+           CAST(  (10 + d % 50) * (6 + d % 30)
+                + CASE WHEN k > 1
+                       THEN (10 + (d + 5) % 50) * (6 + (d + 3) % 30)
+                       ELSE 0 END
+                + CASE WHEN k > 2
+                       THEN (10 + (d + 10) % 50) * (6 + (d + 6) % 30)
+                       ELSE 0 END AS BIGINT) AS total_pixels,
+           CAST(  8 * (CASE WHEN d % 2 = 0 THEN 1 ELSE 3 END)
+                + CASE WHEN k > 1
+                       THEN 8 * (CASE WHEN (d + 1) % 2 = 0 THEN 1 ELSE 3 END)
+                       ELSE 0 END
+                + CASE WHEN k > 2
+                       THEN 8 * (CASE WHEN d % 2 = 0 THEN 1 ELSE 3 END)
+                       ELSE 0 END AS BIGINT) AS total_bits,
+           CAST(  (1 + d % 2)
+                + CASE WHEN k > 1 THEN 1 + (d + 1) % 2 ELSE 0 END
+                + CASE WHEN k > 2 THEN 1 + d % 2 ELSE 0 END AS BIGINT)
+             AS total_strips
+    FROM p
+    """,
+    tags=("multimodal", "codec", "image", "pandas"),
+)
+def media_tiff_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIFF IFD walk — the EIGHTH real container, and the one with the
+    two classic parser traps built into the format: BYTE ORDER chosen
+    per file (II little / MM big — half the synthesized files each
+    way, so an endianness bug that honors the header but not the
+    entry values breaks half the hashes) and the INLINE-VS-OFFSET
+    value rule (a value whose size fits the 4-byte slot is stored
+    inline left-justified, else the slot is an offset into a data
+    area — pages alternate 1-sample and 3-sample bits-per-sample and
+    1- or 2-strip offsets, so BOTH storage paths are exercised for
+    SHORT and LONG types). Multi-page IFD chains (1-3 pages) walk via
+    next-IFD offsets with a cycle guard. The oracle recomputes page
+    counts, first-page dims/compression, and the pixel/bits/strip
+    masses from closed formulas.
+
+    Scale: map-only synth+walk mapInPandas; bytes never leave the
+    executor — scan-side metadata triage like the other containers.
+
+    Reference parity: beyond the text-only reference — TIFF is the
+    scientific/scan corpus container (and the one PIL is usually
+    reached for first)."""
+    import pandas as pd
+
+    from rag_lakehouse_spark.operators.multimodal import (
+        _walk_tiff,
+        synth_tiff_bytes,
+    )
+
+    params = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 5 == 0)
+        .select(F.col("doc_id").alias("media_id"))
+    )
+
+    def build(batches):
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                d = int(r.media_id)
+                k = 1 + d % 3
+                pages = [
+                    dict(
+                        width=10 + (d + 5 * i) % 50,
+                        height=6 + (d + 3 * i) % 30,
+                        bits=[8] if (d + i) % 2 == 0 else [8, 8, 8],
+                        compression=5 if d % 3 == 0 else 1,
+                        strips=list(range(1000, 1001 + (d + i) % 2)),
+                    )
+                    for i in range(k)
+                ]
+                t = synth_tiff_bytes(pages, big_endian=(d % 2 == 1))
+                out.append((d, *_walk_tiff(t)))
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id",
+                    "big_endian",
+                    "n_pages",
+                    "first_width",
+                    "first_height",
+                    "first_compression",
+                    "total_pixels",
+                    "total_bits",
+                    "total_strips",
+                ],
+            )
+
+    schema = (
+        "media_id long, big_endian boolean, n_pages int, first_width int, "
+        "first_height int, first_compression int, total_pixels long, "
+        "total_bits long, total_strips long"
+    )
+    fanned = params.repartition(
+        max(spark.sparkContext.defaultParallelism, 1)
+    )
+    return fanned.mapInPandas(build, schema)

@@ -73,6 +73,7 @@ _PRIORITY: tuple[str, ...] = (
     "media_png_palette_pixels",
     "media_png_interlaced_pixels",
     "media_zip_entries",
+    "media_tiff_metadata",
     "events_hll_union_portable",
     "text_encoding_quality",
     "corpus_domain_blocklist",

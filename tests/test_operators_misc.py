@@ -1428,3 +1428,83 @@ def test_png_interlaced_round_trip_property():
         assert _np.array_equal(img, v)
 
     check()
+
+
+def test_tiff_walk_round_trip_property():
+    """synth_tiff_bytes -> _walk_tiff at hypothesis-chosen page mixes,
+    BOTH byte orders, and values straddling the inline/offset
+    boundary (SHORT counts 1/2/3 = 2/4/6 bytes; LONG counts 1/2 =
+    4/8 bytes — counts of exactly the 4-byte slot size stay inline)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from rag_lakehouse_spark.operators.multimodal import (
+        _walk_tiff,
+        synth_tiff_bytes,
+    )
+
+    page = st.tuples(
+        st.integers(min_value=1, max_value=70000),   # width (LONG range)
+        st.integers(min_value=1, max_value=5000),    # height
+        st.integers(min_value=1, max_value=3),       # n bits samples
+        st.sampled_from([1, 5]),                     # compression
+        st.integers(min_value=1, max_value=2),       # n strips
+    )
+
+    @settings(max_examples=50, deadline=None)
+    @given(st.lists(page, min_size=1, max_size=4), st.booleans())
+    def check(raw_pages, big):
+        pages = [
+            dict(
+                width=w,
+                height=h,
+                bits=[8] * nb,
+                compression=c,
+                strips=list(range(5000, 5000 + ns)),
+            )
+            for w, h, nb, c, ns in raw_pages
+        ]
+        got = _walk_tiff(synth_tiff_bytes(pages, big_endian=big))
+        assert got == (
+            big,
+            len(pages),
+            pages[0]["width"],
+            pages[0]["height"],
+            pages[0]["compression"],
+            sum(p["width"] * p["height"] for p in pages),
+            sum(sum(p["bits"]) for p in pages),
+            sum(len(p["strips"]) for p in pages),
+        )
+
+    check()
+
+
+def test_tiff_walk_rejects_malformed():
+    import struct as _struct
+
+    import pytest as _pytest
+
+    from rag_lakehouse_spark.operators.multimodal import (
+        _walk_tiff,
+        synth_tiff_bytes,
+    )
+
+    good = synth_tiff_bytes(
+        [dict(width=4, height=3, bits=[8, 8, 8], compression=1,
+              strips=[100])],
+        big_endian=False,
+    )
+    assert _walk_tiff(good)[1] == 1
+    with _pytest.raises(NotImplementedError, match="not a TIFF"):
+        _walk_tiff(b"XX" + good[2:])
+    with _pytest.raises(NotImplementedError, match="magic"):
+        _walk_tiff(good[:2] + _struct.pack("<HI", 43, 8) + good[8:])
+    with _pytest.raises(NotImplementedError):
+        _walk_tiff(good[:-4])  # truncated (offset value area lost)
+    # IFD cycle: point next-IFD back at the first IFD
+    bad = bytearray(good)
+    # first IFD at offset 8; next-IFD slot sits at 8 + 2 + 12*5
+    nxt_at = 8 + 2 + 12 * 5
+    bad[nxt_at : nxt_at + 4] = _struct.pack("<I", 8)
+    with _pytest.raises(NotImplementedError, match="cycle"):
+        _walk_tiff(bytes(bad))
