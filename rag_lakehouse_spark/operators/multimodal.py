@@ -1719,28 +1719,15 @@ def synth_http_response(status: int, body: bytes, seq: int) -> bytes:
     return head.encode("ascii") + b"\r\n" + body
 
 
-def _walk_warc(
-    content: bytes,
-) -> tuple[int, int, int, int, str | None, int, int]:
-    """(n_records, n_responses, n_ok, first_status, first_host,
-    total_body_bytes, n_marker_bodies) parsed FROM BYTES ALONE:
-    records are framed by Content-Length (NEVER by splitting on
-    ``\\r\\n\\r\\n`` or ``WARC/1.0`` — response bodies here contain
-    both, which is exactly what naive splitters get wrong), headers
-    are case-insensitive per RFC, and each record must be followed by
-    the two-CRLF terminator. Response payloads are re-parsed as HTTP
-    messages: status from the status line, body after the header
-    block; ``n_marker_bodies`` counts bodies containing the literal
-    ``WARC/1.0`` bytes (hash-visible proof the framing was
-    length-driven). Malformed input (bad version line, missing
-    Content-Length, truncation, bad terminator) raises
-    NotImplementedError per the media-decoder contract."""
+def _iter_warc_records(content: bytes):
+    """Yield (headers, payload) per WARC record, framed by
+    Content-Length (NEVER by splitting on ``\\r\\n\\r\\n`` or
+    ``WARC/1.0`` — payloads here deliberately contain both), headers
+    case-insensitive per RFC, two-CRLF terminator enforced. The ONE
+    framing definition shared by the full-stream walk, the gzip
+    member walk, and the per-response row extractor. Malformed input
+    raises NotImplementedError per the media-decoder contract."""
     pos = 0
-    n_records = n_responses = n_ok = 0
-    first_status: int | None = None
-    first_host: str | None = None
-    total_body = 0
-    n_marker = 0
     while pos < len(content):
         eol = content.find(b"\r\n", pos)
         if eol < 0:
@@ -1773,24 +1760,46 @@ def _walk_warc(
         if content[pos : pos + 4] != b"\r\n\r\n":
             raise NotImplementedError("WARC record missing terminator")
         pos += 4
+        yield headers, payload
+
+
+def _warc_response(
+    headers: dict[str, str], payload: bytes
+) -> tuple[str, int, bytes]:
+    """(host, status, body) of one response record's HTTP payload."""
+    split = payload.find(b"\r\n\r\n")
+    if split < 0 or not payload.startswith(b"HTTP/1.1 "):
+        raise NotImplementedError("bad HTTP message in response")
+    uri = headers.get("warc-target-uri", "")
+    host = uri.split("://", 1)[-1].split("/", 1)[0]
+    return host, int(payload[9:12]), payload[split + 4 :]
+
+
+def _walk_warc(
+    content: bytes,
+) -> tuple[int, int, int, int, str | None, int, int]:
+    """(n_records, n_responses, n_ok, first_status, first_host,
+    total_body_bytes, n_marker_bodies) from the shared record framing
+    (``_iter_warc_records``); ``n_marker_bodies`` counts bodies
+    containing the literal ``WARC/1.0`` bytes — hash-visible proof
+    the framing was length-driven, not delimiter-split."""
+    n_records = n_responses = n_ok = 0
+    first_status: int | None = None
+    first_host: str | None = None
+    total_body = 0
+    n_marker = 0
+    for headers, payload in _iter_warc_records(content):
         n_records += 1
         if headers.get("warc-type") == "response":
             n_responses += 1
-            split = payload.find(b"\r\n\r\n")
-            if split < 0 or not payload.startswith(b"HTTP/1.1 "):
-                raise NotImplementedError("bad HTTP message in response")
-            status = int(payload[9:12])
-            body = payload[split + 4 :]
+            host, status, body = _warc_response(headers, payload)
             total_body += len(body)
             if b"WARC/1.0" in body:
                 n_marker += 1
             if status == 200:
                 n_ok += 1
             if first_status is None:
-                first_status = status
-                uri = headers.get("warc-target-uri", "")
-                hostpart = uri.split("://", 1)[-1]
-                first_host = hostpart.split("/", 1)[0]
+                first_status, first_host = status, host
     if first_status is None:
         raise NotImplementedError("WARC stream has no response record")
     return (
@@ -1801,6 +1810,46 @@ def _walk_warc(
         first_host,
         total_body,
         n_marker,
+    )
+
+
+def warc_response_rows(
+    df: DataFrame, id_col: str = "media_id", content_col: str = "content"
+) -> DataFrame:
+    """(media_id, host, status, body_bytes) — one row per response
+    record across a relation of WARC blobs, via the same mapInPandas
+    seam as the other media operators (bytes never leave the
+    executor). The SHARED walk step of the per-host report and its
+    streaming twin. An unparseable blob degrades to zero rows for
+    that id (the archive triage contract: one corrupt shard must not
+    fail the scan task)."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rid, content in zip(pdf[id_col], pdf[content_col]):
+                try:
+                    for headers, payload in _iter_warc_records(
+                        bytes(content)
+                    ):
+                        if headers.get("warc-type") != "response":
+                            continue
+                        host, status, body = _warc_response(
+                            headers, payload
+                        )
+                        rows.append((rid, host, status, len(body)))
+                except NotImplementedError:
+                    continue
+            yield pd.DataFrame(
+                rows, columns=["media_id", "host", "status", "body_bytes"]
+            )
+
+    fanned = df.select(id_col, content_col).repartition(
+        max(df.sparkSession.sparkContext.defaultParallelism, 1)
+    )
+    return fanned.mapInPandas(
+        extract,
+        "media_id long, host string, status int, body_bytes long",
     )
 
 

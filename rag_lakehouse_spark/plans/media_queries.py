@@ -937,6 +937,33 @@ def media_jpeg_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fanned.mapInPandas(build, schema)
 
 
+def _warc_records_for(d: int) -> list[dict]:
+    """The closed-formula WARC record set for doc ``d`` — ONE
+    definition shared by the plain, gzip, per-host, and streaming
+    WARC queries (and mirrored by their oracles): a warcinfo record
+    plus k = 1 + d%3 responses, response i carrying status
+    [200,301,404][(d+i)%3] at host (d+i)%5 with a body of
+    20 + (3d+7i)%40 bytes that STARTS with the adversarial
+    ``WARC/1.0\\r\\n\\r\\n`` marker when (d+i)%2 == 0."""
+    from rag_lakehouse_spark.operators.multimodal import synth_http_response
+
+    k = 1 + d % 3
+    recs = [{"type": "warcinfo", "payload": b"software: synth\r\n"}]
+    for i in range(k):
+        ln = 20 + (3 * d + 7 * i) % 40
+        body = b"WARC/1.0\r\n\r\n" if (d + i) % 2 == 0 else b""
+        body += bytes(65 + (d + 13 * j) % 26 for j in range(ln - len(body)))
+        status = [200, 301, 404][(d + i) % 3]
+        recs.append(
+            {
+                "type": "response",
+                "uri": f"http://host{(d + i) % 5}.example/p/{d}/{i}",
+                "payload": synth_http_response(status, body, i),
+            }
+        )
+    return recs
+
+
 @register(
     "media_warc_records",
     oracle="""
@@ -994,7 +1021,6 @@ def media_warc_records(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from rag_lakehouse_spark.operators.multimodal import (
         _walk_warc,
-        synth_http_response,
         synth_warc_bytes,
     )
 
@@ -1009,28 +1035,7 @@ def media_warc_records(spark: SparkSession, sf_dir: str) -> DataFrame:
             out = []
             for r in pdf.itertuples(index=False):
                 d = int(r.media_id)
-                k = 1 + d % 3
-                recs = [
-                    {"type": "warcinfo", "payload": b"software: synth\r\n"}
-                ]
-                for i in range(k):
-                    ln = 20 + (3 * d + 7 * i) % 40
-                    body = b"WARC/1.0\r\n\r\n" if (d + i) % 2 == 0 else b""
-                    body += bytes(
-                        65 + (d + 13 * j) % 26
-                        for j in range(ln - len(body))
-                    )
-                    status = [200, 301, 404][(d + i) % 3]
-                    recs.append(
-                        {
-                            "type": "response",
-                            "uri": (
-                                f"http://host{(d + i) % 5}.example"
-                                f"/p/{d}/{i}"
-                            ),
-                            "payload": synth_http_response(status, body, i),
-                        }
-                    )
+                recs = _warc_records_for(d)
                 (
                     n_rec,
                     n_resp,
@@ -1345,7 +1350,6 @@ def media_warc_gz_records(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from rag_lakehouse_spark.operators.multimodal import (
         _walk_warc_gz,
-        synth_http_response,
         synth_warc_gz_bytes,
     )
 
@@ -1360,28 +1364,7 @@ def media_warc_gz_records(spark: SparkSession, sf_dir: str) -> DataFrame:
             out = []
             for r in pdf.itertuples(index=False):
                 d = int(r.media_id)
-                k = 1 + d % 3
-                recs = [
-                    {"type": "warcinfo", "payload": b"software: synth\r\n"}
-                ]
-                for i in range(k):
-                    ln = 20 + (3 * d + 7 * i) % 40
-                    body = b"WARC/1.0\r\n\r\n" if (d + i) % 2 == 0 else b""
-                    body += bytes(
-                        65 + (d + 13 * j) % 26
-                        for j in range(ln - len(body))
-                    )
-                    status = [200, 301, 404][(d + i) % 3]
-                    recs.append(
-                        {
-                            "type": "response",
-                            "uri": (
-                                f"http://host{(d + i) % 5}.example"
-                                f"/p/{d}/{i}"
-                            ),
-                            "payload": synth_http_response(status, body, i),
-                        }
-                    )
+                recs = _warc_records_for(d)
                 out.append((d, *_walk_warc_gz(synth_warc_gz_bytes(recs))))
             yield pd.DataFrame(
                 out,
@@ -1619,3 +1602,146 @@ def media_tiff_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         max(spark.sparkContext.defaultParallelism, 1)
     )
     return fanned.mapInPandas(build, schema)
+
+
+_WARC_HOST_ORACLE = """
+    WITH p AS (
+      SELECT doc_id AS d, 1 + doc_id % 3 AS k FROM documents
+      WHERE doc_id % 5 = 2
+    ), resp AS (
+      SELECT d, 0 AS i FROM p
+      UNION ALL SELECT d, 1 FROM p WHERE k > 1
+      UNION ALL SELECT d, 2 FROM p WHERE k > 2
+    ), r2 AS (
+      SELECT d,
+             'host' || CAST((d + i) % 5 AS VARCHAR) || '.example' AS host,
+             CASE (d + i) % 3 WHEN 0 THEN 200 WHEN 1 THEN 301
+                  ELSE 404 END AS status,
+             20 + (3 * d + 7 * i) % 40 AS body
+      FROM resp
+    )
+    SELECT host,
+           CAST(COUNT(*) AS BIGINT) AS n_responses,
+           CAST(SUM(CASE WHEN status = 200 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_ok,
+           CAST(SUM(body) AS BIGINT) AS total_body_bytes,
+           CAST(COUNT(DISTINCT d) AS BIGINT) AS n_archives
+    FROM r2 GROUP BY host
+    """
+
+
+def _warc_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(media_id, content) WARC blobs for the warc-kind slice — the
+    shared synth step of the per-host report and its streaming twin."""
+    import pandas as pd
+
+    from rag_lakehouse_spark.operators.multimodal import synth_warc_bytes
+
+    params = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 5 == 2)
+        .select(F.col("doc_id").alias("media_id"))
+    )
+
+    def build(batches):
+        for pdf in batches:
+            out = [
+                (
+                    int(r.media_id),
+                    synth_warc_bytes(_warc_records_for(int(r.media_id))),
+                )
+                for r in pdf.itertuples(index=False)
+            ]
+            yield pd.DataFrame(out, columns=["media_id", "content"])
+
+    fanned = params.repartition(
+        max(spark.sparkContext.defaultParallelism, 1)
+    )
+    return fanned.mapInPandas(build, "media_id long, content binary")
+
+
+@register(
+    "media_warc_host_report",
+    oracle=_WARC_HOST_ORACLE,
+    tags=("multimodal", "codec", "web", "agg", "pandas"),
+)
+def media_warc_host_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-HOST crawl accounting over the WARC corpus — the report a
+    crawl operator actually reads (coverage, error rates, and byte
+    mass per origin): every warc-kind archive is walked once
+    (``warc_response_rows`` — the shared length-framed record walk),
+    one row per HTTP response, aggregated per host: response count,
+    200-count, body byte mass, and the number of distinct archives
+    that touched the host. The oracle recomputes all four from the
+    closed record formulas.
+
+    Scale: walk is map-only; the shuffle carries per-host partials
+    (bounded by the host universe after map-side combine), never
+    response rows per se at full width — the standard
+    parse-then-aggregate crawl-stats shape.
+
+    Reference parity: the operational report over the archive form of
+    the reference's scraper surface (jobs/scraper.py:33-217)."""
+    from rag_lakehouse_spark.operators.multimodal import warc_response_rows
+
+    rows = warc_response_rows(_warc_blobs(spark, sf_dir))
+    return rows.groupBy("host").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_responses"),
+        F.sum(F.when(F.col("status") == 200, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_ok"),
+        F.sum("body_bytes").cast("bigint").alias("total_body_bytes"),
+        F.count_distinct("media_id").cast("bigint").alias("n_archives"),
+    )
+
+
+@register(
+    "media_warc_incremental",
+    oracle=_WARC_HOST_ORACLE,  # shared with the batch twin
+    tags=("multimodal", "codec", "web", "streaming", "agg"),
+)
+def media_warc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-host crawl report served from STREAMING-MAINTAINED
+    counters — the ELEVENTH incremental-index family, and the first
+    whose per-batch work is a real CODEC walk (parse-once ingest):
+    WARC blobs replay through an availableNow file stream (4 files,
+    ≥4 micro-batches), each batch walked ONCE by the shared
+    ``warc_response_rows`` and its per-host counter partials
+    SUM-folded into versioned state; archives are never re-walked
+    from history. The SHARED oracle hash-checks that the maintained
+    counters equal the one-shot batch report whatever the batching;
+    state is compacted post-stream and served from the
+    post-compaction read (the standing contract).
+
+    Scale: per-increment cost is one micro-batch walk + a
+    |hosts|-row state merge — continuous crawl accounting at ingest
+    speed, with the report read costing |hosts| rows."""
+    import os
+    import shutil
+    import tempfile
+
+    from rag_lakehouse_spark.streaming.media_sink import (
+        maintain_warc_host_counters,
+        read_warc_host_counters,
+    )
+    from rag_lakehouse_spark.streaming.rollup_sink import compact_fold_state
+
+    base = tempfile.mkdtemp(prefix="rls_warc_stream_")
+    try:
+        src = os.path.join(base, "warcs")
+        _warc_blobs(spark, sf_dir).repartition(4).write.mode(
+            "overwrite"
+        ).parquet(src)
+        stream = (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        state = os.path.join(base, "warc_hosts")
+        maintain_warc_host_counters(spark, stream, state).awaitTermination()
+        assert compact_fold_state(spark, state)  # offline maintenance
+        return read_warc_host_counters(spark, state).localCheckpoint(
+            eager=True
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -70,6 +70,8 @@ _PRIORITY: tuple[str, ...] = (
     # ann_portable_recall_report gained the graph rung row) --
     "media_warc_records",
     "media_warc_gz_records",
+    "media_warc_host_report",
+    "media_warc_incremental",
     "media_png_palette_pixels",
     "media_png_interlaced_pixels",
     "media_zip_entries",

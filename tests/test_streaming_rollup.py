@@ -236,11 +236,13 @@ def _fold_families(spark, sf_dir):
     """(name, partial_fn, merge_fn, input_df) for every fold-rewrite
     state family — the compaction contract is per-family tested so a
     family whose merge misbehaves across the boundary can't hide."""
+    from rag_lakehouse_spark.streaming import media_sink as MS
     from rag_lakehouse_spark.streaming import rollup_sink as RS
     from rag_lakehouse_spark.streaming.dedup_sink import (
         _batch_fingerprints,
         _merge_fingerprints,
     )
+    from rag_lakehouse_spark.plans.media_queries import _warc_blobs
 
     ev = load_table(spark, sf_dir, "events")
     docs = load_table(spark, sf_dir, "documents")
@@ -263,6 +265,8 @@ def _fold_families(spark, sf_dir):
          docs.select("doc_id", "text")),
         ("encoding", RS._encoding_partials, RS._encoding_merge,
          docs.select("doc_id", "text", "source")),
+        ("warc_host", MS._warc_host_partials, MS._warc_host_merge,
+         _warc_blobs(spark, sf_dir)),
     ]
 
 
