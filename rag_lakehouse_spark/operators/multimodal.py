@@ -764,20 +764,12 @@ def synth_media_bytes(
     import zlib
 
     if kind == "png":
-        def chunk(ctype: bytes, body: bytes) -> bytes:
-            return (
-                struct.pack(">I", len(body))
-                + ctype
-                + body
-                + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
-            )
-
         ihdr_body = struct.pack(">II5B", width, height, 8, 2, 0, 0, 0)
         if payload is None:
             return (
                 b"\x89PNG\r\n\x1a\n"
-                + chunk(b"IHDR", ihdr_body)
-                + chunk(b"IEND", b"")
+                + _png_chunk(b"IHDR", ihdr_body)
+                + _png_chunk(b"IEND", b"")
             )  # 8 + 25 + 12 = 45 bytes
         # payload = image-order (row 0 = top) RGB bytes, h*w*3 of them;
         # the writer FILTERS each scanline with type y % 5 (so a single
@@ -789,9 +781,9 @@ def synth_media_bytes(
         raw = _png_filter_encode(payload, width, height, 3)
         return (
             b"\x89PNG\r\n\x1a\n"
-            + chunk(b"IHDR", ihdr_body)
-            + chunk(b"IDAT", zlib.compress(raw))
-            + chunk(b"IEND", b"")
+            + _png_chunk(b"IHDR", ihdr_body)
+            + _png_chunk(b"IDAT", zlib.compress(raw))
+            + _png_chunk(b"IEND", b"")
         )
     if kind == "bmp":
         if payload is None:
@@ -1752,6 +1744,10 @@ def _iter_warc_records(content: bytes):
             )
         if "content-length" not in headers:
             raise NotImplementedError("WARC record missing Content-Length")
+        if not headers["content-length"].isdigit():
+            # also rejects negatives — a negative length would move pos
+            # BACKWARDS and loop the generator forever on crafted input
+            raise NotImplementedError("bad WARC Content-Length")
         clen = int(headers["content-length"])
         if pos + clen + 4 > len(content):
             raise NotImplementedError("WARC payload truncated")
@@ -1770,6 +1766,8 @@ def _warc_response(
     split = payload.find(b"\r\n\r\n")
     if split < 0 or not payload.startswith(b"HTTP/1.1 "):
         raise NotImplementedError("bad HTTP message in response")
+    if not payload[9:12].isdigit():
+        raise NotImplementedError("bad HTTP status line")
     uri = headers.get("warc-target-uri", "")
     host = uri.split("://", 1)[-1].split("/", 1)[0]
     return host, int(payload[9:12]), payload[split + 4 :]
@@ -1975,7 +1973,7 @@ def _walk_zip(content: bytes) -> tuple[int, int, int, int, int, int]:
     p = cd_offset
     n_stored = n_deflated = total_unc = n_crc_ok = name_bytes = 0
     for _ in range(n_total):
-        if content[p : p + 4] != b"PK\x01\x02":
+        if p + 46 > pos or content[p : p + 4] != b"PK\x01\x02":
             raise NotImplementedError("bad central-directory signature")
         (
             method,
@@ -2162,6 +2160,8 @@ def _walk_tiff(
     def read_values(typ: int, count: int, slot: bytes) -> list[int]:
         if typ not in _TIFF_TYPE_SIZE:
             raise NotImplementedError(f"unsupported TIFF entry type {typ}")
+        if count == 0:
+            raise NotImplementedError("empty TIFF entry value")
         size = _TIFF_TYPE_SIZE[typ] * count
         fmt = "H" if typ == 3 else "I"
         if size <= 4:

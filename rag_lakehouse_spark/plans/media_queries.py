@@ -1204,7 +1204,7 @@ def media_zip_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
              pos // (w * 3) AS y,
              (pos % (w * 3)) // 3 AS x,
              pos % 3 AS c,
-             CASE WHEN media_id % 2 = 0
+             CASE WHEN media_id % 8 = 2
                   THEN (media_id * 5
                         + 9 * ((media_id + 3 * (pos // (w * 3))
                                 + (pos % (w * 3)) // 3) % 16)
@@ -1228,10 +1228,12 @@ def media_zip_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def media_png_palette_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PNG PALETTE and GRAYSCALE pixel decode (r12 widening of the
-    truecolor-only ``media_png_pixels``): even-id documents synthesize
+    truecolor-only ``media_png_pixels``): id%8==2 documents synthesize
     an 8-bit color-type-3 PNG (16-entry PLTE ``(5*id + 9p + 11c) %
-    256``, index map ``(id + 3y + x) % 16``), odd-id documents a
-    color-type-0 grayscale (``(7*id + 5y + 3x) % 256``, expanded to
+    256``, index map ``(id + 3y + x) % 16``), id%8==6 documents a
+    color-type-0 grayscale (the doc_id%4==2 slice holds only EVEN
+    ids, so an even/odd split would leave the grayscale branch dead —
+    caught by the session close-out review) (``(7*id + 5y + 3x) % 256``, expanded to
     R=G=B by the decoder) — both filtered with the same y%5 cycling,
     so the five scanline filters are now exercised at bpp=1 where the
     Sub/Paeth lane offset differs from truecolor's bpp=3 (the exact
@@ -1272,7 +1274,7 @@ def media_png_palette_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
                 w, h, mid = int(r.w), int(r.h), int(r.media_id)
                 ys = np.arange(h, dtype=np.int64)[:, None]
                 xs = np.arange(w, dtype=np.int64)[None, :]
-                if mid % 2 == 0:
+                if mid % 8 == 2:
                     pal = bytes(
                         (mid * 5 + 9 * p + 11 * c) % 256
                         for p in range(16)
@@ -1682,17 +1684,11 @@ def media_warc_host_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference parity: the operational report over the archive form of
     the reference's scraper surface (jobs/scraper.py:33-217)."""
-    from rag_lakehouse_spark.operators.multimodal import warc_response_rows
+    from rag_lakehouse_spark.streaming.media_sink import _warc_host_partials
 
-    rows = warc_response_rows(_warc_blobs(spark, sf_dir))
-    return rows.groupBy("host").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_responses"),
-        F.sum(F.when(F.col("status") == 200, 1).otherwise(0))
-        .cast("bigint")
-        .alias("n_ok"),
-        F.sum("body_bytes").cast("bigint").alias("total_body_bytes"),
-        F.count_distinct("media_id").cast("bigint").alias("n_archives"),
-    )
+    # the SAME walk+aggregate the streaming twin folds per batch — one
+    # counter definition, so batch and maintained reports cannot drift
+    return _warc_host_partials(_warc_blobs(spark, sf_dir))
 
 
 @register(

@@ -673,20 +673,21 @@ def text_encoding_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference parity: the reference's silver step strips whitespace
     variants only (jobs/silver_transformation.py:63-82); encoding
     health is the audit it needs before multilingual scale-up."""
-    from rag_lakehouse_spark.operators.text import encoding_defect_flags
+    from rag_lakehouse_spark.streaming.rollup_sink import _encoding_partials
 
+    # the SAME inject+detect+aggregate the streaming twin folds per
+    # batch — one counter definition, so the twins cannot drift
     d = load_table(spark, sf_dir, "documents")
-    flags = encoding_defect_flags(d)
-    clean = ~F.col("rep") & ~F.col("moj") & ~F.col("ctl")
-    return flags.groupBy("source").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.sum(F.col("rep").cast("int")).cast("bigint").alias("n_replacement"),
-        F.sum(F.col("moj").cast("int")).cast("bigint").alias("n_mojibake"),
-        F.sum(F.col("ctl").cast("int")).cast("bigint").alias("n_control"),
-        F.sum(clean.cast("int")).cast("bigint").alias("n_clean"),
-        (
-            F.sum(clean.cast("int")).cast("double") / F.count(F.lit(1))
-        ).alias("clean_share"),
+    return _encoding_partials(d).select(
+        "source",
+        "n_docs",
+        "n_replacement",
+        "n_mojibake",
+        "n_control",
+        "n_clean",
+        (F.col("n_clean").cast("double") / F.col("n_docs")).alias(
+            "clean_share"
+        ),
     )
 
 

@@ -1212,6 +1212,19 @@ def test_warc_walk_rejects_malformed():
     # no response record at all
     with _pytest.raises(NotImplementedError):
         _walk_warc(synth_warc_bytes([{"type": "warcinfo", "payload": b""}]))
+    # negative Content-Length: without the digit guard pos would move
+    # BACKWARDS and the record generator would loop forever (close-out
+    # review catch)
+    neg = good.replace(b"Content-Length: ", b"Content-Length: -", 1)
+    with _pytest.raises(NotImplementedError, match="Content-Length"):
+        _walk_warc(neg)
+    # non-numeric HTTP status must reject, not raise ValueError through
+    # the degrade-to-zero-rows contract
+    from rag_lakehouse_spark.operators.multimodal import warc_response_rows
+
+    bad_status = good.replace(b"HTTP/1.1 200", b"HTTP/1.1 xx0", 1)
+    with _pytest.raises(NotImplementedError, match="status"):
+        _walk_warc(bad_status)
 
 
 def test_zip_walk_round_trip_property():
@@ -1277,6 +1290,16 @@ def test_zip_walk_rejects_malformed_and_detects_corruption():
     data_at = z.find(b"hello")
     bad[data_at] ^= 0xFF
     assert _walk_zip(bytes(bad))[4] == 1  # only one CRC-ok entry left
+    # EOCD claiming more entries than the directory holds: reject,
+    # never struct.error past the directory end (review catch)
+    import struct as _struct
+
+    over = bytearray(z)
+    eocd = z.rfind(b"PK\x05\x06")
+    over[eocd + 8 : eocd + 10] = _struct.pack("<H", 9)
+    over[eocd + 10 : eocd + 12] = _struct.pack("<H", 9)
+    with _pytest.raises(NotImplementedError, match="central-directory"):
+        _walk_zip(bytes(over))
 
 
 def test_png_palette_gray_round_trip_property():
@@ -1501,6 +1524,11 @@ def test_tiff_walk_rejects_malformed():
         _walk_tiff(good[:2] + _struct.pack("<HI", 43, 8) + good[8:])
     with _pytest.raises(NotImplementedError):
         _walk_tiff(good[:-4])  # truncated (offset value area lost)
+    # count=0 on a dims tag: reject, never IndexError (review catch)
+    cz = bytearray(good)
+    cz[8 + 2 + 4 : 8 + 2 + 8] = _struct.pack("<I", 0)
+    with _pytest.raises(NotImplementedError, match="empty TIFF entry"):
+        _walk_tiff(bytes(cz))
     # IFD cycle: point next-IFD back at the first IFD
     bad = bytearray(good)
     # first IFD at offset 8; next-IFD slot sits at 8 + 2 + 12*5
