@@ -1766,7 +1766,7 @@ def _warc_response(
     split = payload.find(b"\r\n\r\n")
     if split < 0 or not payload.startswith(b"HTTP/1.1 "):
         raise NotImplementedError("bad HTTP message in response")
-    if not payload[9:12].isdigit():
+    if len(payload) < 12 or not payload[9:12].isdigit():
         raise NotImplementedError("bad HTTP status line")
     uri = headers.get("warc-target-uri", "")
     host = uri.split("://", 1)[-1].split("/", 1)[0]
@@ -1995,6 +1995,8 @@ def _walk_zip(content: bytes) -> tuple[int, int, int, int, int, int]:
             raise NotImplementedError("unsupported ZIP method")
         if content[local_off : local_off + 4] != b"PK\x03\x04":
             raise NotImplementedError("bad local-header signature")
+        if local_off + 30 > len(content):
+            raise NotImplementedError("ZIP local header truncated")
         lname, lextra = struct.unpack(
             "<HH", content[local_off + 26 : local_off + 30]
         )

@@ -1225,6 +1225,15 @@ def test_warc_walk_rejects_malformed():
     bad_status = good.replace(b"HTTP/1.1 200", b"HTTP/1.1 xx0", 1)
     with _pytest.raises(NotImplementedError, match="status"):
         _walk_warc(bad_status)
+    # truncated status line (2-digit status, message ends immediately):
+    # must reject as malformed, never parse a partial status (r13
+    # ADVICE guard — len(payload) >= 12 before the digit check)
+    from rag_lakehouse_spark.operators.multimodal import _warc_response
+
+    with _pytest.raises(NotImplementedError, match="status|HTTP"):
+        _warc_response({}, b"HTTP/1.1 20\r\n\r\n")
+    with _pytest.raises(NotImplementedError, match="status|HTTP"):
+        _warc_response({}, b"HTTP/1.1 20")
 
 
 def test_zip_walk_round_trip_property():
@@ -1300,6 +1309,20 @@ def test_zip_walk_rejects_malformed_and_detects_corruption():
     over[eocd + 10 : eocd + 12] = _struct.pack("<H", 9)
     with _pytest.raises(NotImplementedError, match="central-directory"):
         _walk_zip(bytes(over))
+    # local_off pointing at a planted PK\x03\x04 in the tail of the
+    # blob: the 4-byte signature check passes but the 30-byte local
+    # header does not fit — must reject, never struct.error (r13
+    # ADVICE guard)
+    zc = synth_zip_bytes(
+        [("a.bin", b"x" * 5, True)], comment=b"QQ" + b"PK\x03\x04" + b"tail"
+    )
+    eocd2 = zc.rfind(b"PK\x05\x06")
+    (cd_off,) = _struct.unpack("<I", zc[eocd2 + 16 : eocd2 + 20])
+    planted = bytearray(zc)
+    planted[cd_off + 42 : cd_off + 46] = _struct.pack("<I", len(zc) - 8)
+    assert bytes(planted)[len(zc) - 8 : len(zc) - 4] == b"PK\x03\x04"
+    with _pytest.raises(NotImplementedError, match="local header truncated"):
+        _walk_zip(bytes(planted))
 
 
 def test_png_palette_gray_round_trip_property():
