@@ -1348,6 +1348,92 @@ _registry.QUERIES["join_bloom_incremental"].oracle = _bloom_oracle()
 _QSK_RANKS = (("p50", 50), ("p90", 90), ("p99", 99))
 
 
+def _qsk_centi_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared non-negative centi-grid projection of event values, used
+    by both the build (``events_quantile_sketch_portable``) and merge
+    (``events_quantile_sketch_merged``) halves of the DDSketch-style
+    story. Negative values are out of the log-bucket domain and
+    excluded (the generated events are non-negative; a production
+    deployment runs one sketch per sign)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.filter(
+        F.col("value").isNotNull() & (F.col("value") >= 0.0)
+    ).select(
+        "event_type",
+        F.floor(F.col("value") * F.lit(100.0)).cast("bigint").alias("q"),
+    )
+
+
+def _qsk_ekey():
+    """Log-bucket key of the centi value ``q``: (bit length)*64 +
+    top-5-bit mantissa — pure integer arithmetic via the
+    ``length(bin())`` trick; bounded relative error 2^-4 and at most
+    64*16 buckets whatever the data."""
+    e = F.length(F.bin("q"))
+    return e.cast("bigint") * 64 + F.expr(
+        "shiftright(q, greatest(CAST(length(bin(q)) AS INT) - 5, 0))"
+    )
+
+
+def _qsk_rank_picks(
+    counts: DataFrame,
+    group_cols: list[str],
+    val_col: str,
+    prefix: str,
+    with_n: bool = False,
+) -> DataFrame:
+    """The shared cumulative rank walk, parameterized by grouping
+    columns (r12 accepted-debt item: one walk definition for the build
+    and merge halves). ``counts`` holds one row per (group, val) with a
+    bigint count ``c``; the walk picks, per group (global when
+    ``group_cols`` is empty), the smallest ``val_col`` whose cumulative
+    count reaches rank ceil(pct * n / 100) for each ``_QSK_RANKS``
+    entry — exact integer arithmetic, aliased ``{prefix}_{name}``.
+    Windows only over BOUNDED aggregate rows (≤1k log buckets or the
+    centi-grid), never raw events — the standing bounded-domain rule."""
+    wwalk = (
+        W.partitionBy(*group_cols)
+        .orderBy(val_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cw = counts.select(
+        *group_cols,
+        val_col,
+        F.sum("c").over(wwalk).alias("cum"),
+        F.sum("c").over(W.partitionBy(*group_cols)).alias("n"),
+    )
+    aggs = ([F.max("n").cast("bigint").alias("n")] if with_n else []) + [
+        F.min(
+            F.when(
+                F.col("cum") >= F.expr(f"(n * {pct} + 99) DIV 100"),
+                F.col(val_col),
+            )
+        ).alias(f"{prefix}_{nm}")
+        for nm, pct in _QSK_RANKS
+    ]
+    return cw.groupBy(*group_cols).agg(*aggs)
+
+
+def _qsk_error_cols() -> list:
+    """Estimate / exact / achieved-relative-error output columns from
+    the ``k_*`` (bucket-key pick) and ``x_*`` (exact centi pick)
+    columns; estimates are bucket LOWER bounds so ``rel_err`` is
+    structurally in (-2^-4, 0] past the exact-mantissa range."""
+    cols = []
+    for nm, _pct in _QSK_RANKS:
+        lb = F.expr(
+            f"CAST(shiftleft(k_{nm} % 64,"
+            f" greatest(CAST(k_{nm} DIV 64 AS INT) - 5, 0)) AS DOUBLE)"
+        )
+        exv = F.col(f"x_{nm}").cast("double")
+        cols += [
+            (lb / F.lit(100.0)).alias(f"{nm}_est"),
+            (exv / F.lit(100.0)).alias(f"{nm}_exact"),
+            ((lb - exv) / exv).alias(f"{nm}_rel_err"),
+        ]
+    return cols
+
+
 def _qsketch_oracle() -> str:
     picks_est = ", ".join(
         f"MIN(CASE WHEN cum >= (n * {pct} + 99) // 100 THEN ekey END)"
@@ -1433,83 +1519,19 @@ def events_quantile_sketch_portable(spark: SparkSession, sf_dir: str) -> DataFra
     out of the log-bucket domain and excluded by the filter (the
     generated events are non-negative; a production deployment runs
     one sketch per sign)."""
-    ev = load_table(spark, sf_dir, "events")
-    base = ev.filter(
-        F.col("value").isNotNull() & (F.col("value") >= 0.0)
-    ).select(
-        "event_type",
-        F.floor(F.col("value") * F.lit(100.0)).cast("bigint").alias("q"),
-    )
-    e = F.length(F.bin("q"))
-    ekey = (
-        e.cast("bigint") * 64
-        + F.expr("shiftright(q, greatest(CAST(length(bin(q)) AS INT) - 5, 0))")
-    )
+    base = _qsk_centi_base(spark, sf_dir)
     hb = (
-        base.select("event_type", ekey.alias("ekey"))
+        base.select("event_type", _qsk_ekey().alias("ekey"))
         .groupBy("event_type", "ekey")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     )
-    wwalk = (
-        W.partitionBy("event_type")
-        .orderBy("ekey")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    hw = hb.select(
-        "event_type",
-        "ekey",
-        F.sum("c").over(wwalk).alias("cum"),
-        F.sum("c").over(W.partitionBy("event_type")).alias("n"),
-    )
-    est_aggs = [F.max("n").cast("bigint").alias("n")] + [
-        F.min(
-            F.when(
-                F.col("cum") >= F.expr(f"(n * {pct} + 99) DIV 100"),
-                F.col("ekey"),
-            )
-        ).alias(f"k_{nm}")
-        for nm, pct in _QSK_RANKS
-    ]
-    est = hw.groupBy("event_type").agg(*est_aggs)
+    est = _qsk_rank_picks(hb, ["event_type"], "ekey", "k", with_n=True)
     qb = base.groupBy("event_type", "q").agg(
         F.count(F.lit(1)).cast("bigint").alias("c")
     )
-    qwalk = (
-        W.partitionBy("event_type")
-        .orderBy("q")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    qw = qb.select(
-        "event_type",
-        "q",
-        F.sum("c").over(qwalk).alias("cumq"),
-        F.sum("c").over(W.partitionBy("event_type")).alias("nq"),
-    )
-    ex = qw.groupBy("event_type").agg(
-        *[
-            F.min(
-                F.when(
-                    F.col("cumq") >= F.expr(f"(nq * {pct} + 99) DIV 100"),
-                    F.col("q"),
-                )
-            ).alias(f"x_{nm}")
-            for nm, pct in _QSK_RANKS
-        ]
-    )
+    ex = _qsk_rank_picks(qb, ["event_type"], "q", "x")
     j = est.join(ex, "event_type")
-    cols = ["event_type", "n"]
-    for nm, _pct in _QSK_RANKS:
-        lb = F.expr(
-            f"CAST(shiftleft(k_{nm} % 64,"
-            f" greatest(CAST(k_{nm} DIV 64 AS INT) - 5, 0)) AS DOUBLE)"
-        )
-        exv = F.col(f"x_{nm}").cast("double")
-        cols += [
-            (lb / F.lit(100.0)).alias(f"{nm}_est"),
-            (exv / F.lit(100.0)).alias(f"{nm}_exact"),
-            ((lb - exv) / exv).alias(f"{nm}_rel_err"),
-        ]
-    return j.select(*cols)
+    return j.select("event_type", "n", *_qsk_error_cols())
 
 
 _registry.QUERIES["events_quantile_sketch_portable"].oracle = _qsketch_oracle()
@@ -1756,78 +1778,22 @@ def events_quantile_sketch_merged(
     walk windows over ≤1k rows with no partition — bounded whatever
     the data. The raw-value exact side exists only for the error
     report and drops for sketch-only serving."""
-    ev = load_table(spark, sf_dir, "events")
-    base = ev.filter(
-        F.col("value").isNotNull() & (F.col("value") >= 0.0)
-    ).select(
-        "event_type",
-        F.floor(F.col("value") * F.lit(100.0)).cast("bigint").alias("q"),
-    )
-    e = F.length(F.bin("q"))
-    ekey = (
-        e.cast("bigint") * 64
-        + F.expr("shiftright(q, greatest(CAST(length(bin(q)) AS INT) - 5, 0))")
-    )
+    base = _qsk_centi_base(spark, sf_dir)
     hb = (
-        base.select("event_type", ekey.alias("ekey"))
+        base.select("event_type", _qsk_ekey().alias("ekey"))
         .groupBy("event_type", "ekey")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
         .localCheckpoint(eager=True)  # the bounded per-segment sketches
     )
     merged = hb.groupBy("ekey").agg(F.sum("c").cast("bigint").alias("c"))
-    wwalk = W.orderBy("ekey").rowsBetween(W.unboundedPreceding, W.currentRow)
-    hw = merged.select(
-        "ekey",
-        F.sum("c").over(wwalk).alias("cum"),
-        F.sum("c").over(W.partitionBy()).alias("n"),
-    )
-    est = hw.groupBy().agg(
-        F.max("n").cast("bigint").alias("n"),
-        *[
-            F.min(
-                F.when(
-                    F.col("cum") >= F.expr(f"(n * {pct} + 99) DIV 100"),
-                    F.col("ekey"),
-                )
-            ).alias(f"k_{nm}")
-            for nm, pct in _QSK_RANKS
-        ],
-    )
+    est = _qsk_rank_picks(merged, [], "ekey", "k", with_n=True)
     qb = base.groupBy("q").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-    qwalk = W.orderBy("q").rowsBetween(W.unboundedPreceding, W.currentRow)
-    qw = qb.select(
-        "q",
-        F.sum("c").over(qwalk).alias("cumq"),
-        F.sum("c").over(W.partitionBy()).alias("nq"),
-    )
-    ex = qw.groupBy().agg(
-        *[
-            F.min(
-                F.when(
-                    F.col("cumq") >= F.expr(f"(nq * {pct} + 99) DIV 100"),
-                    F.col("q"),
-                )
-            ).alias(f"x_{nm}")
-            for nm, pct in _QSK_RANKS
-        ]
-    )
+    ex = _qsk_rank_picks(qb, [], "q", "x")
     tm = hb.groupBy().agg(
         F.count_distinct("event_type").cast("int").alias("n_types_merged")
     )
     j = est.crossJoin(F.broadcast(ex)).crossJoin(F.broadcast(tm))
-    cols = ["n_types_merged", "n"]
-    for nm, _pct in _QSK_RANKS:
-        lb = F.expr(
-            f"CAST(shiftleft(k_{nm} % 64,"
-            f" greatest(CAST(k_{nm} DIV 64 AS INT) - 5, 0)) AS DOUBLE)"
-        )
-        exv = F.col(f"x_{nm}").cast("double")
-        cols += [
-            (lb / F.lit(100.0)).alias(f"{nm}_est"),
-            (exv / F.lit(100.0)).alias(f"{nm}_exact"),
-            ((lb - exv) / exv).alias(f"{nm}_rel_err"),
-        ]
-    return j.select(*cols)
+    return j.select("n_types_merged", "n", *_qsk_error_cols())
 
 
 _registry.QUERIES["events_quantile_sketch_merged"].oracle = (
