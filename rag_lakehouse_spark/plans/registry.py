@@ -72,6 +72,7 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 _PRIORITY: tuple[str, ...] = (
     # -- r13 part (a): queries NEW or changed this round (prepended
     # as built) --
+    "corpus_from_crawl",
     # -- r13 part (b): the 17 r7-vintage rows displaced from the r12
     # sample (latest driver row r7; judge-recomputed union) --
     "dedup_semantic_canonicals",
@@ -172,6 +173,7 @@ def _load_all() -> None:
     import rag_lakehouse_spark.plans.quality_queries  # noqa: F401
     import rag_lakehouse_spark.plans.search_queries  # noqa: F401
     import rag_lakehouse_spark.plans.media_queries  # noqa: F401
+    import rag_lakehouse_spark.plans.crawl_queries  # noqa: F401
 
 
 def queries() -> dict[str, QueryFn]:
