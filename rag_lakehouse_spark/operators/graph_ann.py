@@ -85,6 +85,45 @@ def knn_graph(e_normed: DataFrame, m: int = 6) -> DataFrame:
     )
 
 
+def nsw_fwd_edges(
+    src_vecs: DataFrame, dst_vecs: DataFrame, m: int = 8
+) -> DataFrame:
+    """(src, dst) forward edges under the NSW INSERT-ORDER rule: for
+    each ``src_vecs`` vector, its exact top-m cosine neighbors among
+    ``dst_vecs`` vectors with LOWER vec_id (vec_id order = insertion
+    order). ONE definition shared by the frozen triangular build
+    (``ann_graph_nsw_portable``: src = dst = corpus) and the
+    incremental fold (``streaming.graph_sink``: src = batch, dst =
+    maintained ∪ batch) — so the frozen and maintained adjacencies
+    cannot drift. Inputs carry (vec_id, embedding, nrm) with the norm
+    from ``functions.vector.l2_norm``."""
+    a = src_vecs.select(
+        F.col("vec_id").alias("src"),
+        F.col("embedding").alias("a_emb"),
+        F.col("nrm").alias("a_nrm"),
+    )
+    b = dst_vecs.select(
+        F.col("vec_id").alias("dst"),
+        F.col("embedding").alias("b_emb"),
+        F.col("nrm").alias("b_nrm"),
+    )
+    wn = W.partitionBy("src").orderBy(F.desc("sim"), F.asc("dst"))
+    return (
+        a.join(b, F.col("dst") < F.col("src"))
+        .select(
+            "src",
+            "dst",
+            (
+                VEC.dot("a_emb", "b_emb")
+                / (F.col("a_nrm") * F.col("b_nrm") + F.lit(1e-24))
+            ).alias("sim"),
+        )
+        .withColumn("rn", F.row_number().over(wn))
+        .filter(F.col("rn") <= m)
+        .select("src", "dst")
+    )
+
+
 def beam_search(
     graph: DataFrame,
     scores: DataFrame,

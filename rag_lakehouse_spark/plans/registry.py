@@ -73,6 +73,7 @@ _PRIORITY: tuple[str, ...] = (
     # -- r13 part (a): queries NEW or changed this round (prepended
     # as built) --
     "corpus_from_crawl",
+    "ann_graph_nsw_incremental",
     # -- r13 part (b): the 17 r7-vintage rows displaced from the r12
     # sample (latest driver row r7; judge-recomputed union) --
     "dedup_semantic_canonicals",

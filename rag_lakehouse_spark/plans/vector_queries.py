@@ -2217,35 +2217,13 @@ def ann_graph_nsw_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference parity: src/api.py:10-84 (chromadb HNSW serving) — this
     is the closest plan-level analog of HNSW's actual graph shape."""
-    from rag_lakehouse_spark.operators.graph_ann import beam_search
+    from rag_lakehouse_spark.operators.graph_ann import nsw_fwd_edges
 
     e = _normed(load_table(spark, sf_dir, "embeddings"))
     corpus = e.filter(F.col("vec_id") != 0)
-    a = corpus.select(
-        F.col("vec_id").alias("src"),
-        F.col("embedding").alias("a_emb"),
-        F.col("nrm").alias("a_nrm"),
-    )
-    b = corpus.select(
-        F.col("vec_id").alias("dst"),
-        F.col("embedding").alias("b_emb"),
-        F.col("nrm").alias("b_nrm"),
-    )
-    wn = W.partitionBy("src").orderBy(F.desc("sim"), F.asc("dst"))
-    fwd = (
-        a.join(b, F.col("dst") < F.col("src"))
-        .select(
-            "src",
-            "dst",
-            (
-                VEC.dot("a_emb", "b_emb")
-                / (F.col("a_nrm") * F.col("b_nrm") + F.lit(1e-24))
-            ).alias("sim"),
-        )
-        .withColumn("rn", F.row_number().over(wn))
-        .filter(F.col("rn") <= _GN_M)
-        .select("src", "dst")
-    )
+    # the shared insert-order rule (src = dst = corpus: the triangular
+    # build); streaming.graph_sink folds the SAME definition per batch
+    fwd = nsw_fwd_edges(corpus, corpus, m=_GN_M)
     graph = (
         fwd.unionByName(
             fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -2255,6 +2233,17 @@ def ann_graph_nsw_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("qv"), F.col("nrm").alias("qn")
     )
+    return _nsw_serve(corpus, q, graph)
+
+
+def _nsw_serve(corpus: DataFrame, q: DataFrame, graph: DataFrame) -> DataFrame:
+    """The shared NSW serving walk (frozen and incremental builds run
+    the IDENTICAL plan, hence the shared oracle): exact scores against
+    the single query vector, single first-inserted entry, beam walk,
+    top-K cut. ``corpus`` must carry (vec_id, embedding, nrm) with the
+    norm from ``functions.vector.l2_norm``."""
+    from rag_lakehouse_spark.operators.graph_ann import beam_search
+
     scores = corpus.crossJoin(F.broadcast(q)).select(
         "vec_id",
         (
@@ -2269,6 +2258,89 @@ def ann_graph_nsw_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return walked.filter(F.col("rank") <= _GN_K).select(
         "rank", F.col("vec_id").alias("neighbor_id"), "score"
     )
+
+
+@register(
+    "ann_graph_nsw_incremental",
+    oracle=_graph_nsw_oracle(),  # SHARED with the frozen build
+    tags=("vector", "ann", "graph", "nsw", "streaming", "portable-twin"),
+)
+def ann_graph_nsw_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NSW graph MAINTAINED under continuous ingest — the TWELFTH
+    incremental-index family (VERDICT r12 #3), upgrading the ANN story
+    from "frozen index" to "maintained index": corpus embeddings
+    replay through an availableNow file stream in insertion (vec_id)
+    order — four id-ranged files with controlled mtimes, the file
+    source's oldest-first contract — and each micro-batch folds its
+    vectors plus their top-M forward edges among (maintained ∪
+    in-batch prior) vectors into versioned state
+    (``streaming.graph_sink``; the fold IS the NSW insertion rule, so
+    the maintained adjacency is IDENTICAL to the frozen triangular
+    build). State is compacted offline (``compact_fold_state`` — the
+    first graph-shaped state under that contract) and the serving walk
+    runs from the POST-COMPACTION read via the same ``_nsw_serve``
+    plan as the frozen rung — externally hash-checked by the SAME
+    unrolled-CTE oracle, which covers build, maintenance, compaction,
+    and walk end-to-end.
+
+    Scale: per-increment cost is one batch × state exact scoring pass
+    (the insertion cost itself — at corpus scale candidates come from
+    the maintained graph's own beam search or the LSH/IVF machinery;
+    see ``streaming.graph_sink``), plus the fold-rewrite write; the
+    walk touches beam-bounded joins only, never a corpus scan."""
+    import os
+    import shutil
+    import tempfile
+
+    from rag_lakehouse_spark.streaming.graph_sink import (
+        maintain_nsw_index,
+        read_nsw_index,
+    )
+    from rag_lakehouse_spark.streaming.rollup_sink import compact_fold_state
+
+    e = load_table(spark, sf_dir, "embeddings")
+    corpus_raw = e.filter(F.col("vec_id") != 0).select("vec_id", "embedding")
+    base = tempfile.mkdtemp(prefix="rls_nsw_stream_")
+    try:
+        src = os.path.join(base, "embeddings")
+        os.makedirs(src)
+        max_id = corpus_raw.agg(F.max("vec_id")).first()[0]
+        n_files = 4
+        for i in range(n_files):
+            lo = i * (max_id + 1) // n_files
+            hi = (i + 1) * (max_id + 1) // n_files
+            chunk_dir = os.path.join(base, f"chunk{i}")
+            (
+                corpus_raw.filter(
+                    (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
+                )
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(chunk_dir)
+            )
+            part = next(
+                p for p in os.listdir(chunk_dir) if p.endswith(".parquet")
+            )
+            dst = os.path.join(src, f"{i:03d}.parquet")
+            shutil.move(os.path.join(chunk_dir, part), dst)
+            # explicit increasing mtimes: batch arrival order must be
+            # insertion order (the file source processes oldest-first)
+            os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+        stream = (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        state = os.path.join(base, "nsw_index")
+        maintain_nsw_index(spark, stream, state).awaitTermination()
+        assert compact_fold_state(spark, state)  # offline maintenance
+        vecs, graph = read_nsw_index(spark, state)
+        q = _normed(e).filter(F.col("vec_id") == 0).select(
+            F.col("embedding").alias("qv"), F.col("nrm").alias("qn")
+        )
+        return _nsw_serve(vecs, q, graph).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
 
 
 def _recall_oracle() -> str:

@@ -236,6 +236,7 @@ def _fold_families(spark, sf_dir):
     """(name, partial_fn, merge_fn, input_df) for every fold-rewrite
     state family — the compaction contract is per-family tested so a
     family whose merge misbehaves across the boundary can't hide."""
+    from rag_lakehouse_spark.streaming import graph_sink as GS
     from rag_lakehouse_spark.streaming import media_sink as MS
     from rag_lakehouse_spark.streaming import rollup_sink as RS
     from rag_lakehouse_spark.streaming.dedup_sink import (
@@ -267,6 +268,14 @@ def _fold_families(spark, sf_dir):
          docs.select("doc_id", "text", "source")),
         ("warc_host", MS._warc_host_partials, MS._warc_host_merge,
          _warc_blobs(spark, sf_dir)),
+        # r13: the NSW graph fold (streaming.graph_sink) — the first
+        # graph-shaped state under the compaction contract. Batch
+        # SEQUENCE determinism is what the boundary test needs; the
+        # id-order arrival contract is exercised by the incremental
+        # query + test_streaming_graph.py.
+        ("nsw", GS._nsw_vec_partials, GS._nsw_merge,
+         load_table(spark, sf_dir, "embeddings")
+         .select("vec_id", "embedding")),
     ]
 
 
