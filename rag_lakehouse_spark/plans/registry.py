@@ -74,6 +74,7 @@ _PRIORITY: tuple[str, ...] = (
     # as built) --
     "corpus_from_crawl",
     "ann_graph_nsw_incremental",
+    "media_jpeg_pixels",
     # -- r13 part (b): the 17 r7-vintage rows displaced from the r12
     # sample (latest driver row r7; judge-recomputed union) --
     "dedup_semantic_canonicals",

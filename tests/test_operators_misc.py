@@ -1119,6 +1119,181 @@ def test_jpeg_walk_rejects_malformed():
         _walk_jpeg(bytes(bad))
 
 
+def test_jpeg_coeff_round_trip_property():
+    """r13: the baseline JPEG entropy layer is LOSSLESS over quantized
+    coefficients — hypothesis-chosen dims / component counts /
+    coefficient patterns (signed ACs up to category 10, zero runs long
+    enough to force ZRL, DC swings forcing every DPCM category) encode
+    and decode back EXACTLY. This is the general-coefficient evidence
+    behind media_jpeg_pixels' flat-block oracle construction."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from rag_lakehouse_spark.operators.multimodal import (
+        _decode_jpeg_coeffs,
+        synth_jpeg_coeff_bytes,
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        bw=st.integers(min_value=1, max_value=4),
+        bh=st.integers(min_value=1, max_value=3),
+        nc=st.sampled_from([1, 3]),
+        seed=st.integers(min_value=0, max_value=2**31),
+        data=st.data(),
+    )
+    def check(bw, bh, nc, seed, data):
+        import random
+
+        rng = random.Random(seed)
+        n_mcu = bw * bh
+        comp = []
+        for _c in range(nc):
+            blocks = []
+            for _m in range(n_mcu):
+                blk = [0] * 64
+                blk[0] = rng.randint(-255, 255)
+                # a sparse tail (forces EOB), sometimes a lone late
+                # coefficient (forces ZRL runs)
+                for _ in range(rng.randint(0, 10)):
+                    k = rng.randint(1, 63)
+                    v = rng.randint(-1023, 1023)
+                    blk[k] = v if v != 0 else 1
+                blocks.append(blk)
+            comp.append(blocks)
+        content = synth_jpeg_coeff_bytes(8 * bw, 8 * bh, comp)
+        w2, h2, got, qts = _decode_jpeg_coeffs(content)
+        assert (w2, h2) == (8 * bw, 8 * bh)
+        assert got == comp
+        assert qts[0][0] == 8 and set(qts[0][1:]) == {1}
+
+    check()
+
+
+def test_jpeg_flat_pixels_exact_property():
+    """r13: flat (DC-only) blocks decode to EXACTLY their input values
+    through the full lossy pipeline — the integer-exactness argument
+    (flat ⇒ pure DC = 8(v−128); DC-quant 8 ⇒ stored v−128; IDCT ⇒ v)
+    media_jpeg_pixels relies on, at hypothesis-chosen dims/values."""
+    import numpy as _np
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from rag_lakehouse_spark.operators.multimodal import (
+        _decode_jpeg_pixels,
+        synth_jpeg_flat_bytes,
+    )
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        bw=st.integers(min_value=1, max_value=5),
+        bh=st.integers(min_value=1, max_value=3),
+        nc=st.sampled_from([1, 3]),
+        seed=st.integers(min_value=0, max_value=2**31),
+    )
+    def check(bw, bh, nc, seed):
+        import random
+
+        rng = random.Random(seed)
+        vals = [
+            [rng.randint(0, 255) for _ in range(bw * bh)] for _ in range(nc)
+        ]
+        w, h, planes = _decode_jpeg_pixels(
+            synth_jpeg_flat_bytes(8 * bw, 8 * bh, vals)
+        )
+        assert (w, h) == (8 * bw, 8 * bh)
+        assert len(planes) == nc
+        for c in range(nc):
+            for i, v in enumerate(vals[c]):
+                by, bx = divmod(i, bw)
+                blk = planes[c][8 * by : 8 * by + 8, 8 * bx : 8 * bx + 8]
+                assert (blk == _np.uint8(v)).all()
+
+    check()
+
+
+def test_jpeg_idct_matches_naive_referee():
+    """The vectorized einsum IDCT agrees with a naive O(n^4) textbook
+    referee on random dequantized blocks (pre-rounding, tight float
+    tolerance) — the IDCT itself is checked, not just the flat path."""
+    import numpy as _np
+
+    from rag_lakehouse_spark.operators.multimodal import _idct_matrix
+
+    rng = _np.random.default_rng(7)
+    m = _idct_matrix()
+    for _ in range(20):
+        coeff = rng.integers(-1024, 1024, size=(8, 8)).astype(_np.float64)
+        fast = m.T @ coeff @ m
+        naive = _np.zeros((8, 8))
+        for x in range(8):
+            for y in range(8):
+                s = 0.0
+                for u in range(8):
+                    for v in range(8):
+                        cu = 1 / _np.sqrt(2) if u == 0 else 1.0
+                        cv = 1 / _np.sqrt(2) if v == 0 else 1.0
+                        s += (
+                            cu
+                            * cv
+                            * coeff[u, v]
+                            * _np.cos((2 * x + 1) * u * _np.pi / 16)
+                            * _np.cos((2 * y + 1) * v * _np.pi / 16)
+                        )
+                naive[x, y] = s / 4
+        assert _np.allclose(fast, naive, atol=1e-9)
+
+
+def test_jpeg_pixel_decode_rejects_malformed():
+    """Progressive scans, subsampling, restart intervals, 16-bit
+    quantizers, truncated entropy runs, missing EOI, and an invalid
+    Huffman code all raise per the media-decoder contract."""
+    import struct as _struct
+
+    import pytest as _pytest
+
+    from rag_lakehouse_spark.operators.multimodal import (
+        _decode_jpeg_coeffs,
+        synth_jpeg_flat_bytes,
+    )
+
+    good = synth_jpeg_flat_bytes(16, 8, [[10, 250]])
+    assert _decode_jpeg_coeffs(good)[2][0][0][0] == 10 - 128
+    # progressive: SOF0 marker patched to SOF2
+    prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with _pytest.raises(NotImplementedError, match="SOF0"):
+        _decode_jpeg_coeffs(prog)
+    # subsampling: the component sampling byte patched to 2x2
+    sof = good.index(b"\xff\xc0")
+    sub = bytearray(good)
+    assert sub[sof + 11] == 0x11
+    sub[sof + 11] = 0x22
+    with _pytest.raises(NotImplementedError, match="subsampling"):
+        _decode_jpeg_coeffs(bytes(sub))
+    # restart interval: a DRI segment spliced in after SOI
+    dri = good[:2] + b"\xff\xdd\x00\x04\x00\x04" + good[2:]
+    with _pytest.raises(NotImplementedError, match="restart"):
+        _decode_jpeg_coeffs(dri)
+    # 16-bit quantizer: DQT precision nibble patched
+    dqt = good.index(b"\xff\xdb")
+    q16 = bytearray(good)
+    q16[dqt + 4] = 0x10
+    with _pytest.raises(NotImplementedError, match="16-bit"):
+        _decode_jpeg_coeffs(bytes(q16))
+    # truncated entropy run / missing EOI
+    with _pytest.raises(NotImplementedError):
+        _decode_jpeg_coeffs(good[:-3])
+    # invalid Huffman code: entropy run replaced by a stuffed 0xFF
+    # (all-ones bits match no assigned DC code at any length)
+    sos = good.index(b"\xff\xda")
+    (slen,) = _struct.unpack(">H", good[sos + 2 : sos + 4])
+    ent_at = sos + 2 + slen
+    bad = good[:ent_at] + b"\xff\x00" + b"\xff\xd9"
+    with _pytest.raises(NotImplementedError, match="Huffman|truncated|ended"):
+        _decode_jpeg_coeffs(bad)
+
+
 def test_warc_walk_round_trip_property():
     """synth_warc_bytes -> _walk_warc round-trips hypothesis-chosen
     record mixes: statuses, body lengths (incl. 0), bodies embedding
