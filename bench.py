@@ -11,6 +11,10 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 interpolated at its suite position — contention-TOLERANT units: on a
 loaded host absolute seconds inflate but these ratios hold, so
 round-over-round canary bands are stated in anchor-relative units.
+"bands_eligible" (r13) is True only when the run may quote per-query
+rel bands: anchors not contended AND value_rel within 10% of the
+quiet-host reference. "r1_suite_total"/"r1_suite_vs_baseline" (r13)
+emit the 15-query round-over-round comparable directly.
 
 Each query executes to completion via collect() ON A FRESH DataFrame
 per run (r11, VERDICT r10 #3): count() over an aggregate-tail plan
@@ -91,7 +95,51 @@ HEADLINE = (
     # r1-suite subtotal stays the round-over-round comparable.
     "corpus_kn_bigram_scores",
     "corpus_countmin_portable",
+    # r13 canary (VERDICT r12 #5): the codec surface had zero bench
+    # coverage — this times the shared parse-once WARC walk
+    # (mapInPandas container decode) + per-host aggregation.
+    "media_warc_host_report",
 )
+
+# The round-over-round comparable (every VERDICT since r11): the 15
+# queries of the ORIGINAL r1 headline set, summed from "queries" and
+# divided by the 24.9 s collect-frame re-anchored r1 baseline
+# (ROUND_NOTES r11 records the count->collect dual-action mapping).
+# Emitted directly as r1_suite_total / r1_suite_vs_baseline so readers
+# never reconstruct the list from BENCH_r01.json by hand.
+R1_SUITE = (
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_nation_revenue",
+    "window_rank_top_orders",
+    "events_sessionize",
+    "events_tumbling_hourly",
+    "text_token_stats",
+    "dedup_exact_docs",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "knn_similarity_join",
+    "knn_vectorized_topk",
+    "events_asof_purchase",
+    "chunk_fixed_docs",
+    "rag_retrieve_context",
+)
+R1_BASELINE_COLLECT_SEC = 24.9
+
+# Band-eligibility reference (VERDICT r12 #5): per the standing canary
+# rule, per-query rel bands may only be quoted from a run whose
+# value_rel sits within 10% of the quiet-host reference AND whose
+# anchors are not contended. The r12 driver run had anchor spread just
+# under the 25% flag while its value_rel was 21% over reference —
+# nominally "clean" yet band-ineligible; bands_eligible in the JSON
+# closes that gap so a reader cannot quote band violations from an
+# ineligible run. Reference re-measured whenever HEADLINE changes:
+# r13 = 36.5, set between the round's two quiet-host readings (35.53
+# at anchors 0.82-1.07, 38.52 at anchors 0.82-0.87 — the cleanest
+# run) after adding the media_warc_host_report canary. Both
+# legitimate quiet runs sit within the 10% window; an r12-driver-
+# style +21% reading (≈40.7 on this headline set) does not.
+VALUE_REL_REF = 36.5
 
 
 def main() -> None:
@@ -142,6 +190,7 @@ def main() -> None:
             "corpus_export_manifest",
             "corpus_heavy_tokens",
             "knn_vectorized_topk",
+            "media_warc_host_report",
         ):
             if name in qs:
                 try:
@@ -211,6 +260,15 @@ def main() -> None:
         name: round(timings[name] / max(anchor_at(qi + 0.5), 1e-9), 2)
         for qi, name in enumerate(live)
     }
+    value_rel = round(sum(queries_rel.values()), 2)
+    r1_live = [n for n in R1_SUITE if n in timings]
+    r1_total = round(sum(timings[n] for n in r1_live), 3)
+    r1_rel = round(sum(queries_rel[n] for n in r1_live), 2)
+    bands_eligible = (
+        not anchor_contended
+        and VALUE_REL_REF is not None
+        and abs(value_rel - VALUE_REL_REF) / VALUE_REL_REF <= 0.10
+    )
 
     duck_timings: dict[str, float] = {}
     duck_error = None
@@ -232,7 +290,12 @@ def main() -> None:
         "spark_anchor": spark_anchor,
         "anchor_contended": anchor_contended,
         "queries_rel": queries_rel,
-        "value_rel": round(sum(queries_rel.values()), 2),
+        "value_rel": value_rel,
+        "value_rel_ref": VALUE_REL_REF,
+        "bands_eligible": bands_eligible,
+        "r1_suite_total": r1_total,
+        "r1_suite_rel": r1_rel,
+        "r1_suite_vs_baseline": round(r1_total / R1_BASELINE_COLLECT_SEC, 3),
         "duckdb": duck_timings,
         "warmup": warmed,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
