@@ -1142,17 +1142,30 @@ def _jpeg_mag_bits(v: int, cat: int) -> int:
     return v if v >= 0 else v + (1 << cat) - 1
 
 
+def _jpeg_sampling(ncomp: int, subsample: bool) -> list[tuple[int, int]]:
+    """Per-component (h, v) sampling factors: all 1x1, or the standard
+    4:2:0 layout (Y at 2x2, chroma at 1x1) for 3-component streams."""
+    if subsample:
+        if ncomp != 3:
+            raise ValueError("4:2:0 needs 3 components")
+        return [(2, 2), (1, 1), (1, 1)]
+    return [(1, 1)] * ncomp
+
+
 def synth_jpeg_coeff_bytes(
     width: int,
     height: int,
     comp_blocks: "list[list[list[int]]]",
     dc_quant: int = 8,
+    subsample: bool = False,
 ) -> bytes:
     """Format-valid baseline JFIF bytes carrying the given QUANTIZED
     coefficient blocks — the writer half of the lossless entropy round
-    trip. ``comp_blocks[c]`` is the MCU-ordered list of 64-entry
-    zigzag-order quantized coefficient blocks for component ``c``
-    (1 or 3 components, 1x1 sampling); all components share one
+    trip. ``comp_blocks[c]`` is the RASTER-ordered list of 64-entry
+    zigzag-order quantized coefficient blocks over component ``c``'s
+    own block grid (1 or 3 components; with ``subsample`` the standard
+    4:2:0 layout — Y at 2x2, chroma at 1x1, full MCUs required — where
+    the writer performs the MCU interleave); all components share one
     quantizer (DC slot ``dc_quant``, ACs 1) and one DC + one AC
     Huffman table, written to DQT/DHT as the format requires.
     Coefficient magnitudes must fit category <= 10 (ACs) / diff
@@ -1160,11 +1173,16 @@ def synth_jpeg_coeff_bytes(
     ncomp = len(comp_blocks)
     if ncomp not in (1, 3):
         raise ValueError("1 or 3 components")
-    bw, bh = (width + 7) // 8, (height + 7) // 8
-    n_mcu = bw * bh
-    for blocks in comp_blocks:
-        if len(blocks) != n_mcu:
-            raise ValueError("need one block per MCU per component")
+    samp = _jpeg_sampling(ncomp, subsample)
+    hmax = max(h for h, _ in samp)
+    vmax = max(v for _, v in samp)
+    if width % (8 * hmax) or height % (8 * vmax):
+        raise ValueError("dims must fill whole MCUs")
+    mcux, mcuy = width // (8 * hmax), height // (8 * vmax)
+    for c, blocks in enumerate(comp_blocks):
+        hi, vi = samp[c]
+        if len(blocks) != mcux * hi * mcuy * vi:
+            raise ValueError("need one block per grid cell per component")
 
     def seg(marker: int, body: bytes) -> bytes:
         return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
@@ -1183,7 +1201,10 @@ def synth_jpeg_coeff_bytes(
         b"\x08"
         + struct.pack(">HH", height, width)
         + bytes([ncomp])
-        + b"".join(bytes([c + 1, 0x11, 0]) for c in range(ncomp))
+        + b"".join(
+            bytes([c + 1, (samp[c][0] << 4) | samp[c][1], 0])
+            for c in range(ncomp)
+        )
     )
     out.append(seg(0xC0, sof))
     out.append(seg(0xC4, b"\x00" + bytes(_DC_BITS) + _DC_VALS))
@@ -1199,51 +1220,71 @@ def synth_jpeg_coeff_bytes(
     ac_tab = _huff_canonical(_AC_BITS, _AC_VALS)
     w = _BitWriter()
     pred = [0] * ncomp
-    for mcu in range(n_mcu):
-        for c in range(ncomp):
-            block = comp_blocks[c][mcu]
-            diff = block[0] - pred[c]
-            pred[c] = block[0]
-            cat = _jpeg_category(diff)
-            code, length = dc_tab[cat]
+
+    def emit(c: int, block: "list[int]") -> None:
+        diff = block[0] - pred[c]
+        pred[c] = block[0]
+        cat = _jpeg_category(diff)
+        code, length = dc_tab[cat]
+        w.put(code, length)
+        if cat:
+            w.put(_jpeg_mag_bits(diff, cat), cat)
+        run = 0
+        for k in range(1, 64):
+            v = block[k]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, length = ac_tab[0xF0]  # ZRL
+                w.put(code, length)
+                run -= 16
+            cat = _jpeg_category(v)
+            code, length = ac_tab[(run << 4) | cat]
             w.put(code, length)
-            if cat:
-                w.put(_jpeg_mag_bits(diff, cat), cat)
+            w.put(_jpeg_mag_bits(v, cat), cat)
             run = 0
-            for k in range(1, 64):
-                v = block[k]
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    code, length = ac_tab[0xF0]  # ZRL
-                    w.put(code, length)
-                    run -= 16
-                cat = _jpeg_category(v)
-                code, length = ac_tab[(run << 4) | cat]
-                w.put(code, length)
-                w.put(_jpeg_mag_bits(v, cat), cat)
-                run = 0
-            if run:
-                code, length = ac_tab[0x00]  # EOB
-                w.put(code, length)
+        if run:
+            code, length = ac_tab[0x00]  # EOB
+            w.put(code, length)
+
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for c in range(ncomp):
+                hi, vi = samp[c]
+                gw = mcux * hi
+                for vy in range(vi):
+                    for hx in range(hi):
+                        emit(
+                            c,
+                            comp_blocks[c][
+                                (vi * my + vy) * gw + (hi * mx + hx)
+                            ],
+                        )
     out.append(w.flush())
     out.append(b"\xff\xd9")
     return b"".join(out)
 
 
 def synth_jpeg_flat_bytes(
-    width: int, height: int, comp_dc_values: "list[list[int]]"
+    width: int,
+    height: int,
+    comp_dc_values: "list[list[int]]",
+    subsample: bool = False,
 ) -> bytes:
     """DC-only baseline JPEG from per-block CONSTANT pixel values
-    (0..255), MCU order, one list per component: stored DC coefficient
-    = v - 128 under the DC-8 quantizer, all ACs zero — the
-    integer-exact construction whose decoded pixels equal the input
-    values exactly (see the codec banner)."""
+    (0..255), raster order over each component's own block grid, one
+    list per component: stored DC coefficient = v - 128 under the DC-8
+    quantizer, all ACs zero — the integer-exact construction whose
+    decoded pixels equal the input values exactly (see the codec
+    banner). With ``subsample``, the 4:2:0 layout: each chroma value
+    covers one 16x16 MCU and survives the 2x upsample exactly."""
     comp_blocks = [
         [[v - 128] + [0] * 63 for v in vals] for vals in comp_dc_values
     ]
-    return synth_jpeg_coeff_bytes(width, height, comp_blocks, dc_quant=8)
+    return synth_jpeg_coeff_bytes(
+        width, height, comp_blocks, dc_quant=8, subsample=subsample
+    )
 
 
 class _BitReader:
@@ -1303,20 +1344,25 @@ def _jpeg_extend(bits: int, cat: int) -> int:
 
 def _decode_jpeg_coeffs(
     content: bytes,
-) -> tuple[int, int, list[list[list[int]]], list[list[int]]]:
-    """(width, height, per-component MCU-ordered QUANTIZED zigzag
-    coefficient blocks, per-component quantizer tables) from a
-    baseline 4:4:4 stream — the LOSSLESS half of the decoder: marker
-    walk, DQT/DHT/SOF0/SOS parse, table-driven Huffman decode, DC
-    DPCM undo. Progressive scans, subsampling, restart intervals, and
-    16-bit quantizers raise NotImplementedError."""
+) -> tuple[
+    int, int, list[list[list[int]]], list[list[int]], list[tuple[int, int]]
+]:
+    """(width, height, per-component RASTER-ordered QUANTIZED zigzag
+    coefficient blocks, per-component quantizer tables, per-component
+    (h, v) sampling factors) from a baseline stream — the LOSSLESS
+    half of the decoder: marker walk, DQT/DHT/SOF0/SOS parse,
+    table-driven Huffman decode over interleaved MCUs, DC DPCM undo.
+    Sampling is 1x1 everywhere or the standard 4:2:0 layout (Y 2x2 +
+    chroma 1x1, whole MCUs); progressive scans, other samplings,
+    restart intervals, and 16-bit quantizers raise
+    NotImplementedError."""
     if content[:2] != b"\xff\xd8":
         raise NotImplementedError("not a JPEG stream (no SOI)")
     pos = 2
     qtables: dict[int, list[int]] = {}
     htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     w = h = None
-    comps: list[tuple[int, int]] = []  # (comp_id, qtable_id)
+    comps: list[tuple[int, int, int, int]] = []  # (id, h, v, qtable_id)
     scan: list[tuple[int, int, int]] = []  # (comp index, dc id, ac id)
     while True:
         if pos + 2 > len(content):
@@ -1368,9 +1414,16 @@ def _decode_jpeg_coeffs(
             nc = body[5]
             for c in range(nc):
                 cid, samp, qid = body[6 + 3 * c : 9 + 3 * c]
-                if samp != 0x11:
-                    raise NotImplementedError("subsampling unsupported")
-                comps.append((cid, qid))
+                comps.append((cid, samp >> 4, samp & 0x0F, qid))
+            layout = [(hi, vi) for _, hi, vi, _ in comps]
+            if layout != [(1, 1)] * nc and layout != [
+                (2, 2),
+                (1, 1),
+                (1, 1),
+            ]:
+                raise NotImplementedError(
+                    "only 1x1 or 4:2:0 sampling supported"
+                )
         elif marker in (0xC1, 0xC2, 0xC3) or (
             0xC5 <= marker <= 0xCF and marker not in (0xC8, 0xCC)
         ):
@@ -1382,52 +1435,70 @@ def _decode_jpeg_coeffs(
             for s in range(ns):
                 cid, tids = body[1 + 2 * s], body[2 + 2 * s]
                 idx = next(
-                    i for i, (c, _) in enumerate(comps) if c == cid
+                    i for i, cc in enumerate(comps) if cc[0] == cid
                 )
                 scan.append((idx, tids >> 4, tids & 0x0F))
             break
     if w is None or not scan:
         raise NotImplementedError("JPEG missing SOF/SOS")
-    bw, bh = (w + 7) // 8, (h + 7) // 8
+    samp = [(comps[cidx][1], comps[cidx][2]) for cidx, _, _ in scan]
+    hmax = max(hi for hi, _ in samp)
+    vmax = max(vi for _, vi in samp)
+    if w % (8 * hmax) or h % (8 * vmax):
+        raise NotImplementedError("partial MCUs unsupported")
+    mcux, mcuy = w // (8 * hmax), h // (8 * vmax)
     reader = _BitReader(content, pos)
-    blocks: list[list[list[int]]] = [[] for _ in scan]
+    blocks: list[list[list[int] | None]] = [
+        [None] * (mcux * hi * mcuy * vi) for hi, vi in samp
+    ]
     pred = [0] * len(scan)
-    for _mcu in range(bw * bh):
-        for si, (cidx, dc_id, ac_id) in enumerate(scan):
-            dc_tab = htables.get((0, dc_id))
-            ac_tab = htables.get((1, ac_id))
-            if dc_tab is None or ac_tab is None:
-                raise NotImplementedError("missing Huffman table")
-            blk = [0] * 64
-            cat = reader.huff(dc_tab)
-            pred[si] += _jpeg_extend(reader.bits(cat), cat) if cat else 0
-            blk[0] = pred[si]
-            k = 1
-            while k < 64:
-                sym = reader.huff(ac_tab)
-                if sym == 0x00:  # EOB
-                    break
-                if sym == 0xF0:  # ZRL
-                    k += 16
-                    continue
-                run, cat = sym >> 4, sym & 0x0F
-                k += run
-                if k > 63:
-                    raise NotImplementedError("AC run past block end")
-                blk[k] = _jpeg_extend(reader.bits(cat), cat)
-                k += 1
-            blocks[si].append(blk)
+
+    def read_block(si: int, dc_id: int, ac_id: int) -> list[int]:
+        dc_tab = htables.get((0, dc_id))
+        ac_tab = htables.get((1, ac_id))
+        if dc_tab is None or ac_tab is None:
+            raise NotImplementedError("missing Huffman table")
+        blk = [0] * 64
+        cat = reader.huff(dc_tab)
+        pred[si] += _jpeg_extend(reader.bits(cat), cat) if cat else 0
+        blk[0] = pred[si]
+        k = 1
+        while k < 64:
+            sym = reader.huff(ac_tab)
+            if sym == 0x00:  # EOB
+                break
+            if sym == 0xF0:  # ZRL
+                k += 16
+                continue
+            run, cat = sym >> 4, sym & 0x0F
+            k += run
+            if k > 63:
+                raise NotImplementedError("AC run past block end")
+            blk[k] = _jpeg_extend(reader.bits(cat), cat)
+            k += 1
+        return blk
+
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for si, (cidx, dc_id, ac_id) in enumerate(scan):
+                hi, vi = samp[si]
+                gw = mcux * hi
+                for vy in range(vi):
+                    for hx in range(hi):
+                        blocks[si][
+                            (vi * my + vy) * gw + (hi * mx + hx)
+                        ] = read_block(si, dc_id, ac_id)
     # the byte after the (possibly padded) entropy run must be EOI
     tail = reader.pos
     if content[tail : tail + 2] != b"\xff\xd9":
         raise NotImplementedError("JPEG missing EOI after scan")
     qts = []
     for cidx, _dc, _ac in scan:
-        qid = comps[cidx][1]
+        qid = comps[cidx][3]
         if qid not in qtables:
             raise NotImplementedError("missing quantizer table")
         qts.append(qtables[qid])
-    return int(w), int(h), blocks, qts
+    return int(w), int(h), blocks, qts, samp
 
 
 _IDCT_M = None
@@ -1447,17 +1518,25 @@ def _idct_matrix() -> "np.ndarray":
 
 def _decode_jpeg_pixels(
     content: bytes,
-) -> tuple[int, int, list["np.ndarray"]]:
-    """(width, height, per-component uint8 pixel planes) — the full
-    baseline decode: entropy layer (``_decode_jpeg_coeffs``) →
-    dequantize → de-zigzag → IDCT → level shift + clamp. Components
-    stay in their native (YCbCr or grayscale) planes: corpus feature
-    extraction reads channels, color conversion is a display concern."""
-    w, h, comp_blocks, qts = _decode_jpeg_coeffs(content)
-    bw, bh = (w + 7) // 8, (h + 7) // 8
+) -> tuple[int, int, list["np.ndarray"], int]:
+    """(width, height, per-component uint8 pixel planes at FULL image
+    resolution, total decoded block count) — the full baseline decode:
+    entropy layer (``_decode_jpeg_coeffs``) → dequantize → de-zigzag →
+    IDCT → level shift + clamp; subsampled (4:2:0) chroma planes are
+    nearest-neighbor upsampled to image resolution. Components stay in
+    their native (YCbCr or grayscale) planes: corpus feature
+    extraction reads channels, color conversion is a display
+    concern."""
+    w, h, comp_blocks, qts, samp = _decode_jpeg_coeffs(content)
+    hmax = max(hi for hi, _ in samp)
+    vmax = max(vi for _, vi in samp)
+    mcux, mcuy = w // (8 * hmax), h // (8 * vmax)
     m = _idct_matrix()
     planes = []
-    for blocks, qt in zip(comp_blocks, qts):
+    n_blocks = 0
+    for blocks, qt, (hi, vi) in zip(comp_blocks, qts, samp):
+        n_blocks += len(blocks)
+        gw, gh = mcux * hi, mcuy * vi
         arr = np.asarray(blocks, dtype=np.float64) * np.asarray(
             qt, dtype=np.float64
         )
@@ -1466,12 +1545,16 @@ def _decode_jpeg_pixels(
             grid[:, r, c] = arr[:, zz]
         spatial = np.einsum("ur,nuv,vc->nrc", m, grid, m)
         pix = np.clip(np.rint(spatial) + 128, 0, 255).astype(np.uint8)
-        plane = np.zeros((bh * 8, bw * 8), dtype=np.uint8)
+        plane = np.zeros((gh * 8, gw * 8), dtype=np.uint8)
         for i in range(len(blocks)):
-            by, bx = divmod(i, bw)
+            by, bx = divmod(i, gw)
             plane[8 * by : 8 * by + 8, 8 * bx : 8 * bx + 8] = pix[i]
+        if hi < hmax or vi < vmax:
+            plane = plane.repeat(vmax // vi, axis=0).repeat(
+                hmax // hi, axis=1
+            )
         planes.append(plane[:h, :w])
-    return w, h, planes
+    return w, h, planes, n_blocks
 
 
 def jpeg_pixel_features(
@@ -1489,7 +1572,9 @@ def jpeg_pixel_features(
             rows = []
             for rid, content in zip(pdf[id_col], pdf[content_col]):
                 try:
-                    w, h, planes = _decode_jpeg_pixels(bytes(content))
+                    w, h, planes, n_blk = _decode_jpeg_pixels(
+                        bytes(content)
+                    )
                 except NotImplementedError:
                     continue
                 bw, bh = w // 8, h // 8
@@ -1517,7 +1602,7 @@ def jpeg_pixel_features(
                         w,
                         h,
                         len(planes),
-                        bw * bh * len(planes),
+                        n_blk,
                         sums[0],
                         sums[1],
                         sums[2],

@@ -942,38 +942,51 @@ def media_jpeg_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH p AS (
       SELECT doc_id AS media_id,
-             CAST(1 + doc_id % 5 AS INT) AS bw,
-             CAST(1 + doc_id % 3 AS INT) AS bh,
-             CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS INT) AS nc
+             CAST(CASE WHEN doc_id % 4 = 3 THEN 2 * (1 + doc_id % 3)
+                  ELSE 1 + doc_id % 5 END AS INT) AS bw,
+             CAST(CASE WHEN doc_id % 4 = 3 THEN 2 * (1 + doc_id % 2)
+                  ELSE 1 + doc_id % 3 END AS INT) AS bh,
+             CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS INT)
+               AS nc,
+             (doc_id % 4 = 3) AS sub
       FROM documents WHERE doc_id % 3 = 1
-    ), el AS (
-      SELECT media_id, bw, bh, nc,
-             unnest(generate_series(0, bw * bh * nc - 1)) AS pos
+    ), pc AS (
+      SELECT *, CASE WHEN sub THEN bw // 2 ELSE bw END AS cw,
+                CASE WHEN sub THEN bh // 2 ELSE bh END AS ch
       FROM p
     ), blk AS (
-      SELECT media_id, bw, bh, nc,
-             pos % bw AS bx, (pos // bw) % bh AS by,
-             pos // (bw * bh) AS c,
-             (17 * media_id + 5 * (pos % bw) + 11 * ((pos // bw) % bh)
-              + 97 * (pos // (bw * bh))) % 256 AS v
-      FROM el
+      SELECT media_id, bw, bh, nc, sub, 0 AS c,
+             pos % bw AS bx, pos // bw AS by, 64 AS ppb
+      FROM (SELECT *, unnest(generate_series(0, bw * bh - 1)) AS pos
+            FROM pc) lu
+      UNION ALL
+      SELECT media_id, bw, bh, nc, sub,
+             CAST(1 + pos // (cw * ch) AS INT) AS c,
+             (pos % (cw * ch)) % cw AS bx,
+             (pos % (cw * ch)) // cw AS by,
+             CASE WHEN sub THEN 256 ELSE 64 END AS ppb
+      FROM (SELECT *, unnest(generate_series(0, 2 * cw * ch - 1)) AS pos
+            FROM pc WHERE nc = 3) chr
+    ), vv AS (
+      SELECT *, (17 * media_id + 5 * bx + 11 * by + 97 * c) % 256 AS v
+      FROM blk
     )
     SELECT media_id,
            CAST(8 * bw AS INT) AS width,
            CAST(8 * bh AS INT) AS height,
            nc AS n_components,
-           CAST(bw * bh * nc AS INT) AS n_blocks,
-           CAST(64 * SUM(CASE WHEN c = 0 THEN v ELSE 0 END) AS BIGINT)
+           CAST(COUNT(*) AS INT) AS n_blocks,
+           CAST(SUM(CASE WHEN c = 0 THEN ppb * v ELSE 0 END) AS BIGINT)
              AS c0_sum,
            CAST(CASE WHEN nc = 3
-                THEN 64 * SUM(CASE WHEN c = 1 THEN v ELSE 0 END)
+                THEN SUM(CASE WHEN c = 1 THEN ppb * v ELSE 0 END)
                 END AS BIGINT) AS c1_sum,
            CAST(CASE WHEN nc = 3
-                THEN 64 * SUM(CASE WHEN c = 2 THEN v ELSE 0 END)
+                THEN SUM(CASE WHEN c = 2 THEN ppb * v ELSE 0 END)
                 END AS BIGINT) AS c2_sum,
            CAST(SUM(CASE WHEN c = 0 THEN (bx + 7 * by) * v ELSE 0 END)
                 AS BIGINT) AS c0_wsum
-    FROM blk GROUP BY media_id, bw, bh, nc
+    FROM vv GROUP BY media_id, bw, bh, nc
     """,
     tags=("multimodal", "codec", "image", "jpeg", "pandas"),
 )
@@ -997,8 +1010,13 @@ def media_jpeg_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     zigzag slot, or IDCT bug hash-visible. The entropy layer's
     generality (ACs, ZRL runs, arbitrary magnitudes) is covered by
     the lossless coefficient round-trip fuzz in
-    tests/test_operators_misc.py — grayscale AND 4:4:4 interleaved
-    MCUs run here by construction (odd ids are 3-component).
+    tests/test_operators_misc.py — grayscale, 4:4:4, AND 4:2:0 all
+    run here by construction (odd ids are 3-component; ids ≡ 3 mod 4
+    use the standard 4:2:0 layout: Y at 2x2 sampling, per-MCU
+    interleave of four Y blocks + Cb + Cr, chroma nearest-neighbor
+    upsampled — each flat chroma block covers one 16x16 MCU exactly,
+    so the subsampled path stays integer-exact and its 256-pixel
+    blocks are hash-separated from luma's 64-pixel blocks).
 
     Scale: map-only (parameter projection → synth+decode mapInPandas;
     the only exchange is the fan-out RoundRobin); per-image decode is
@@ -1017,37 +1035,35 @@ def media_jpeg_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     params = (
         load_table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") % 3 == 1)
-        .select(
-            F.col("doc_id").alias("media_id"),
-            (1 + F.col("doc_id") % 5).cast("int").alias("bw"),
-            (1 + F.col("doc_id") % 3).cast("int").alias("bh"),
-            F.when(F.col("doc_id") % 2 == 0, F.lit(1))
-            .otherwise(F.lit(3))
-            .cast("int")
-            .alias("nc"),
-        )
+        .select(F.col("doc_id").alias("media_id"))
     )
 
     def build(batches):
         for pdf in batches:
             out = []
             for r in pdf.itertuples(index=False):
-                mid, bw, bh, nc = (
-                    int(r.media_id),
-                    int(r.bw),
-                    int(r.bh),
-                    int(r.nc),
-                )
+                mid = int(r.media_id)
+                sub = mid % 4 == 3
+                bw = 2 * (1 + mid % 3) if sub else 1 + mid % 5
+                bh = 2 * (1 + mid % 2) if sub else 1 + mid % 3
+                nc = 1 if mid % 2 == 0 else 3
+                cw, ch = (bw // 2, bh // 2) if sub else (bw, bh)
+                grids = [(bw, bh)] + [(cw, ch)] * (nc - 1)
                 vals = [
                     [
                         (17 * mid + 5 * bx + 11 * by + 97 * c) % 256
-                        for by in range(bh)
-                        for bx in range(bw)
+                        for by in range(gh)
+                        for bx in range(gw)
                     ]
-                    for c in range(nc)
+                    for c, (gw, gh) in enumerate(grids)
                 ]
                 out.append(
-                    (mid, synth_jpeg_flat_bytes(8 * bw, 8 * bh, vals))
+                    (
+                        mid,
+                        synth_jpeg_flat_bytes(
+                            8 * bw, 8 * bh, vals, subsample=sub
+                        ),
+                    )
                 )
             yield pd.DataFrame(out, columns=["media_id", "content"])
 

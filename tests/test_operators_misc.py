@@ -1162,10 +1162,57 @@ def test_jpeg_coeff_round_trip_property():
                 blocks.append(blk)
             comp.append(blocks)
         content = synth_jpeg_coeff_bytes(8 * bw, 8 * bh, comp)
-        w2, h2, got, qts = _decode_jpeg_coeffs(content)
+        w2, h2, got, qts, samp = _decode_jpeg_coeffs(content)
         assert (w2, h2) == (8 * bw, 8 * bh)
         assert got == comp
         assert qts[0][0] == 8 and set(qts[0][1:]) == {1}
+        assert samp == [(1, 1)] * nc
+
+    check()
+
+
+def test_jpeg_coeff_round_trip_420_property():
+    """r13: the 4:2:0 MCU interleave (four Y blocks + Cb + Cr per
+    16x16 MCU, per-component raster grids) is lossless over quantized
+    coefficients too — the writer's interleave and the decoder's
+    de-interleave must be exact inverses at hypothesis-chosen MCU
+    grids and coefficient patterns."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from rag_lakehouse_spark.operators.multimodal import (
+        _decode_jpeg_coeffs,
+        synth_jpeg_coeff_bytes,
+    )
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        mcux=st.integers(min_value=1, max_value=3),
+        mcuy=st.integers(min_value=1, max_value=2),
+        seed=st.integers(min_value=0, max_value=2**31),
+    )
+    def check(mcux, mcuy, seed):
+        import random
+
+        rng = random.Random(seed)
+        comp = []
+        for grid in (4 * mcux * mcuy, mcux * mcuy, mcux * mcuy):
+            blocks = []
+            for _ in range(grid):
+                blk = [0] * 64
+                blk[0] = rng.randint(-255, 255)
+                for _ in range(rng.randint(0, 6)):
+                    k = rng.randint(1, 63)
+                    blk[k] = rng.choice([-7, -1, 1, 300])
+                blocks.append(blk)
+            comp.append(blocks)
+        content = synth_jpeg_coeff_bytes(
+            16 * mcux, 16 * mcuy, comp, subsample=True
+        )
+        w2, h2, got, _qts, samp = _decode_jpeg_coeffs(content)
+        assert (w2, h2) == (16 * mcux, 16 * mcuy)
+        assert samp == [(2, 2), (1, 1), (1, 1)]
+        assert got == comp
 
     check()
 
@@ -1199,16 +1246,71 @@ def test_jpeg_flat_pixels_exact_property():
         vals = [
             [rng.randint(0, 255) for _ in range(bw * bh)] for _ in range(nc)
         ]
-        w, h, planes = _decode_jpeg_pixels(
+        w, h, planes, n_blk = _decode_jpeg_pixels(
             synth_jpeg_flat_bytes(8 * bw, 8 * bh, vals)
         )
         assert (w, h) == (8 * bw, 8 * bh)
         assert len(planes) == nc
+        assert n_blk == nc * bw * bh
         for c in range(nc):
             for i, v in enumerate(vals[c]):
                 by, bx = divmod(i, bw)
                 blk = planes[c][8 * by : 8 * by + 8, 8 * bx : 8 * bx + 8]
                 assert (blk == _np.uint8(v)).all()
+
+    check()
+
+
+def test_jpeg_flat_pixels_420_exact_property():
+    """r13: the 4:2:0 path stays integer-exact — flat Y blocks decode
+    to their values at full resolution; each flat chroma block decodes
+    and nearest-neighbor upsamples to EXACTLY its value over its
+    16x16 MCU footprint."""
+    import numpy as _np
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from rag_lakehouse_spark.operators.multimodal import (
+        _decode_jpeg_pixels,
+        synth_jpeg_flat_bytes,
+    )
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        mcux=st.integers(min_value=1, max_value=3),
+        mcuy=st.integers(min_value=1, max_value=2),
+        seed=st.integers(min_value=0, max_value=2**31),
+    )
+    def check(mcux, mcuy, seed):
+        import random
+
+        rng = random.Random(seed)
+        bw, bh = 2 * mcux, 2 * mcuy
+        y_vals = [rng.randint(0, 255) for _ in range(bw * bh)]
+        cb = [rng.randint(0, 255) for _ in range(mcux * mcuy)]
+        cr = [rng.randint(0, 255) for _ in range(mcux * mcuy)]
+        w, h, planes, n_blk = _decode_jpeg_pixels(
+            synth_jpeg_flat_bytes(
+                16 * mcux, 16 * mcuy, [y_vals, cb, cr], subsample=True
+            )
+        )
+        assert (w, h) == (16 * mcux, 16 * mcuy)
+        assert n_blk == 6 * mcux * mcuy
+        for i, v in enumerate(y_vals):
+            by, bx = divmod(i, bw)
+            assert (
+                planes[0][8 * by : 8 * by + 8, 8 * bx : 8 * bx + 8]
+                == _np.uint8(v)
+            ).all()
+        for plane, vals in ((planes[1], cb), (planes[2], cr)):
+            assert plane.shape == (h, w)
+            for i, v in enumerate(vals):
+                my, mx = divmod(i, mcux)
+                assert (
+                    plane[16 * my : 16 * my + 16, 16 * mx : 16 * mx + 16]
+                    == _np.uint8(v)
+                ).all()
 
     check()
 
@@ -1264,13 +1366,23 @@ def test_jpeg_pixel_decode_rejects_malformed():
     prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
     with _pytest.raises(NotImplementedError, match="SOF0"):
         _decode_jpeg_coeffs(prog)
-    # subsampling: the component sampling byte patched to 2x2
+    # unsupported sampling: a grayscale stream claiming 2x2
     sof = good.index(b"\xff\xc0")
     sub = bytearray(good)
     assert sub[sof + 11] == 0x11
     sub[sof + 11] = 0x22
-    with _pytest.raises(NotImplementedError, match="subsampling"):
+    with _pytest.raises(NotImplementedError, match="sampling"):
         _decode_jpeg_coeffs(bytes(sub))
+    # 4:2:0 with dims that don't fill whole MCUs
+    g420 = synth_jpeg_flat_bytes(
+        16, 16, [[1, 2, 3, 4], [5], [6]], subsample=True
+    )
+    assert _decode_jpeg_coeffs(g420)[4] == [(2, 2), (1, 1), (1, 1)]
+    sofp = g420.index(b"\xff\xc0")
+    part = bytearray(g420)
+    part[sofp + 7 : sofp + 9] = _struct.pack(">H", 24)  # width 24
+    with _pytest.raises(NotImplementedError, match="partial MCU"):
+        _decode_jpeg_coeffs(bytes(part))
     # restart interval: a DRI segment spliced in after SOI
     dri = good[:2] + b"\xff\xdd\x00\x04\x00\x04" + good[2:]
     with _pytest.raises(NotImplementedError, match="restart"):
