@@ -22,7 +22,7 @@ publish step.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
@@ -48,17 +48,36 @@ _N_SHARDS, _SHARD_SEED = 8, 1337  # corpus_shard_export's layout
 _M30 = (1 << 30) - 1
 
 
-def _crawl_fetch_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _crawl_fetch_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(crawl_id, text, archive_id): the full fetch parameter set —
+    one primary fetch per document plus the mirror re-fetches, grouped
+    into archives of ~8. Shared by the batch capstone and the
+    streaming twin (which replays exactly these rows)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    prim = d.select(F.col("doc_id").alias("crawl_id"), "text")
+    mirr = d.filter(F.col("doc_id") % 9 == 4).select(
+        (F.col("doc_id") + F.lit(MIRROR_OFFSET)).alias("crawl_id"), "text"
+    )
+    return prim.unionByName(mirr).withColumn(
+        "archive_id", F.floor(F.col("crawl_id") / F.lit(8))
+    )
+
+
+def _crawl_extract(fetches: DataFrame) -> DataFrame:
     """(crawl_id, host, status, text) extracted from synthesized WARC
-    archives — the parse-once ingest step. Fetch parameters come from
-    closed crawl_id formulas (host reuses ``corpus_domain_blocklist``'s
-    subdomain/spam-TLD shapes; encoding defects reuse
-    ``operators.text.encoding_defect_flags``'s inject formulas applied
-    at the HTTP-body level); response bodies carry the documents'
-    REAL text bytes, so the downstream gates run over content the
-    oracle can reconstruct. Archives of ~8 fetches are built AND
+    archives — the parse-once ingest step, ONE definition shared by
+    the batch capstone and the streaming fold (the twins cannot
+    drift). Fetch parameters come from closed crawl_id formulas (host
+    reuses ``corpus_domain_blocklist``'s subdomain/spam-TLD shapes;
+    encoding defects reuse ``operators.text.encoding_defect_flags``'s
+    inject formulas applied at the HTTP-body level); response bodies
+    carry the documents' REAL text bytes, so the downstream gates run
+    over content the oracle can reconstruct. Archives are built AND
     walked inside one applyInPandas group — bytes never leave the
-    executor, and each archive is parsed exactly once.
+    executor, and each archive is parsed exactly once. Archive
+    packaging does not affect the extracted ROW SET (each fetch
+    appears exactly once however fetches are grouped), which is what
+    lets the streaming twin replay arbitrary batch boundaries.
 
     Scale: the only wide exchange is the groupBy(archive_id) that IS
     the crawl segment layout; the walk itself is map work per archive
@@ -70,15 +89,6 @@ def _crawl_fetch_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         _warc_response,
         synth_http_response,
         synth_warc_bytes,
-    )
-
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    prim = d.select(F.col("doc_id").alias("crawl_id"), "text")
-    mirr = d.filter(F.col("doc_id") % 9 == 4).select(
-        (F.col("doc_id") + F.lit(MIRROR_OFFSET)).alias("crawl_id"), "text"
-    )
-    fetches = prim.unionByName(mirr).withColumn(
-        "archive_id", F.floor(F.col("crawl_id") / F.lit(8))
     )
 
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -127,6 +137,59 @@ def _crawl_fetch_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return fetches.groupBy("archive_id").applyInPandas(
         build, "crawl_id long, host string, status int, text string"
+    )
+
+
+def _crawl_gate(spark: SparkSession, extracted: DataFrame) -> DataFrame:
+    """(crawl_id, host, n, fp, reason) — the sequential gate
+    projection over extracted fetch rows, evaluated map-side right
+    after the broadcast blocklist join so downstream machinery never
+    touches the text column. ONE definition shared by the batch
+    capstone and the streaming fold. ``reason`` is NULL for gate
+    survivors (dedup happens downstream — batch window or maintained
+    fingerprint state)."""
+    bl = spark.createDataFrame(
+        [("spam.example",), ("h7.example",)], "domain string"
+    )
+    # ≤1 match per host by construction (the two suffixes cannot both
+    # terminate one host), so the left join cannot duplicate rows —
+    # same shape + argument as corpus_domain_blocklist.
+    cond = (F.col("host") == F.col("domain")) | F.col("host").endswith(
+        F.concat(F.lit("."), F.col("domain"))
+    )
+    ln = F.length("text")
+    return extracted.join(F.broadcast(bl), cond, "left").select(
+        "crawl_id",
+        "host",
+        ln.alias("n"),
+        base60(F.col("text")).alias("fp"),
+        F.when(F.col("status") != 200, F.lit("http_status"))
+        .when(F.col("domain").isNotNull(), F.lit("blocklist"))
+        .when(
+            TX.has_replacement_char(F.col("text"))
+            | TX.has_mojibake_markers(F.col("text"))
+            | TX.has_raw_control_chars(F.col("text")),
+            F.lit("encoding"),
+        )
+        .when((ln < _QUALITY_MIN) | (ln > _QUALITY_MAX), F.lit("quality"))
+        .alias("reason"),
+    )
+
+
+def _shard_bucket(cid: Column) -> Column:
+    """'shard:<k>' bucket label for a surviving canonical fetch — the
+    seed-reproducible ``corpus_shard_export`` hash, shared by the
+    batch capstone and the streaming report derivation."""
+    return F.concat(
+        F.lit("shard:"),
+        (
+            base60(
+                F.concat(
+                    F.lit(f"shard:{_SHARD_SEED}:"), cid.cast("string")
+                )
+            )
+            % _N_SHARDS
+        ).cast("string"),
     )
 
 
@@ -223,33 +286,7 @@ def corpus_from_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference parity: the composed shape of
     dags/books_scraping_dag.py:37-73 (scrape → bronze → silver →
     embed) with archived-crawl ingest replacing live fetches."""
-    ex = _crawl_fetch_rows(spark, sf_dir)
-    bl = spark.createDataFrame(
-        [("spam.example",), ("h7.example",)], "domain string"
-    )
-    # ≤1 match per host by construction (the two suffixes cannot both
-    # terminate one host), so the left join cannot duplicate rows —
-    # same shape + argument as corpus_domain_blocklist.
-    cond = (F.col("host") == F.col("domain")) | F.col("host").endswith(
-        F.concat(F.lit("."), F.col("domain"))
-    )
-    ln = F.length("text")
-    g = ex.join(F.broadcast(bl), cond, "left").select(
-        "crawl_id",
-        "host",
-        ln.alias("n"),
-        base60(F.col("text")).alias("fp"),
-        F.when(F.col("status") != 200, F.lit("http_status"))
-        .when(F.col("domain").isNotNull(), F.lit("blocklist"))
-        .when(
-            TX.has_replacement_char(F.col("text"))
-            | TX.has_mojibake_markers(F.col("text"))
-            | TX.has_raw_control_chars(F.col("text")),
-            F.lit("encoding"),
-        )
-        .when((ln < _QUALITY_MIN) | (ln > _QUALITY_MAX), F.lit("quality"))
-        .alias("reason"),
-    )
+    g = _crawl_gate(spark, _crawl_extract(_crawl_fetch_set(spark, sf_dir)))
     # One narrow-row shuffle serves the dedup: survivors partition by
     # content fingerprint (min crawl_id canonical); dropped rows ride
     # along under per-row negative keys (base60 is non-negative, so
@@ -259,22 +296,13 @@ def corpus_from_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
         -F.col("crawl_id") - 1
     )
     keep = F.min("crawl_id").over(W.partitionBy("fpk"))
-    shard = (
-        base60(
-            F.concat(
-                F.lit(f"shard:{_SHARD_SEED}:"),
-                F.col("crawl_id").cast("string"),
-            )
-        )
-        % _N_SHARDS
-    )
     bucket = (
         F.when(
             F.col("reason").isNotNull(),
             F.concat(F.lit("drop:"), F.col("reason")),
         )
         .when(F.col("crawl_id") != F.col("keep"), F.lit("drop:duplicate"))
-        .otherwise(F.concat(F.lit("shard:"), shard.cast("string")))
+        .otherwise(_shard_bucket(F.col("crawl_id")))
     )
     return (
         g.withColumn("fpk", fpk)
@@ -291,3 +319,71 @@ def corpus_from_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("fp_lo_sum"),
         )
     )
+
+
+@register(
+    "corpus_from_crawl_incremental",
+    oracle=_CRAWL_ORACLE,  # SHARED with the batch capstone
+    tags=(
+        "corpus",
+        "pipeline",
+        "multimodal",
+        "training-data",
+        "capstone",
+        "streaming",
+    ),
+)
+def corpus_from_crawl_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The crawl-to-corpus capstone MAINTAINED under continuous
+    archive ingest — the THIRTEENTH incremental-index family
+    (``streaming.crawl_sink``), and the proof that the capstone
+    itself, not just its stages, survives streaming: fetch rows
+    replay through an availableNow file stream (4 files, arbitrary
+    batch boundaries — the fold is fully ORDER-INDEPENDENT), each
+    micro-batch runs the SAME extract + gate definitions as the batch
+    plan (parse-once; bytes never enter state) and folds mergeable
+    partials — per-(reason, host) gate counters and per-(fingerprint,
+    host) copy/char/min-id partials — into versioned state. The
+    canonical copy of each fingerprint is DERIVED at read (min
+    crawl_id via a window over state), so a smaller id arriving in a
+    later batch retroactively wins without any stored bucket ever
+    having been wrong; state is compacted offline
+    (``compact_fold_state``) and the report served from the
+    post-compaction read — hash-checked by the batch capstone's SAME
+    DuckDB oracle, covering ingest, maintenance, compaction, and the
+    read-time derivation end to end.
+
+    Scale: per-increment cost is one micro-batch archive walk + gate
+    scan plus a merge against the |distinct (fp, host)|-bounded state
+    (the dedup-index scale, same argument as ``streaming.dedup_sink``);
+    the read-time canonical window runs over state rows, never raw
+    fetches."""
+    import os
+    import shutil
+    import tempfile
+
+    from rag_lakehouse_spark.streaming.crawl_sink import (
+        maintain_crawl_report,
+        read_crawl_report,
+    )
+    from rag_lakehouse_spark.streaming.rollup_sink import compact_fold_state
+
+    base = tempfile.mkdtemp(prefix="rls_crawl_stream_")
+    try:
+        src = os.path.join(base, "fetches")
+        _crawl_fetch_set(spark, sf_dir).repartition(4).write.mode(
+            "overwrite"
+        ).parquet(src)
+        stream = (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        state = os.path.join(base, "crawl_report")
+        maintain_crawl_report(spark, stream, state).awaitTermination()
+        assert compact_fold_state(spark, state)  # offline maintenance
+        return read_crawl_report(spark, state).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -75,6 +75,7 @@ _PRIORITY: tuple[str, ...] = (
     "corpus_from_crawl",
     "ann_graph_nsw_incremental",
     "media_jpeg_pixels",
+    "corpus_from_crawl_incremental",
     # -- r13 part (b): the 17 r7-vintage rows displaced from the r12
     # sample (latest driver row r7; judge-recomputed union) --
     "dedup_semantic_canonicals",

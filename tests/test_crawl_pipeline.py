@@ -100,3 +100,58 @@ def test_corpus_from_crawl_accounting_conserved(spark, sf_dir):
     assert sum(r["total_chars"] for r in rows.values()) == exp_chars
     # mirrors always lose the canonical race -> at least one duplicate
     assert rows["drop:duplicate"]["n_docs"] > 0
+
+
+def test_incremental_report_equals_batch_report(spark, sf_dir):
+    """The streaming-maintained crawl report must equal the one-shot
+    batch capstone ROW FOR ROW (the shared oracle checks both against
+    DuckDB; this pins them against each other directly), including
+    after an out-of-order replay — the fold's order-independence
+    claim."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from rag_lakehouse_spark.plans.crawl_queries import (
+        _crawl_fetch_set,
+        corpus_from_crawl,
+    )
+    from rag_lakehouse_spark.streaming.crawl_sink import (
+        _crawl_merge,
+        _crawl_partials,
+        read_crawl_report,
+    )
+    from rag_lakehouse_spark.streaming.rollup_sink import fold_batch
+
+    import tempfile
+
+    batch = {
+        tuple(sorted(r.asDict().items()))
+        for r in corpus_from_crawl(spark, sf_dir).collect()
+    }
+    fetches = _crawl_fetch_set(spark, sf_dir)
+    # REVERSED id order: mirrors (the duplicate copies) arrive FIRST,
+    # primaries later — the canonical must still be the global min id
+    max_id = fetches.agg(F.max("crawl_id")).first()[0]
+    state = os.path.join(
+        tempfile.mkdtemp(prefix="rls_crawl_eq_"), "report"
+    )
+    bounds = [max_id + 1, 4_000_000, 300, 0]  # mirrors, high, low ids
+    for i in range(3):
+        b = fetches.filter(
+            (F.col("crawl_id") < bounds[i])
+            & (F.col("crawl_id") >= bounds[i + 1])
+        )
+        fold_batch(
+            spark,
+            state,
+            b,
+            i,
+            partial_fn=lambda bb: _crawl_partials(spark, bb),
+            merge_fn=_crawl_merge,
+        )
+    got = {
+        tuple(sorted(r.asDict().items()))
+        for r in read_crawl_report(spark, state).collect()
+    }
+    assert got == batch

@@ -236,6 +236,8 @@ def _fold_families(spark, sf_dir):
     """(name, partial_fn, merge_fn, input_df) for every fold-rewrite
     state family — the compaction contract is per-family tested so a
     family whose merge misbehaves across the boundary can't hide."""
+    from rag_lakehouse_spark.plans import crawl_queries as CQ
+    from rag_lakehouse_spark.streaming import crawl_sink as CS
     from rag_lakehouse_spark.streaming import graph_sink as GS
     from rag_lakehouse_spark.streaming import media_sink as MS
     from rag_lakehouse_spark.streaming import rollup_sink as RS
@@ -276,6 +278,11 @@ def _fold_families(spark, sf_dir):
         ("nsw", GS._nsw_vec_partials, GS._nsw_merge,
          load_table(spark, sf_dir, "embeddings")
          .select("vec_id", "embedding")),
+        # r13: the crawl-report fold (streaming.crawl_sink) — gate
+        # counters + per-(fp, host) min-id partials; fully
+        # order-independent, so the hash-split batches are fine.
+        ("crawl", lambda b: CS._crawl_partials(spark, b),
+         CS._crawl_merge, CQ._crawl_fetch_set(spark, sf_dir)),
     ]
 
 
