@@ -264,10 +264,22 @@ def main() -> None:
     r1_live = [n for n in R1_SUITE if n in timings]
     r1_total = round(sum(timings[n] for n in r1_live), 3)
     r1_rel = round(sum(queries_rel[n] for n in r1_live), 2)
+    # Both references are COLLECT-frame numbers: under the legacy
+    # count action the ratio and the eligibility window would be
+    # cross-frame nonsense, so they are suppressed rather than
+    # emitted wrong (the 'action' key alone would not stop a reader
+    # quoting them).
+    collect_frame = action == "collect"
     bands_eligible = (
-        not anchor_contended
+        collect_frame
+        and not anchor_contended
         and VALUE_REL_REF is not None
         and abs(value_rel - VALUE_REL_REF) / VALUE_REL_REF <= 0.10
+    )
+    r1_vs_baseline = (
+        round(r1_total / R1_BASELINE_COLLECT_SEC, 3)
+        if collect_frame
+        else None
     )
 
     duck_timings: dict[str, float] = {}
@@ -295,7 +307,7 @@ def main() -> None:
         "bands_eligible": bands_eligible,
         "r1_suite_total": r1_total,
         "r1_suite_rel": r1_rel,
-        "r1_suite_vs_baseline": round(r1_total / R1_BASELINE_COLLECT_SEC, 3),
+        "r1_suite_vs_baseline": r1_vs_baseline,
         "duckdb": duck_timings,
         "warmup": warmed,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

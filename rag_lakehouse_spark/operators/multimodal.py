@@ -1410,8 +1410,14 @@ def _decode_jpeg_coeffs(
                 }
                 p += 17 + nval
         elif marker == 0xC0:
+            if len(body) < 6:
+                raise NotImplementedError("SOF0 truncated")
             h, w = struct.unpack(">HH", body[1:5])
             nc = body[5]
+            if w == 0 or h == 0:
+                raise NotImplementedError("zero JPEG dimensions")
+            if len(body) < 6 + 3 * nc:
+                raise NotImplementedError("SOF0 component specs truncated")
             for c in range(nc):
                 cid, samp, qid = body[6 + 3 * c : 9 + 3 * c]
                 comps.append((cid, samp >> 4, samp & 0x0F, qid))
@@ -1431,12 +1437,19 @@ def _decode_jpeg_coeffs(
         elif marker == 0xDD:
             raise NotImplementedError("restart intervals unsupported")
         elif marker == 0xDA:
+            if not body or len(body) < 1 + 2 * body[0] + 3:
+                raise NotImplementedError("SOS header truncated")
             ns = body[0]
             for s in range(ns):
                 cid, tids = body[1 + 2 * s], body[2 + 2 * s]
                 idx = next(
-                    i for i, cc in enumerate(comps) if cc[0] == cid
+                    (i for i, cc in enumerate(comps) if cc[0] == cid),
+                    None,
                 )
+                if idx is None:
+                    raise NotImplementedError(
+                        "SOS names a component absent from SOF"
+                    )
                 scan.append((idx, tids >> 4, tids & 0x0F))
             break
     if w is None or not scan:

@@ -2332,7 +2332,10 @@ def ann_graph_nsw_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(src)
         )
         state = os.path.join(base, "nsw_index")
-        maintain_nsw_index(spark, stream, state).awaitTermination()
+        # m comes from THIS module's _GN_M (the constant the shared
+        # oracle is parameterized by), not graph_sink's default —
+        # tuning the frozen rung must move the maintained index too
+        maintain_nsw_index(spark, stream, state, m=_GN_M).awaitTermination()
         assert compact_fold_state(spark, state)  # offline maintenance
         vecs, graph = read_nsw_index(spark, state)
         q = _normed(e).filter(F.col("vec_id") == 0).select(

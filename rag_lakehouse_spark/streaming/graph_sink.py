@@ -64,18 +64,48 @@ def _nsw_vec_partials(batch_df: DataFrame) -> DataFrame:
     )
 
 
-def _nsw_merge(prev: DataFrame, batch_vecs: DataFrame, m: int = NSW_M) -> DataFrame:
+def _nsw_merge(
+    prev: DataFrame,
+    batch_vecs: DataFrame,
+    m: int = NSW_M,
+    enforce_order: bool = False,
+) -> DataFrame:
     """Fold one batch of 'vec' rows into the unified state: new forward
     edges are each batch vector's exact top-m cosine neighbors among
     (maintained ∪ in-batch) vectors with LOWER vec_id — the literal NSW
     insertion rule. Prior rows pass through untouched (insert-append
-    semantics; nothing is re-aggregated)."""
+    semantics; nothing is re-aggregated).
+
+    ``enforce_order`` (the ``maintain_nsw_index`` path sets it) fails
+    FAST when a batch violates the id-order arrival contract — a
+    lower id arriving after higher ids would silently build an
+    adjacency that permanently differs from the frozen build (its
+    top-m would miss the not-yet-arrived lower ids), detectable only
+    as a later oracle mismatch with the state unrecoverable. Folding
+    out of order WITHOUT the guard is still deterministic, legitimate
+    NSW ("insertion order" = arrival order) — it just is not the
+    frozen twin — which is why the guard is opt-in at the streaming
+    entry point rather than baked into the merge."""
     from rag_lakehouse_spark.operators.graph_ann import nsw_fwd_edges
 
     prev_vecs = prev.filter(F.col("kind") == "vec").select(
         "vec_id", "embedding", "nrm"
     )
     new_vecs = batch_vecs.select("vec_id", "embedding", "nrm")
+    if enforce_order:
+        prev_max = prev_vecs.agg(F.max("vec_id")).first()[0]
+        batch_min = new_vecs.agg(F.min("vec_id")).first()[0]
+        if (
+            prev_max is not None
+            and batch_min is not None
+            and batch_min <= prev_max
+        ):
+            raise ValueError(
+                f"NSW insertion-order contract violated: batch min "
+                f"vec_id {batch_min} <= maintained max {prev_max}; the "
+                "fold would silently diverge from the frozen build. "
+                "Deliver batches in vec_id order (or rebuild)."
+            )
     cand = prev_vecs.unionByName(new_vecs)
     # the SAME insert-order rule the frozen triangular build runs
     # (operators.graph_ann.nsw_fwd_edges) — batch as src, maintained ∪
@@ -114,7 +144,9 @@ def maintain_nsw_index(
             batch_id,
             _ckpt_query_id(ckpt),
             partial_fn=_nsw_vec_partials,
-            merge_fn=lambda prev, part: _nsw_merge(prev, part, m),
+            merge_fn=lambda prev, part: _nsw_merge(
+                prev, part, m, enforce_order=True
+            ),
         )
 
     return (

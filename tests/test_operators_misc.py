@@ -1404,6 +1404,40 @@ def test_jpeg_pixel_decode_rejects_malformed():
     bad = good[:ent_at] + b"\xff\x00" + b"\xff\xd9"
     with _pytest.raises(NotImplementedError, match="Huffman|truncated|ended"):
         _decode_jpeg_coeffs(bad)
+    # r13 review: foreign-malformed streams must raise
+    # NotImplementedError (the degrade contract), never
+    # StopIteration/struct.error/ValueError escaping the UDF
+    # SOS naming a component id absent from SOF
+    ghost = bytearray(good)
+    ghost[sos + 5] = 9
+    with _pytest.raises(NotImplementedError, match="absent from SOF"):
+        _decode_jpeg_coeffs(bytes(ghost))
+    # SOF with truncated component specs
+
+    def _seg(marker, body):
+        return (
+            bytes([0xFF, marker]) + _struct.pack(">H", len(body) + 2) + body
+        )
+
+    trunc_sof = (
+        b"\xff\xd8"
+        + _seg(0xC0, b"\x08" + _struct.pack(">HH", 8, 8) + b"\x01")
+        + b"\xff\xd9"
+    )
+    with _pytest.raises(NotImplementedError, match="truncated"):
+        _decode_jpeg_coeffs(trunc_sof)
+    # zero dimensions
+    zero = bytearray(good)
+    sof0 = good.index(b"\xff\xc0")
+    zero[sof0 + 7 : sof0 + 9] = _struct.pack(">H", 0)  # width 0
+    with _pytest.raises(NotImplementedError, match="zero"):
+        _decode_jpeg_coeffs(bytes(zero))
+    # empty SOS body
+    empty_sos = (
+        good[:sos] + _seg(0xDA, b"") + good[ent_at:]
+    )
+    with _pytest.raises(NotImplementedError, match="SOS header truncated"):
+        _decode_jpeg_coeffs(empty_sos)
 
 
 def test_warc_walk_round_trip_property():

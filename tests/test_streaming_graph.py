@@ -79,10 +79,11 @@ def test_out_of_order_batch_changes_graph_is_real_nsw_semantics(
 ):
     """Arrival order IS insertion order for NSW: folding the same two
     batches in the opposite order must produce a different forward
-    edge set (late-arriving low ids pick top-M among the high ids
-    already present) — the reason the incremental query pins file
-    arrival order, and the documented contract of
-    ``maintain_nsw_index``."""
+    edge set — the HIGH-id batch folded first picks its top-M from a
+    candidate set missing the not-yet-arrived low ids (under the
+    dst < src rule the late low ids themselves still only see lower
+    ids) — the reason the incremental query pins file arrival order,
+    and the documented contract of ``maintain_nsw_index``."""
     corpus = (
         load_table(spark, sf_dir, "embeddings")
         .filter((F.col("vec_id") != 0) & (F.col("vec_id") <= 40))
@@ -108,3 +109,36 @@ def test_out_of_order_batch_changes_graph_is_real_nsw_semantics(
             (r["src"], r["dst"]) for r in graph.collect()
         )
     assert edges["fwd"] != edges["rev"]
+
+
+def test_maintain_path_rejects_out_of_order_batch(spark, sf_dir):
+    """The streaming entry point's enforce_order guard (r13 review):
+    a batch whose min vec_id is not above the maintained max must fail
+    FAST with ValueError — silent folding would build an adjacency
+    that permanently differs from the frozen build, detectable only as
+    a later oracle mismatch."""
+    import pytest
+
+    corpus = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter((F.col("vec_id") != 0) & (F.col("vec_id") <= 40))
+        .select("vec_id", "embedding")
+    )
+    high = _nsw_vec_partials(corpus.filter(F.col("vec_id") > 20))
+    low = corpus.filter(F.col("vec_id") <= 20)
+    state_after_high = _nsw_merge(high.limit(0), high)
+    with pytest.raises(ValueError, match="insertion-order"):
+        _nsw_merge(
+            state_after_high,
+            _nsw_vec_partials(low),
+            enforce_order=True,
+        ).collect()
+    # in-order folding under the guard is untouched
+    ordered = _nsw_merge(
+        _nsw_merge(
+            _nsw_vec_partials(low).limit(0), _nsw_vec_partials(low)
+        ),
+        _nsw_vec_partials(corpus.filter(F.col("vec_id") > 20)),
+        enforce_order=True,
+    )
+    assert ordered.filter(F.col("kind") == "vec").count() == corpus.count()
