@@ -1412,6 +1412,8 @@ def _decode_jpeg_coeffs(
         elif marker == 0xC0:
             if len(body) < 6:
                 raise NotImplementedError("SOF0 truncated")
+            if body[0] != 8:
+                raise NotImplementedError("8-bit precision only")
             h, w = struct.unpack(">HH", body[1:5])
             nc = body[5]
             if w == 0 or h == 0:

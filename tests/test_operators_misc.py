@@ -1438,6 +1438,14 @@ def test_jpeg_pixel_decode_rejects_malformed():
     )
     with _pytest.raises(NotImplementedError, match="SOS header truncated"):
         _decode_jpeg_coeffs(empty_sos)
+    # 12-bit sample precision: the one remaining scope limit (second
+    # review pass) — must reject, not decode with the 8-bit level
+    # shift and emit silently wrong planes
+    p12 = bytearray(good)
+    assert p12[sof0 + 4] == 8
+    p12[sof0 + 4] = 12
+    with _pytest.raises(NotImplementedError, match="8-bit precision"):
+        _decode_jpeg_coeffs(bytes(p12))
 
 
 def test_warc_walk_round_trip_property():
