@@ -1375,6 +1375,13 @@ def _decode_jpeg_coeffs(
             continue
         if marker in (0xD9,):
             raise NotImplementedError("JPEG has no scan")
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            # TEM / RSTn are standalone (no length word) — a foreign
+            # stream placing one before SOS must not be parsed as a
+            # length-prefixed segment (garbage lengths skip real data)
+            raise NotImplementedError(
+                "standalone marker before SOS unsupported"
+            )
         if pos + 4 > len(content):
             raise NotImplementedError("truncated JPEG segment header")
         (length,) = struct.unpack(">H", content[pos + 2 : pos + 4])
@@ -1586,7 +1593,9 @@ def jpeg_pixel_features(
         for pdf in batches:
             rows = []
             for rid, content in zip(pdf[id_col], pdf[content_col]):
-                try:
+                if content is None or len(content) == 0:
+                    continue  # null/empty cell: degrade like any
+                try:  # other media extractor, never crash the task
                     w, h, planes, n_blk = _decode_jpeg_pixels(
                         bytes(content)
                     )

@@ -1006,11 +1006,12 @@ def media_jpeg_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     every feature externally. The decode is the FULL baseline path —
     table-driven Huffman + DPCM undo + dequantize + de-zigzag + IDCT
     + level shift — and the per-channel pixel sums plus the
-    block-position-weighted sum make any wrong coefficient, table,
-    zigzag slot, or IDCT bug hash-visible. The entropy layer's
-    generality (ACs, ZRL runs, arbitrary magnitudes) is covered by
-    the lossless coefficient round-trip fuzz in
-    tests/test_operators_misc.py — grayscale, 4:4:4, AND 4:2:0 all
+    block-position-weighted sum make a wrong DC coefficient, Huffman
+    table, quantizer, or DC-basis IDCT bug hash-visible. The flat
+    (DC-only) construction never exercises AC zigzag slots or the
+    non-DC IDCT basis through THIS oracle — those paths are covered
+    at unit level by the lossless coefficient round-trip fuzz in
+    tests/test_operators_misc.py and the IDCT referee test — grayscale, 4:4:4, AND 4:2:0 all
     run here by construction (odd ids are 3-component; ids ≡ 3 mod 4
     use the standard 4:2:0 layout: Y at 2x2 sampling, per-MCU
     interleave of four Y blocks + Cb + Cr, chroma nearest-neighbor

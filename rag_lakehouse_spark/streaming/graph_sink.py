@@ -85,16 +85,30 @@ def _nsw_merge(
     out of order WITHOUT the guard is still deterministic, legitimate
     NSW ("insertion order" = arrival order) — it just is not the
     frozen twin — which is why the guard is opt-in at the streaming
-    entry point rather than baked into the merge."""
+    entry point rather than baked into the merge.
+
+    The maintained max vec_id rides in the state as the constant
+    column ``max_vec_id`` (the ``last_batch_id`` watermark pattern),
+    so the guard costs one limit-1 fetch of the constant plus one
+    O(batch) min/max — never a re-scan of the whole state parquet
+    per fold (r13 ADVICE)."""
     from rag_lakehouse_spark.operators.graph_ann import nsw_fwd_edges
 
+    prev_max = None
+    if "max_vec_id" in prev.columns:
+        row = prev.select("max_vec_id").first()  # constant: limit-1
+        prev_max = row[0] if row is not None else None
+        prev = prev.drop("max_vec_id")
     prev_vecs = prev.filter(F.col("kind") == "vec").select(
         "vec_id", "embedding", "nrm"
     )
     new_vecs = batch_vecs.select("vec_id", "embedding", "nrm")
+    bounds = new_vecs.agg(
+        F.min("vec_id").alias("lo"), F.max("vec_id").alias("hi")
+    ).first()
+    batch_min = bounds["lo"] if bounds is not None else None
+    batch_max = bounds["hi"] if bounds is not None else None
     if enforce_order:
-        prev_max = prev_vecs.agg(F.max("vec_id")).first()[0]
-        batch_min = new_vecs.agg(F.min("vec_id")).first()[0]
         if (
             prev_max is not None
             and batch_min is not None
@@ -106,6 +120,8 @@ def _nsw_merge(
                 "fold would silently diverge from the frozen build. "
                 "Deliver batches in vec_id order (or rebuild)."
             )
+    known = [x for x in (prev_max, batch_max) if x is not None]
+    new_max = max(known) if known else None
     cand = prev_vecs.unionByName(new_vecs)
     # the SAME insert-order rule the frozen triangular build runs
     # (operators.graph_ann.nsw_fwd_edges) — batch as src, maintained ∪
@@ -121,7 +137,11 @@ def _nsw_merge(
         "src",
         "dst",
     )
-    return prev.unionByName(batch_vecs).unionByName(edges)
+    return (
+        prev.unionByName(batch_vecs)
+        .unionByName(edges)
+        .withColumn("max_vec_id", F.lit(new_max).cast("bigint"))
+    )
 
 
 def maintain_nsw_index(
