@@ -407,7 +407,11 @@ def beam_search(
     embeddings layout the fetch is point lookups, and the beam —
     O(beam_width) rows — is eagerly checkpointed per round so the
     iterative plan never nests (the package's iterative-lineage
-    rule)."""
+    rule). (A driver-side beam loop — 2 bounded jobs per round,
+    pushed-down IN probes — was MEASURED in r14 and rejected: 12+
+    action round-trips cost more on this host than the 6
+    checkpointed jobs, and the join shape is what a src-bucketed
+    layout wants at scale anyway.)"""
     beam = entries.select("vec_id").distinct()
     for _ in range(rounds):
         frontier = beam.unionByName(

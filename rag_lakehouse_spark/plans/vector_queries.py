@@ -2295,32 +2295,34 @@ def ann_graph_nsw_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     from "frozen index" to "maintained index": corpus embeddings
     replay through an availableNow file stream in insertion (vec_id)
     order — four id-ranged files with controlled mtimes, the file
-    source's oldest-first contract — and each micro-batch folds its
-    vectors plus their top-M forward edges among (maintained ∪
-    in-batch prior) vectors into versioned state
-    (``streaming.graph_sink``; the fold IS the NSW insertion rule, so
-    the maintained adjacency is IDENTICAL to the frozen triangular
-    build). State is compacted offline (``compact_fold_state`` — the
-    first graph-shaped state under that contract) and the serving walk
-    runs from the POST-COMPACTION read via the same ``_nsw_serve``
-    plan as the frozen rung — externally hash-checked by the SAME
-    unrolled-CTE oracle, which covers build, maintenance, compaction,
-    and walk end-to-end.
+    source's oldest-first contract — and each micro-batch APPENDS one
+    immutable delta: its vectors plus their top-M forward edges among
+    (maintained ∪ in-batch prior) vectors
+    (``streaming.graph_sink.maintain_nsw_index_append``; the fold IS
+    the NSW insertion rule, so the maintained adjacency is IDENTICAL
+    to the frozen triangular build). State is compacted offline
+    (``append_state.compact_state``) and the serving walk runs from
+    the POST-COMPACTION read via the same ``_nsw_serve`` plan as the
+    frozen rung — externally hash-checked by the SAME unrolled-CTE
+    oracle, which covers build, maintenance, compaction, and walk
+    end-to-end.
 
-    Scale: per-increment cost is one batch × state exact scoring pass
-    (the insertion cost itself — at corpus scale candidates come from
-    the maintained graph's own beam search or the LSH/IVF machinery;
-    see ``streaming.graph_sink``), plus the fold-rewrite write; the
-    walk touches beam-bounded joins only, never a corpus scan."""
+    Scale (r14, VERDICT r13 #3): per-increment cost is one batch ×
+    state exact scoring pass (the insertion cost itself — at corpus
+    scale candidates come from the maintained graph's own beam search
+    or the LSH/IVF machinery; see ``streaming.graph_sink``) plus an
+    O(batch) delta write — the r13 fold-rewrite layout paid
+    O(rounds × state) write amplification here; the walk touches
+    beam-bounded joins only, never a corpus scan."""
     import os
     import shutil
     import tempfile
 
+    from rag_lakehouse_spark.streaming.append_state import compact_state
     from rag_lakehouse_spark.streaming.graph_sink import (
-        maintain_nsw_index,
-        read_nsw_index,
+        maintain_nsw_index_append,
+        read_nsw_index_append,
     )
-    from rag_lakehouse_spark.streaming.rollup_sink import compact_fold_state
 
     e = load_table(spark, sf_dir, "embeddings")
     corpus_raw = e.filter(F.col("vec_id") != 0).select("vec_id", "embedding")
@@ -2330,23 +2332,39 @@ def ann_graph_nsw_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.makedirs(src)
         max_id = corpus_raw.agg(F.max("vec_id")).first()[0]
         n_files = 4
-        for i in range(n_files):
-            lo = i * (max_id + 1) // n_files
-            hi = (i + 1) * (max_id + 1) // n_files
-            chunk_dir = os.path.join(base, f"chunk{i}")
-            (
-                corpus_raw.filter(
-                    (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
-                )
-                .coalesce(1)
-                .write.mode("overwrite")
-                .parquet(chunk_dir)
+        # ONE hive-partitioned write produces all four id-ranged
+        # chunks (r14: replaces four sequential coalesce jobs)
+        chunks_dir = os.path.join(base, "chunks")
+        (
+            corpus_raw.withColumn(
+                "chunk",
+                (F.col("vec_id") * n_files / (max_id + 1)).cast("int"),
             )
-            part = next(
+            .repartition(n_files, "chunk")
+            .sortWithinPartitions("chunk")
+            .write.mode("overwrite")
+            .partitionBy("chunk")
+            .parquet(chunks_dir)
+        )
+        for i in range(n_files):
+            chunk_dir = os.path.join(chunks_dir, f"chunk={i}")
+            parts = sorted(
                 p for p in os.listdir(chunk_dir) if p.endswith(".parquet")
             )
             dst = os.path.join(src, f"{i:03d}.parquet")
-            shutil.move(os.path.join(chunk_dir, part), dst)
+            if len(parts) == 1:
+                shutil.move(os.path.join(chunk_dir, parts[0]), dst)
+            else:  # hash collision put two chunks in one task: merge
+                sub = spark.read.parquet(chunk_dir)
+                sub.coalesce(1).write.mode("overwrite").parquet(
+                    chunk_dir + "_one"
+                )
+                part = next(
+                    p
+                    for p in os.listdir(chunk_dir + "_one")
+                    if p.endswith(".parquet")
+                )
+                shutil.move(os.path.join(chunk_dir + "_one", part), dst)
             # explicit increasing mtimes: batch arrival order must be
             # insertion order (the file source processes oldest-first)
             os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
@@ -2359,9 +2377,11 @@ def ann_graph_nsw_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         # m comes from THIS module's _GN_M (the constant the shared
         # oracle is parameterized by), not graph_sink's default —
         # tuning the frozen rung must move the maintained index too
-        maintain_nsw_index(spark, stream, state, m=_GN_M).awaitTermination()
-        assert compact_fold_state(spark, state)  # offline maintenance
-        vecs, graph = read_nsw_index(spark, state)
+        maintain_nsw_index_append(
+            spark, stream, state, m=_GN_M
+        ).awaitTermination()
+        assert compact_state(spark, state) > 0  # offline maintenance
+        vecs, graph = read_nsw_index_append(spark, state)
         q = _normed(e).filter(F.col("vec_id") == 0).select(
             F.col("embedding").alias("qv"), F.col("nrm").alias("qn")
         )

@@ -27,11 +27,17 @@ build cost itself, paid once per vector at ingest exactly like the
 IVF sink's assignment cost (at corpus scale the candidate set comes
 from the maintained graph's own beam search — classic NSW insertion —
 or the LSH/IVF machinery; the exact scan here is the test-SF stand-in,
-same argument as ``operators.graph_ann.knn_graph``). The fold-rewrite
-write is O(state); an append-delta layout (``streaming.append_state``)
-drops that to O(batch) — this family deliberately exercises the
-fold-rewrite layout so ``compact_fold_state`` covers a graph-shaped
-state too.
+same argument as ``operators.graph_ann.knn_graph``).
+
+Two layouts (r14, VERDICT r13 #3): the SHIPPED path is append-only
+(``maintain_nsw_index_append`` — per fold, one immutable O(batch)
+delta, offline ``append_state.compact_state``; the registered
+``ann_graph_nsw_incremental`` row runs it), because the NSW fold is
+insert-append by construction and the fold-rewrite write pays
+O(rounds × state) amplification for nothing. The fold-rewrite twin
+(``maintain_nsw_index``) stays as ``compact_fold_state``'s coverage
+vehicle for graph-shaped state, and the two layouts are asserted
+row-identical in tests/test_streaming_graph.py.
 """
 
 from __future__ import annotations
@@ -185,6 +191,154 @@ def read_nsw_index(
     forward edges union their reversals, derived at read so the stored
     state stays append-only (exactly the frozen rung's serve shape)."""
     state = read_state(spark, state_path)
+    if state is None:
+        raise FileNotFoundError(f"no NSW index at {state_path}")
+    vecs = state.filter(F.col("kind") == "vec").select(
+        "vec_id", "embedding", "nrm"
+    )
+    fwd = state.filter(F.col("kind") == "edge").select("src", "dst")
+    graph = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return vecs, graph
+
+
+# ---------------------------------------------------------------
+# Append-only layout (VERDICT r13 #3): the NSW fold is insert-append
+# by construction — prior rows pass through untouched — so rewriting
+# the whole growing state per micro-batch (fold-rewrite above) pays
+# O(rounds × state) write amplification for nothing. Here each fold
+# writes ONLY its own delta (the batch's vec rows + their new forward
+# edges) via streaming.append_state, with offline compaction; the
+# serving read is the union of deltas. The fold-rewrite twin stays as
+# the coverage vehicle for compact_fold_state on graph-shaped state
+# (tests/test_streaming_graph.py) and the two layouts are asserted
+# row-identical there.
+# ---------------------------------------------------------------
+
+_MAX_MARKER = "MAX_VEC_ID"
+
+
+def _read_max_marker(root: str) -> tuple[int, int | None, int | None]:
+    """(batch_id, max_before_batch, max_after_batch) from the order-
+    guard marker; (-1, None, None) when absent. The marker carries the
+    max BEFORE and AFTER its batch so a REPLAYED batch can check
+    against the pre-batch max — a single stored max would wrongly
+    reject the replay (its own rows already raised it)."""
+    from rag_lakehouse_spark.streaming.append_state import _read_marker
+
+    raw = _read_marker(root, _MAX_MARKER)
+    if raw is None:
+        return -1, None, None
+    parts = raw.split()
+    bid = int(parts[0])
+    prev = None if parts[1] == "-" else int(parts[1])
+    new = None if parts[2] == "-" else int(parts[2])
+    return bid, prev, new
+
+
+def maintain_nsw_index_append(
+    spark: SparkSession,
+    emb_stream: DataFrame,
+    state_path: str,
+    m: int = NSW_M,
+):
+    """Append-only twin of ``maintain_nsw_index``: per micro-batch,
+    write ONE immutable delta (batch vec rows + their NSW forward
+    edges among maintained ∪ in-batch prior vectors) — O(batch) write,
+    never a state rewrite. Batches must arrive in insertion (vec_id)
+    order; the guard is O(1) via the marker (see ``_read_max_marker``).
+
+    Replay correctness: the candidate read is ``as_of = batch_id - 1``
+    — a replayed batch must NOT see its own half-committed prior
+    attempt in the candidate set (duplicate candidate rows would let
+    row_number emit the same dst twice in a node's top-m). Immutable
+    deltas make the as_of snapshot exact.
+
+    Scale: per-fold compute is the insertion scoring itself (see
+    module doc); per-fold I/O is O(batch). Compaction
+    (``append_state.compact_state``) is offline, like any index
+    rebuild. Returns the StreamingQuery (caller awaits)."""
+    from rag_lakehouse_spark.streaming.append_state import (
+        _local,
+        _write_marker,
+        append_delta,
+        read_deltas,
+    )
+    from rag_lakehouse_spark.operators.graph_ann import nsw_fwd_edges
+
+    ckpt = state_path + "_ckpt"
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        batch_rows = _nsw_vec_partials(batch_df)
+        new_vecs = batch_rows.select("vec_id", "embedding", "nrm")
+        bounds = new_vecs.agg(
+            F.min("vec_id").alias("lo"), F.max("vec_id").alias("hi")
+        ).first()
+        if bounds is None or bounds["hi"] is None:
+            return  # empty batch: nothing to insert, nothing to guard
+        batch_min, batch_max = bounds["lo"], bounds["hi"]
+        root = _local(state_path)
+        mk_bid, mk_prev, mk_new = _read_max_marker(root)
+        prev_max = mk_prev if mk_bid >= int(batch_id) else mk_new
+        if prev_max is not None and batch_min <= prev_max:
+            raise ValueError(
+                f"NSW insertion-order contract violated: batch min "
+                f"vec_id {batch_min} <= maintained max {prev_max}; the "
+                "fold would silently diverge from the frozen build. "
+                "Deliver batches in vec_id order (or rebuild)."
+            )
+        prev = read_deltas(spark, state_path, as_of=int(batch_id) - 1)
+        if prev is not None:
+            prev_vecs = prev.filter(F.col("kind") == "vec").select(
+                "vec_id", "embedding", "nrm"
+            )
+            cand = prev_vecs.unionByName(new_vecs)
+        else:
+            cand = new_vecs
+        fwd = nsw_fwd_edges(new_vecs, cand, m=m)
+        edges = fwd.select(
+            F.lit("edge").alias("kind"),
+            F.lit(None).cast("bigint").alias("vec_id"),
+            F.lit(None)
+            .cast(batch_rows.schema["embedding"].dataType)
+            .alias("embedding"),
+            F.lit(None).cast("double").alias("nrm"),
+            "src",
+            "dst",
+        )
+        append_delta(
+            spark,
+            state_path,
+            batch_rows.unionByName(edges),
+            batch_id,
+            _ckpt_query_id(ckpt),
+        )
+        new_max = batch_max if prev_max is None else max(prev_max, batch_max)
+        _write_marker(
+            root,
+            _MAX_MARKER,
+            f"{int(batch_id)} "
+            f"{'-' if prev_max is None else prev_max} {new_max}",
+        )
+
+    return (
+        emb_stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_nsw_index_append(
+    spark: SparkSession, state_path: str
+) -> tuple[DataFrame, DataFrame]:
+    """(vectors, graph) from the append-layout state — same serve
+    shape as ``read_nsw_index``: forward edges union their reversals
+    derived at read, stored state stays append-only."""
+    from rag_lakehouse_spark.streaming.append_state import read_deltas
+
+    state = read_deltas(spark, state_path)
     if state is None:
         raise FileNotFoundError(f"no NSW index at {state_path}")
     vecs = state.filter(F.col("kind") == "vec").select(
