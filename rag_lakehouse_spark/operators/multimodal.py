@@ -1158,6 +1158,7 @@ def synth_jpeg_coeff_bytes(
     comp_blocks: "list[list[list[int]]]",
     dc_quant: int = 8,
     subsample: bool = False,
+    restart_interval: int = 0,
 ) -> bytes:
     """Format-valid baseline JFIF bytes carrying the given QUANTIZED
     coefficient blocks — the writer half of the lossless entropy round
@@ -1169,7 +1170,13 @@ def synth_jpeg_coeff_bytes(
     quantizer (DC slot ``dc_quant``, ACs 1) and one DC + one AC
     Huffman table, written to DQT/DHT as the format requires.
     Coefficient magnitudes must fit category <= 10 (ACs) / diff
-    category <= 11 (DCs) — the writer's table space."""
+    category <= 11 (DCs) — the writer's table space.
+
+    ``restart_interval`` > 0 writes a DRI segment and the standard
+    restart discipline: after every Ri MCUs the entropy run is
+    byte-aligned (1-padded), an RSTn marker (n cycling 0..7) is
+    emitted, and the DC predictors reset — the error-resilience
+    layout real encoders emit for parallel/robust decode."""
     ncomp = len(comp_blocks)
     if ncomp not in (1, 3):
         raise ValueError("1 or 3 components")
@@ -1209,6 +1216,8 @@ def synth_jpeg_coeff_bytes(
     out.append(seg(0xC0, sof))
     out.append(seg(0xC4, b"\x00" + bytes(_DC_BITS) + _DC_VALS))
     out.append(seg(0xC4, b"\x10" + bytes(_AC_BITS) + _AC_VALS))
+    if restart_interval:
+        out.append(seg(0xDD, struct.pack(">H", restart_interval)))
     sos = (
         bytes([ncomp])
         + b"".join(bytes([c + 1, 0x00]) for c in range(ncomp))
@@ -1248,8 +1257,19 @@ def synth_jpeg_coeff_bytes(
             code, length = ac_tab[0x00]  # EOB
             w.put(code, length)
 
+    mcu_n = 0
+    rst_n = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if restart_interval and mcu_n and mcu_n % restart_interval == 0:
+                # interval boundary: byte-align, RSTn, reset predictors
+                out.append(w.flush())
+                out.append(bytes([0xFF, 0xD0 + (rst_n % 8)]))
+                rst_n += 1
+                w = _BitWriter()
+                for c in range(ncomp):
+                    pred[c] = 0
+            mcu_n += 1
             for c in range(ncomp):
                 hi, vi = samp[c]
                 gw = mcux * hi
@@ -1271,6 +1291,7 @@ def synth_jpeg_flat_bytes(
     height: int,
     comp_dc_values: "list[list[int]]",
     subsample: bool = False,
+    restart_interval: int = 0,
 ) -> bytes:
     """DC-only baseline JPEG from per-block CONSTANT pixel values
     (0..255), raster order over each component's own block grid, one
@@ -1283,7 +1304,12 @@ def synth_jpeg_flat_bytes(
         [[v - 128] + [0] * 63 for v in vals] for vals in comp_dc_values
     ]
     return synth_jpeg_coeff_bytes(
-        width, height, comp_blocks, dc_quant=8, subsample=subsample
+        width,
+        height,
+        comp_blocks,
+        dc_quant=8,
+        subsample=subsample,
+        restart_interval=restart_interval,
     )
 
 
@@ -1334,6 +1360,22 @@ class _BitReader:
                 return sym
         raise NotImplementedError("invalid Huffman code in entropy run")
 
+    def restart(self) -> int:
+        """Consume an RSTn marker at an interval boundary: discard the
+        current byte's padding bits (the writer 1-pads to align),
+        require FF D0-D7 next, return n. Any other byte pair is a
+        malformed stream."""
+        self.acc = 0
+        self.nbits = 0
+        c = self.content
+        if self.pos + 2 > len(c):
+            raise NotImplementedError("JPEG truncated at restart marker")
+        if c[self.pos] != 0xFF or not (0xD0 <= c[self.pos + 1] <= 0xD7):
+            raise NotImplementedError("expected RSTn at restart interval")
+        n = c[self.pos + 1] - 0xD0
+        self.pos += 2
+        return n
+
 
 def _jpeg_extend(bits: int, cat: int) -> int:
     """Inverse magnitude coding: the signed value for `cat` bits."""
@@ -1351,17 +1393,21 @@ def _decode_jpeg_coeffs(
     coefficient blocks, per-component quantizer tables, per-component
     (h, v) sampling factors) from a baseline stream — the LOSSLESS
     half of the decoder: marker walk, DQT/DHT/SOF0/SOS parse,
-    table-driven Huffman decode over interleaved MCUs, DC DPCM undo.
+    table-driven Huffman decode over interleaved MCUs, DC DPCM undo,
+    and (r14) restart intervals: a DRI segment arms the standard
+    discipline — at every Ri-MCU boundary the entropy run byte-aligns,
+    an RSTn marker with the cycling sequence number is required, and
+    the DC predictors reset; a missing/misnumbered RSTn rejects.
     Sampling is 1x1 everywhere or the standard 4:2:0 layout (Y 2x2 +
-    chroma 1x1, whole MCUs); progressive scans, other samplings,
-    restart intervals, and 16-bit quantizers raise
-    NotImplementedError."""
+    chroma 1x1, whole MCUs); progressive scans, other samplings, and
+    16-bit quantizers raise NotImplementedError."""
     if content[:2] != b"\xff\xd8":
         raise NotImplementedError("not a JPEG stream (no SOI)")
     pos = 2
     qtables: dict[int, list[int]] = {}
     htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     w = h = None
+    restart_interval = 0
     comps: list[tuple[int, int, int, int]] = []  # (id, h, v, qtable_id)
     scan: list[tuple[int, int, int]] = []  # (comp index, dc id, ac id)
     while True:
@@ -1444,7 +1490,9 @@ def _decode_jpeg_coeffs(
         ):
             raise NotImplementedError("baseline sequential (SOF0) only")
         elif marker == 0xDD:
-            raise NotImplementedError("restart intervals unsupported")
+            if len(body) < 2:
+                raise NotImplementedError("DRI truncated")
+            restart_interval = struct.unpack(">H", body[:2])[0]
         elif marker == 0xDA:
             if not body or len(body) < 1 + 2 * body[0] + 3:
                 raise NotImplementedError("SOS header truncated")
@@ -1500,8 +1548,20 @@ def _decode_jpeg_coeffs(
             k += 1
         return blk
 
+    mcu_n = 0
+    rst_n = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if restart_interval and mcu_n and mcu_n % restart_interval == 0:
+                got = reader.restart()
+                if got != rst_n % 8:
+                    raise NotImplementedError(
+                        "RSTn out of sequence in entropy run"
+                    )
+                rst_n += 1
+                for si in range(len(scan)):
+                    pred[si] = 0
+            mcu_n += 1
             for si, (cidx, dc_id, ac_id) in enumerate(scan):
                 hi, vi = samp[si]
                 gw = mcux * hi

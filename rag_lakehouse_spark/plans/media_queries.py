@@ -1072,6 +1072,131 @@ def media_jpeg_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jpeg_pixel_features(media)
 
 
+@register(
+    "media_jpeg_restart_pixels",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id AS media_id,
+             CAST(CASE WHEN doc_id % 4 = 3 THEN 2 * (1 + doc_id % 3)
+                  ELSE 1 + doc_id % 5 END AS INT) AS bw,
+             CAST(CASE WHEN doc_id % 4 = 3 THEN 2 * (1 + doc_id % 2)
+                  ELSE 1 + doc_id % 3 END AS INT) AS bh,
+             CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS INT)
+               AS nc,
+             (doc_id % 4 = 3) AS sub
+      FROM documents WHERE doc_id % 3 = 2
+    ), pc AS (
+      SELECT *, CASE WHEN sub THEN bw // 2 ELSE bw END AS cw,
+                CASE WHEN sub THEN bh // 2 ELSE bh END AS ch
+      FROM p
+    ), blk AS (
+      SELECT media_id, bw, bh, nc, sub, 0 AS c,
+             pos % bw AS bx, pos // bw AS by, 64 AS ppb
+      FROM (SELECT *, unnest(generate_series(0, bw * bh - 1)) AS pos
+            FROM pc) lu
+      UNION ALL
+      SELECT media_id, bw, bh, nc, sub,
+             CAST(1 + pos // (cw * ch) AS INT) AS c,
+             (pos % (cw * ch)) % cw AS bx,
+             (pos % (cw * ch)) // cw AS by,
+             CASE WHEN sub THEN 256 ELSE 64 END AS ppb
+      FROM (SELECT *, unnest(generate_series(0, 2 * cw * ch - 1)) AS pos
+            FROM pc WHERE nc = 3) chr
+    ), vv AS (
+      SELECT *, (17 * media_id + 5 * bx + 11 * by + 97 * c) % 256 AS v
+      FROM blk
+    )
+    SELECT media_id,
+           CAST(8 * bw AS INT) AS width,
+           CAST(8 * bh AS INT) AS height,
+           nc AS n_components,
+           CAST(COUNT(*) AS INT) AS n_blocks,
+           CAST(SUM(CASE WHEN c = 0 THEN ppb * v ELSE 0 END) AS BIGINT)
+             AS c0_sum,
+           CAST(CASE WHEN nc = 3
+                THEN SUM(CASE WHEN c = 1 THEN ppb * v ELSE 0 END)
+                END AS BIGINT) AS c1_sum,
+           CAST(CASE WHEN nc = 3
+                THEN SUM(CASE WHEN c = 2 THEN ppb * v ELSE 0 END)
+                END AS BIGINT) AS c2_sum,
+           CAST(SUM(CASE WHEN c = 0 THEN (bx + 7 * by) * v ELSE 0 END)
+                AS BIGINT) AS c0_wsum
+    FROM vv GROUP BY media_id, bw, bh, nc
+    """,
+    tags=("multimodal", "codec", "image", "jpeg", "restart", "pandas"),
+)
+def media_jpeg_restart_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Baseline JPEG pixel decode WITH RESTART INTERVALS (r14, VERDICT
+    r13 #5) — the error-resilience layout real encoders emit (camera
+    pipelines default DRI on): every stream carries a DRI segment
+    (interval 1 + id % 4 MCUs) and the standard discipline — entropy
+    run byte-aligned at each boundary, RSTn markers with the cycling
+    0..7 sequence number, DC predictors reset per interval. Same
+    closed-form flat-block construction and feature set as
+    ``media_jpeg_pixels`` over the disjoint doc_id % 3 == 2 slice, so
+    the oracle recomputes every pixel externally: a decoder that
+    ignored the predictor reset would shift every post-restart DC
+    (hash-visible in c0_sum/c0_wsum), one that missed the marker
+    would fail the stream (row-count-visible), and out-of-sequence
+    RSTn bytes reject (the fuzz suite covers the degrade side).
+    Streams whose MCU count <= interval legitimately contain no RSTn
+    — the decoder must arm the discipline only at real boundaries.
+
+    Scale: map-only like every codec walk — parameter projection →
+    synth+decode mapInPandas; bytes never leave the executor.
+
+    Reference parity: beyond the text-only reference
+    (jobs/scraper.py) — training-data-pipeline multimodal surface."""
+    import pandas as pd
+
+    from rag_lakehouse_spark.operators.multimodal import (
+        jpeg_pixel_features,
+        synth_jpeg_flat_bytes,
+    )
+
+    params = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 3 == 2)
+        .select(F.col("doc_id").alias("media_id"))
+    )
+
+    def build(batches):
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                mid = int(r.media_id)
+                sub = mid % 4 == 3
+                bw = 2 * (1 + mid % 3) if sub else 1 + mid % 5
+                bh = 2 * (1 + mid % 2) if sub else 1 + mid % 3
+                nc = 1 if mid % 2 == 0 else 3
+                cw, ch = (bw // 2, bh // 2) if sub else (bw, bh)
+                grids = [(bw, bh)] + [(cw, ch)] * (nc - 1)
+                vals = [
+                    [
+                        (17 * mid + 5 * bx + 11 * by + 97 * c) % 256
+                        for by in range(gh)
+                        for bx in range(gw)
+                    ]
+                    for c, (gw, gh) in enumerate(grids)
+                ]
+                out.append(
+                    (
+                        mid,
+                        synth_jpeg_flat_bytes(
+                            8 * bw,
+                            8 * bh,
+                            vals,
+                            subsample=sub,
+                            restart_interval=1 + mid % 4,
+                        ),
+                    )
+                )
+            yield pd.DataFrame(out, columns=["media_id", "content"])
+
+    media = params.mapInPandas(build, "media_id long, content binary")
+    return jpeg_pixel_features(media)
+
+
 def _warc_records_for(d: int) -> list[dict]:
     """The closed-formula WARC record set for doc ``d`` — ONE
     definition shared by the plain, gzip, per-host, and streaming

@@ -1383,10 +1383,15 @@ def test_jpeg_pixel_decode_rejects_malformed():
     part[sofp + 7 : sofp + 9] = _struct.pack(">H", 24)  # width 24
     with _pytest.raises(NotImplementedError, match="partial MCU"):
         _decode_jpeg_coeffs(bytes(part))
-    # restart interval: a DRI segment spliced in after SOI
+    # restart interval (r14: SUPPORTED): a DRI spliced in after SOI
+    # with Ri >= MCU count arms the discipline but the run legally
+    # contains no RSTn — decode must succeed and match the original;
+    # a TRUNCATED DRI still rejects
     dri = good[:2] + b"\xff\xdd\x00\x04\x00\x04" + good[2:]
-    with _pytest.raises(NotImplementedError, match="restart"):
-        _decode_jpeg_coeffs(dri)
+    assert _decode_jpeg_coeffs(dri)[2] == _decode_jpeg_coeffs(good)[2]
+    dri_trunc = good[:2] + b"\xff\xdd\x00\x03\x00" + good[2:]
+    with _pytest.raises(NotImplementedError, match="DRI"):
+        _decode_jpeg_coeffs(dri_trunc)
     # 16-bit quantizer: DQT precision nibble patched
     dqt = good.index(b"\xff\xdb")
     q16 = bytearray(good)
@@ -1888,3 +1893,78 @@ def test_tiff_walk_rejects_malformed():
     bad[nxt_at : nxt_at + 4] = _struct.pack("<I", 8)
     with _pytest.raises(NotImplementedError, match="cycle"):
         _walk_tiff(bytes(bad))
+
+
+def test_jpeg_restart_interval_round_trip_property():
+    """r14 (VERDICT r13 #5): restart intervals are LOSSLESS over
+    quantized coefficients at hypothesis-chosen dims, samplings, and
+    intervals (including Ri >= MCU count — a legal stream with a DRI
+    but no RSTn in the run), and the decoder enforces the discipline:
+    a misnumbered RSTn or a stripped DRI (markers left in the run)
+    rejects instead of mis-decoding."""
+    import pytest
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from rag_lakehouse_spark.operators.multimodal import (
+        _decode_jpeg_coeffs,
+        synth_jpeg_coeff_bytes,
+    )
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        bw=st.integers(min_value=1, max_value=4),
+        bh=st.integers(min_value=1, max_value=3),
+        nc=st.sampled_from([1, 3]),
+        sub=st.booleans(),
+        ri=st.integers(min_value=1, max_value=13),
+        seed=st.integers(min_value=0, max_value=2**31),
+    )
+    def check(bw, bh, nc, sub, ri, seed):
+        import random
+
+        if sub and nc != 3:
+            sub = False
+        rng = random.Random(seed)
+        if sub:
+            grids = [4 * bw * bh, bw * bh, bw * bh]
+            w, h = 16 * bw, 16 * bh
+        else:
+            grids = [bw * bh] * nc
+            w, h = 8 * bw, 8 * bh
+        comp = []
+        for grid in grids:
+            blocks = []
+            for _ in range(grid):
+                blk = [0] * 64
+                blk[0] = rng.randint(-255, 255)
+                for _ in range(rng.randint(0, 8)):
+                    blk[rng.randint(1, 63)] = rng.choice([-300, -2, 1, 45])
+                blocks.append(blk)
+            comp.append(blocks)
+        content = synth_jpeg_coeff_bytes(
+            w, h, comp, subsample=sub, restart_interval=ri
+        )
+        w2, h2, got, _qts, _samp = _decode_jpeg_coeffs(content)
+        assert (w2, h2) == (w, h)
+        assert got == comp
+
+        n_mcu = bw * bh
+        if ri < n_mcu:  # the run really contains RSTn markers
+            # (a) break the first RSTn's sequence number
+            bad = bytearray(content)
+            for i in range(len(bad) - 1):
+                if bad[i] == 0xFF and 0xD0 <= bad[i + 1] <= 0xD7:
+                    bad[i + 1] = 0xD0 + ((bad[i + 1] - 0xD0 + 1) % 8)
+                    break
+            with pytest.raises(NotImplementedError):
+                _decode_jpeg_coeffs(bytes(bad))
+            # (b) strip the DRI segment: bare RSTn now interrupts the
+            # run mid-scan — must reject, not silently resync
+            dri = content.find(b"\xff\xdd\x00\x04")
+            assert dri >= 0
+            stripped = content[:dri] + content[dri + 6 :]
+            with pytest.raises(NotImplementedError):
+                _decode_jpeg_coeffs(stripped)
+
+    check()
