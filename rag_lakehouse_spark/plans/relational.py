@@ -42,11 +42,13 @@ def _dec(c: str, prec: int = 12, scale: int = 2):
       l_linestatus,
       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
-      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-               * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
-      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-               * (1 - CAST(l_discount AS DECIMAL(12,2)))
-               * (1 + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE) AS sum_charge,
+      CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+               * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE)
+        AS sum_disc_price,
+      CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+               * (1 - CAST(l_discount AS DECIMAL(4,2)))
+               * (1 + CAST(l_tax AS DECIMAL(4,2)))), 2) AS DOUBLE)
+        AS sum_charge,
       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
       CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
@@ -65,16 +67,30 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     7-column projection push into the parquet scan.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    disc_price = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
-    charge = disc_price * (F.lit(1) + _dec("l_tax"))
+    # ratio columns cast to DECIMAL(4,2): the triple product then stays
+    # decimal(24,6) — inside BOTH engines' 38-digit width, so every
+    # per-row product is exact. With (12,2) ratios the product hit
+    # precision 40: Spark trimmed to (38,6) (still exact here) but
+    # DuckDB PROMOTES an over-38 multiply to DOUBLE, whose per-row
+    # rounding surfaces at ~6M rows (found by the r14 10x-volume
+    # insurance sweep — sum_charge off by 1 ULP).
+    disc_price = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount", 4, 2))
+    charge = disc_price * (F.lit(1) + _dec("l_tax", 4, 2))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
             F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
-            F.sum(disc_price).cast("double").alias("sum_disc_price"),
-            F.sum(charge).cast("double").alias("sum_charge"),
+            # wide-scale money sums round to cents BEFORE the double
+            # cast (TPC-H answer convention): a scale-6 decimal sum's
+            # scaled integer passes 2^53 at ~10x sf0.1 volume, where
+            # DuckDB's decimal->double cast double-rounds ((double)
+            # hugeint / 10^scale) while Spark's BigDecimal cast is
+            # correctly rounded — 1-ULP mismatch (r14 10x sweep).
+            # Rounded to cents both engines cast exactly.
+            F.round(F.sum(disc_price), 2).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).cast("double").alias("sum_charge"),
             (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
             (F.sum(_dec("l_extendedprice")).cast("double") / F.count(F.lit(1))).alias("avg_price"),
             (F.sum(_dec("l_discount")).cast("double") / F.count(F.lit(1))).alias("avg_disc"),
