@@ -12,6 +12,14 @@ Cross-engine exactness rules used throughout the registered queries:
   result is order-independent and bit-exact, then cast to ``DOUBLE``
   (double summation order differs between engines and between Spark
   partitionings; decimal arithmetic is exact).
+- Two r14 volume-boundary corollaries (found by the 10x sweep):
+  ratio factors cast to ``DECIMAL(4,2)`` so decimal PRODUCTS stay
+  inside precision 38 (an over-38 multiply is trimmed losslessly by
+  Spark but PROMOTED TO DOUBLE by DuckDB); and a scale>=4 decimal
+  sum that can exceed ~9e9 rounds to scale 2 BEFORE the double cast
+  (DuckDB's decimal->double is (double)hugeint / 10^scale, which
+  double-rounds once the scaled integer passes 2^53, while Spark's
+  BigDecimal cast is correctly rounded).
 - Averages are expressed as ``CAST(decimal_sum AS DOUBLE) / count`` —
   one deterministic double division instead of engine-specific
   decimal-division scale rules.
