@@ -32,8 +32,8 @@ def test_rows_only_query_runs(name, spark, sf_dir):
 # ROUND_NOTES/COVERAGE.md is load-bearing evidence — pin both counts to
 # literals updated once per landed query so the ledger cannot silently
 # drift inside a round (the r10 notes show a 210/211/212 drift).
-REGISTRY_COUNT = 260  # r13 running count — update in the SAME commit as the query
-ORACLED_COUNT = 243
+REGISTRY_COUNT = 261  # r14 running count — update in the SAME commit as the query
+ORACLED_COUNT = 244
 
 
 def test_registry_count_matches_ledger():
