@@ -87,8 +87,20 @@ def bloom_word_partials(keys: DataFrame, key_col: str) -> DataFrame:
     the maintained bitmap silently diverge from the batch bitmap and
     void the shared-oracle guarantee. At most N_WORDS rows after the
     map-side partial ORs."""
-    pos = keys.select(
-        F.explode(F.array(*bloom_positions(F.col(key_col)))).alias("pos")
+    # materialize the base hash before the generator: inlined into the
+    # explode array it re-evaluates once per affine row (k=4 md5+conv
+    # per key instead of 1) — no common-subexpression elimination
+    # reaches inside generator arrays (see operators/cms.cms_build)
+    h = keys.select(_hash60(F.col(key_col)).alias("__h"))
+    pos = h.select(
+        F.explode(
+            F.array(
+                *[
+                    F.shiftright(affine60(F.col("__h"), a, b), _POS_SHIFT)
+                    for a, b in BLOOM_AB
+                ]
+            )
+        ).alias("pos")
     )
     return (
         pos.select(

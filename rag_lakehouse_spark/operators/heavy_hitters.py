@@ -42,16 +42,44 @@ def _mg_update(counters: dict[str, int], item: str, k: int) -> None:
 
 
 def partition_summaries(df: DataFrame, col: str, k: int) -> DataFrame:
-    """One Misra-Gries summary (≤ k rows of (item, est)) per partition."""
+    """One Misra-Gries summary (≤ k rows of (item, est)) per partition.
+
+    Vectorized (r15, guide §4.2): each Arrow batch is counted exactly
+    with ``value_counts`` (C loop); batch counts accumulate in a
+    bounded pending buffer and fold into the running summary with the
+    associative MG merge (concat → groupby-sum → subtract the (k+1)-th
+    largest → drop non-positive). An exact count is itself a valid MG
+    summary and every trim removes ≥ (k+1)·cut of stream mass, so
+    Σcut ≤ n/(k+1) — the same undercount bound as the old per-item
+    ``_mg_update`` loop (which spent ~1 µs of interpreted Python per
+    TOKEN; the fold is now all C-level pandas whatever the stream
+    length). Memory stays bounded: k running counters + ≤ 64k pending
+    batch-vocabulary entries."""
+
+    def fold(counters: pd.Series | None, pend: list[pd.Series]) -> pd.Series:
+        parts = ([counters] if counters is not None else []) + pend
+        s = pd.concat(parts).groupby(level=0).sum() if parts else pd.Series(dtype="int64")
+        if len(s) > k:
+            cut = s.nlargest(k + 1).iloc[-1]
+            s = s - cut
+            s = s[s > 0]
+        return s
 
     def sketch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        counters: dict[str, int] = {}
+        counters: pd.Series | None = None
+        pend: list[pd.Series] = []
+        pend_rows = 0
         for pdf in batches:
-            for item in pdf[col].dropna():
-                _mg_update(counters, item, k)
+            vc = pdf[col].dropna().value_counts()
+            pend.append(vc)
+            pend_rows += len(vc)
+            if pend_rows >= 65536:  # bounded pending buffer, then trim
+                counters = fold(counters, pend)
+                pend, pend_rows = [], 0
+        counters = fold(counters, pend)
         yield pd.DataFrame(
-            {"item": list(counters.keys()), "est": list(counters.values())}
-        ).astype({"item": "object", "est": "int64"})
+            {"item": counters.index.astype(object), "est": counters.to_numpy("int64")}
+        )
 
     return df.select(F.col(col).alias(col)).mapInPandas(
         sketch, schema="item string, est bigint"
@@ -72,13 +100,18 @@ def merge_summaries(rows: list[tuple[str, int]], k: int) -> dict[str, int]:
 
 
 def heavy_hitters_exact(
-    df: DataFrame, col: str, k: int, ratio_den: int
+    df: DataFrame, col: str, k: int, ratio_den: int, total: DataFrame | None = None
 ) -> DataFrame:
     """Exact items with frequency ≥ n/ratio_den, found sketch-first:
     MG candidates (complete by the guarantee, since ratio_den < k+1 is
     required) → exact recount restricted to candidates → integer
     threshold compare (cnt * ratio_den ≥ n, no doubles). Returns
-    (item, cnt)."""
+    (item, cnt).
+
+    ``total``: optional single-row (n bigint) DataFrame carrying the
+    stream length. When a caller already holds n from another pass
+    (e.g. the CMS sketch's row sums, ``corpus_countmin_portable``),
+    passing it here removes one full scan of ``df``."""
     if ratio_den >= k + 1:
         raise ValueError(
             f"threshold 1/{ratio_den} is below the sketch guarantee "
@@ -100,7 +133,8 @@ def heavy_hitters_exact(
         .groupBy("item")
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
     )
-    total = df.select(F.count(col).alias("n"))
+    if total is None:
+        total = df.select(F.count(col).alias("n"))
     return (
         counted.crossJoin(F.broadcast(total))
         .filter(F.col("cnt") * F.lit(ratio_den) >= F.col("n"))

@@ -1631,10 +1631,21 @@ def corpus_countmin_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("t") != "")
     )
-    sketch = cms_build(toks, "t")
-    heavy = heavy_hitters_exact(toks, "t", k=400, ratio_den=200).withColumnRenamed(
-        "cnt", "exact_cnt"
+    # The sketch is consumed twice (estimate join + the total below):
+    # materialize its ≤ 2048 rows once instead of re-tokenizing the
+    # corpus per consumer.
+    sketch = cms_build(toks, "t").localCheckpoint(eager=True)
+    # Stream length n recovered from the sketch itself: every token
+    # increments exactly one counter of row j=0, so the row sum IS
+    # COUNT(tokens) — identical value, one fewer corpus pass (r15,
+    # guide §1.2: the old plan scanned the corpus a 4th time just for
+    # this count).
+    total = sketch.filter(F.col("j") == 0).agg(
+        F.sum("c").cast("bigint").alias("n")
     )
+    heavy = heavy_hitters_exact(
+        toks, "t", k=400, ratio_den=200, total=total
+    ).withColumnRenamed("cnt", "exact_cnt")
     est = cms_estimate(sketch, heavy, "item")
     return est.select(
         "item",
@@ -1694,8 +1705,13 @@ def corpus_cms_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks = d.select(
             F.explode(TX.tokens(F.coalesce(F.col("text"), F.lit("")))).alias("t")
         ).filter(F.col("t") != "")
+        # same total-from-sketch trick as the batch twin (one fewer
+        # corpus pass; row j=0 sums to COUNT(tokens) exactly)
+        total = sketch.filter(F.col("j") == 0).agg(
+            F.sum("c").cast("bigint").alias("n")
+        )
         heavy = heavy_hitters_exact(
-            toks, "t", k=400, ratio_den=200
+            toks, "t", k=400, ratio_den=200, total=total
         ).withColumnRenamed("cnt", "exact_cnt")
         est = cms_estimate(sketch, heavy, "item")
         return est.select(

@@ -64,14 +64,59 @@ def _local(path: str) -> str:
     return path
 
 
-def _version_dir(state_path: str) -> str | None:
-    """Name of the live version dir per the CURRENT pointer, or None."""
+def _pointer_info(state_path: str) -> tuple[str | None, int | None, str | None]:
+    """(live version dir, last folded batch id, checkpoint id) from the
+    CURRENT pointer. Since r15 the pointer is a JSON object carrying
+    the idempotency watermark and checkpoint identity alongside the
+    version name, so a fold reads its watermark with zero Spark jobs —
+    at scale the old path re-scanned the whole state parquet per
+    micro-batch just to fetch two constants (guide §5: the driver/agg
+    pass was pure overhead). A legacy plain-string pointer (pre-r15
+    state) yields (version, None, None) and the fold falls back to
+    reading the constants from the state's data columns, which are
+    still written for exactly that compatibility."""
     cur = os.path.join(_local(state_path), _CURRENT)
     try:
         with open(cur, encoding="utf-8") as f:
-            return f.read().strip() or None
+            raw = f.read().strip()
     except OSError:
-        return None
+        return None, None, None
+    if not raw:
+        return None, None, None
+    if raw.startswith("{"):
+        try:
+            obj = json.loads(raw)
+        except ValueError:
+            return None, None, None
+        batch = obj.get("batch")
+        return (
+            obj.get("v") or None,
+            int(batch) if batch is not None else None,
+            obj.get("ckpt"),
+        )
+    return raw, None, None  # legacy plain version-name pointer
+
+
+def _write_pointer(
+    root: str,
+    version: str,
+    batch_id: int | None,
+    ckpt_id: str | None,
+    tag: str,
+) -> None:
+    """Atomically flip the CURRENT pointer to ``version``, embedding
+    the watermark + checkpoint identity (see ``_pointer_info``)."""
+    tmp = os.path.join(root, f"_{_CURRENT}.{tag}.tmp")
+    with open(tmp, "w", encoding="utf-8") as f:
+        f.write(json.dumps({"v": version, "batch": batch_id, "ckpt": ckpt_id}))
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(root, _CURRENT))  # atomic on POSIX
+
+
+def _version_dir(state_path: str) -> str | None:
+    """Name of the live version dir per the CURRENT pointer, or None."""
+    return _pointer_info(state_path)[0]
 
 
 def _batch_partials(df: DataFrame, grain: str = "hour") -> DataFrame:
@@ -190,23 +235,33 @@ def fold_batch(
     re-call ``read_state`` per query.
     """
     prev = read_state(spark, state_path)
-    prev_version = _version_dir(state_path)
+    prev_version, ptr_batch, ptr_ckpt = _pointer_info(state_path)
     if prev is not None:
-        if ckpt_id is not None and "ckpt_id" in prev.columns:
-            # a zero-row state (all-empty batches so far) has no ckpt_id
-            # row to check — first() is None, not a Row
-            row = prev.select("ckpt_id").first()
-            stored = row[0] if row is not None else None
-            if stored is not None and stored != ckpt_id:
-                raise ValueError(
-                    f"checkpoint/state identity mismatch at {state_path}: "
-                    f"state was built by streaming query {stored!r} but the "
-                    f"current checkpoint has id {ckpt_id!r}. A reset "
-                    "checkpoint restarts batch ids at 0, so the stored "
-                    "watermark cannot deduplicate replays. Restore the "
-                    "original checkpoint or delete the state table."
-                )
-        applied = prev.agg(F.max("last_batch_id")).first()[0]
+        if prev_version is not None and ptr_batch is not None:
+            # r15 pointer carries watermark + identity: zero Spark jobs
+            # to decide skip/fold (the old path ran a first() and a
+            # max() over the WHOLE state parquet per micro-batch)
+            stored, applied = ptr_ckpt, ptr_batch
+        else:
+            # legacy state (plain pointer / flat layout): constants
+            # still live in the data columns
+            if ckpt_id is not None and "ckpt_id" in prev.columns:
+                # a zero-row state (all-empty batches so far) has no
+                # ckpt_id row to check — first() is None, not a Row
+                row = prev.select("ckpt_id").first()
+                stored = row[0] if row is not None else None
+            else:
+                stored = None
+            applied = prev.agg(F.max("last_batch_id")).first()[0]
+        if ckpt_id is not None and stored is not None and stored != ckpt_id:
+            raise ValueError(
+                f"checkpoint/state identity mismatch at {state_path}: "
+                f"state was built by streaming query {stored!r} but the "
+                f"current checkpoint has id {ckpt_id!r}. A reset "
+                "checkpoint restarts batch ids at 0, so the stored "
+                "watermark cannot deduplicate replays. Restore the "
+                "original checkpoint or delete the state table."
+            )
         if applied is not None and applied >= batch_id:
             return False
         prev = prev.drop("last_batch_id", "ckpt_id")
@@ -226,12 +281,7 @@ def fold_batch(
     root = _local(state_path)
     new_version = f"v{int(batch_id)}"
     merged.write.mode("overwrite").parquet(os.path.join(state_path, new_version))
-    tmp = os.path.join(root, f"_{_CURRENT}.{int(batch_id)}.tmp")
-    with open(tmp, "w", encoding="utf-8") as f:
-        f.write(new_version)
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, os.path.join(root, _CURRENT))  # atomic on POSIX
+    _write_pointer(root, new_version, int(batch_id), ckpt_id, str(int(batch_id)))
 
     # Best-effort GC of superseded versions (crash here is harmless),
     # deferred by ONE version: the immediately superseded dir is kept
@@ -276,19 +326,17 @@ def compact_fold_state(spark: SparkSession, state_path: str) -> bool:
     compaction lose their files immediately — the offline contract
     (readers re-resolve via ``read_state`` after maintenance), same as
     the append layout's."""
-    live = _version_dir(state_path)
+    live, ptr_batch, ptr_ckpt = _pointer_info(state_path)
     if live is None or live == "v0":
         return False
     root = _local(state_path)
     spark.read.parquet(os.path.join(state_path, live)).write.mode(
         "overwrite"
     ).parquet(os.path.join(state_path, "v0"))
-    tmp = os.path.join(root, f"_{_CURRENT}.compact.tmp")
-    with open(tmp, "w", encoding="utf-8") as f:
-        f.write("v0")
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, os.path.join(root, _CURRENT))  # atomic on POSIX
+    # carry the watermark + identity across the compaction boundary (a
+    # legacy plain pointer has neither — the data columns still do, and
+    # the next fold falls back to reading them)
+    _write_pointer(root, "v0", ptr_batch, ptr_ckpt, "compact")
     try:
         entries = os.listdir(root)
     except OSError:
