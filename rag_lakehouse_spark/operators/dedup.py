@@ -148,17 +148,19 @@ def _signatures_from_hash_rows(
     def _to_i64(v: int) -> int:
         return v - 2**64 if v >= 2**63 else v
 
-    mins = rows.groupBy(id_col).agg(
-        *[
-            F.min(
-                F.col("__h") * F.lit(_to_i64(rng_a[i])) + F.lit(_to_i64(rng_b[i]))
-            ).alias(f"__m{i}")
-            for i in range(num_hashes)
-        ]
+    # Expressions are built as SQL strings parsed in ONE round-trip per
+    # column (r15): composing them from pyspark Column operators cost
+    # ~1.6 s of py4j round-trips per DataFrame CONSTRUCTION (hundreds of
+    # JVM calls for 64 aggregates) — pure driver overhead paid on every
+    # fresh plan, before a single row moves. Parsed SQL yields the
+    # identical Catalyst expression (non-ANSI * and + wrap like Java).
+    inner = ", ".join(
+        f"min(__h * {_to_i64(rng_a[i])}L + {_to_i64(rng_b[i])}L) AS __m{i}"
+        for i in range(num_hashes)
     )
-    return mins.select(
-        F.col(id_col), F.array(*[F.col(f"__m{i}") for i in range(num_hashes)]).alias("signature")
-    )
+    mins = rows.groupBy(id_col).agg(F.expr(f"struct({inner})").alias("__w"))
+    sig = ", ".join(f"__w.__m{i}" for i in range(num_hashes))
+    return mins.select(F.col(id_col), F.expr(f"array({sig})").alias("signature"))
 
 
 def lsh_candidate_pairs(
@@ -315,28 +317,37 @@ def simhash_docs(
     rows = df.select(F.col(id_col), F.explode(toks).alias("__tok")).select(
         F.col(id_col), F.xxhash64("__tok").alias("__h")
     )
-    # bit-test via mask; bit 63 is the sign bit of the i64 hash
-    masks = [(1 << b) if b < 63 else -(1 << 63) for b in range(64)]
+    # The 64 vote aggregates and the 64-term fingerprint packing are
+    # built as SQL strings parsed in one round-trip each (r15):
+    # composing them from pyspark Column operators cost ~2.2 s of py4j
+    # round-trips per DataFrame CONSTRUCTION — driver overhead paid on
+    # every fresh plan. Parsed SQL yields identical Catalyst exprs.
+    # Bit-test via mask; bit 63 is the sign bit of the i64 hash, so its
+    # mask test is simply __h < 0 (avoids the -2^63 literal the SQL
+    # parser cannot negate).
+    inner = ", ".join(
+        (
+            f"sum(CASE WHEN (__h & {1 << b}) != 0 THEN 1 ELSE -1 END)"
+            if b < 63
+            else "sum(CASE WHEN __h < 0 THEN 1 ELSE -1 END)"
+        )
+        + f" AS __v{b}"
+        for b in range(64)
+    )
     votes = rows.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_tokens"),
-        *[
-            F.sum(
-                F.when(F.col("__h").bitwiseAND(F.lit(masks[b])) != 0, 1).otherwise(-1)
-            ).alias(f"__v{b}")
-            for b in range(64)
-        ],
+        F.expr(f"struct(count(1) AS n_tokens, {inner})").alias("__w")
     )
     # bit b of the fingerprint = 1 iff the ±1 vote sum for bit b is > 0
-    bit_cols = [
-        F.when(F.col(f"__v{b}") > 0, F.lit(1).cast("bigint"))
-        .otherwise(F.lit(0).cast("bigint"))
+    bits = " + ".join(
+        "CAST(CASE WHEN __w.__v0 > 0 THEN 1 ELSE 0 END AS BIGINT)"
+        if b == 0
+        else f"shiftleft(CAST(CASE WHEN __w.__v{b} > 0 THEN 1 ELSE 0 END AS BIGINT), {b})"
         for b in range(64)
-    ]
-    fingerprint = bit_cols[0]
-    for b in range(1, 64):
-        fingerprint = fingerprint + F.shiftleft(bit_cols[b], b)
+    )
     return votes.select(
-        F.col(id_col), fingerprint.alias("simhash"), F.col("n_tokens")
+        F.col(id_col),
+        F.expr(bits).alias("simhash"),
+        F.col("__w.n_tokens").alias("n_tokens"),
     )
 
 

@@ -95,29 +95,33 @@ def duplicate_windows(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """(id, pos) of every NON-OWNED occurrence of a globally-duplicated
-    window. Owner = lexicographically-first (id, pos) per hash, resolved
-    with two primitive aggregates (min id, then min pos within that id)
-    so the DuckDB twin is plain SQL — no struct-min semantics to match.
+    window. Owner = lexicographically-first (id, pos) per hash,
+    resolved in ONE aggregate as ``min(struct(id, pos))`` — struct min
+    is field-wise lexicographic, exactly the two-step (min id, then min
+    pos within that id) rule. r15: the old two-aggregate form paid an
+    extra join + groupBy pass over the window index per call (kept as
+    plain SQL in the DuckDB oracles, which compare OUTPUT rows, not
+    plan shape).
 
     ``wins`` MUST already be materialized (localCheckpoint) by the
-    caller — it is consumed three times below (occ, own, final join),
-    and callers typically hold further references; one barrier at the
-    call site covers all consumers (docs/SCALE.md self-join rule).
+    caller — it is consumed twice below (occ, final join), and callers
+    typically hold further references; one barrier at the call site
+    covers all consumers (docs/SCALE.md self-join rule).
     """
     occ = wins.groupBy("whash").agg(
-        F.count(F.lit(1)).alias("cnt"), F.min(id_col).alias("__odoc")
-    )
-    own = (
-        wins.join(occ, "whash")
-        .filter(F.col(id_col) == F.col("__odoc"))
-        .groupBy("whash", "cnt", "__odoc")
-        .agg(F.min("pos").alias("__opos"))
+        F.count(F.lit(1)).alias("cnt"),
+        F.min(F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))).alias(
+            "__own"
+        ),
     )
     return (
-        wins.join(own, "whash")
+        wins.join(occ, "whash")
         .filter(
             (F.col("cnt") > 1)
-            & ~((F.col(id_col) == F.col("__odoc")) & (F.col("pos") == F.col("__opos")))
+            & ~(
+                (F.col(id_col) == F.col("__own.d"))
+                & (F.col("pos") == F.col("__own.p"))
+            )
         )
         .select(F.col(id_col), F.col("pos"))
     )

@@ -2096,8 +2096,9 @@ def ann_graph_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale (r14, VERDICT r13 #1): the build here IS the scalable path
     — NN-descent over SRP-LSH candidate sampling plus an O(H·n)
     exact head slab (``operators/graph_ann.nn_descent_edges``; no
-    stage touches O(n²) pairs), converging to the exact all-pairs
-    adjacency at every test SF (bit-equality + recall floor pinned in
+    stage touches O(n²) pairs), converging toward the exact all-pairs
+    adjacency at every test SF (pinned: recall floor ≥ 0.99 vs the
+    exact referee + serve-walk parity under this oracle, in
     tests/test_similarity.py; the O(n²) ``knn_graph`` remains as the
     test referee). The WALK — the serving path — touches |beam|·M
     adjacency rows and |frontier| vector fetches per round, never a
@@ -2222,8 +2223,8 @@ def ann_graph_nsw_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     constraint with an O(H²) exact head (the NSW navigational
     backbone: early nodes' long-range edges, HNSW's tiny upper
     layers; ``operators/graph_ann.nn_descent_edges``, no O(n²)
-    stage), converging to the exact triangular adjacency at every
-    test SF (bit-equality + recall floor in
+    stage), converging toward the exact triangular adjacency at every
+    test SF (pinned: recall floor + serve-walk parity in
     tests/test_similarity.py). The per-batch incremental fold
     (``streaming.graph_sink``) keeps the exact ``nsw_fwd_edges``
     rule — its cost is |batch|×|state| insertion scoring, a
@@ -2348,6 +2349,12 @@ def ann_graph_nsw_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for i in range(n_files):
             chunk_dir = os.path.join(chunks_dir, f"chunk={i}")
+            if not os.path.isdir(chunk_dir):
+                # partitionBy writes no directory for an empty chunk (a
+                # degenerate corpus with fewer distinct vec_ids than
+                # files): skip — an absent replay file is the correct
+                # stand-in for an empty micro-batch (r15, ADVICE r14)
+                continue
             parts = sorted(
                 p for p in os.listdir(chunk_dir) if p.endswith(".parquet")
             )

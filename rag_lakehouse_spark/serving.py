@@ -103,20 +103,22 @@ def retrieve_topk(
     sf_dir: str,
     query_vec: list[float],
     k: int = 3,
-    threshold: float = 0.0,
+    threshold: float | None = None,
 ) -> DataFrame:
-    """(rank, vec_id, score, text, source) for the exact cosine top-k
-    at/above ``threshold`` — the serve-path retrieval joined to the
-    documents table for context text and attribution."""
+    """(rank, vec_id, score, text, source) for the exact cosine top-k —
+    the serve-path retrieval joined to the documents table for context
+    text and attribution. ``threshold`` is an explicit opt-in score
+    floor; the DEFAULT is pure top-k with no filter, matching the
+    reference endpoint (chromadb n_results=3 applies no distance
+    threshold — r14's 0.0 default silently dropped negative-cosine
+    documents the reference would have answered from; ADVICE r14)."""
     e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
     d = load_table(spark, sf_dir, "documents")
     qv = F.array(*[F.lit(float(x)) for x in query_vec])
-    scored = (
-        e.select("vec_id", VEC.cosine("embedding", qv).alias("score"))
-        .filter(F.col("score") >= threshold)
-        .orderBy(F.desc("score"), F.asc("vec_id"))
-        .limit(k)
-    )
+    scored = e.select("vec_id", VEC.cosine("embedding", qv).alias("score"))
+    if threshold is not None:
+        scored = scored.filter(F.col("score") >= threshold)
+    scored = scored.orderBy(F.desc("score"), F.asc("vec_id")).limit(k)
     return scored.join(d, scored.vec_id == d.doc_id).select(
         "vec_id", "score", "text", "source"
     )
@@ -128,7 +130,7 @@ def ask(
     question: str,
     generator: Generator | None = None,
     k: int = 3,
-    threshold: float = 0.0,
+    threshold: float | None = None,
     query_vec: list[float] | None = None,
 ) -> AskResult:
     """The /ask endpoint, minus HTTP: returns the reference's
