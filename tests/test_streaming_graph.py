@@ -74,6 +74,85 @@ def test_maintained_adjacency_equals_frozen_build(
     assert mism == 0
 
 
+def test_guided_insert_referee(spark, sf_dir):
+    """The graph-guided insertion rule (r15, VERDICT r14 #1) refereed
+    by the exact rule it replaces above ``NSW_GUIDED_MIN_STATE``:
+    per id-ordered fold, guided edges vs ``nsw_fwd_edges(batch,
+    state ∪ batch)`` — the FIRST fold must be bit-identical (no state
+    yet ⇒ the complete in-batch candidate set IS the exact rule), the
+    overall adjacency recall must clear 0.995, and the size-adaptive
+    dispatch must route below-threshold folds to the exact rule and
+    above-threshold folds to the guided one."""
+    from rag_lakehouse_spark.operators.graph_ann import (
+        nsw_insert_edges_guided,
+    )
+    from rag_lakehouse_spark.streaming.graph_sink import nsw_batch_edges
+
+    corpus = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") != 0)
+        .select("vec_id", "embedding")
+        .withColumn("nrm", VEC.l2_norm("embedding"))
+    )
+    max_id = corpus.agg(F.max("vec_id")).first()[0]
+    state_vecs = state_fwd = None
+    n_exact = n_hit = 0
+    for i in range(4):
+        lo = i * (max_id + 1) // 4
+        hi = (i + 1) * (max_id + 1) // 4
+        batch = corpus.filter(
+            (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
+        )
+        if batch.count() == 0:
+            continue
+        cand = (
+            state_vecs.unionByName(batch) if state_vecs is not None else batch
+        )
+        exact = nsw_fwd_edges(batch, cand, m=8)
+        guided = nsw_insert_edges_guided(
+            batch, state_vecs, state_fwd, m=8, max_known_id=hi - 1
+        )
+        e = set((r["src"], r["dst"]) for r in exact.collect())
+        g = set((r["src"], r["dst"]) for r in guided.collect())
+        if state_vecs is None:
+            assert g == e, "first fold must be bit-identical"
+        n_exact += len(e)
+        n_hit += len(e & g)
+        # the maintained state stays the exact graph (what ships at
+        # test scale), so every fold's referee is the true adjacency
+        state_vecs = cand
+        new_fwd = exact
+        state_fwd = (
+            new_fwd
+            if state_fwd is None
+            else state_fwd.unionByName(new_fwd)
+        ).localCheckpoint(eager=True)
+    assert n_exact > 0
+    assert n_hit / n_exact >= 0.995, (n_hit, n_exact)
+
+    # dispatch: prev_max below the threshold -> exact rule output;
+    # forced above -> the guided rule's output (both deterministic)
+    batch = corpus.filter(F.col("vec_id") >= (3 * (max_id + 1)) // 4)
+    prev_vecs = corpus.filter(F.col("vec_id") < (3 * (max_id + 1)) // 4)
+    low = nsw_batch_edges(
+        batch, prev_vecs, state_fwd, m=8, prev_max=1, batch_max=max_id
+    )
+    want_exact = nsw_fwd_edges(batch, prev_vecs.unionByName(batch), m=8)
+    assert sorted(map(tuple, low.collect())) == sorted(
+        map(tuple, want_exact.collect())
+    )
+    high = nsw_batch_edges(
+        batch, prev_vecs, state_fwd, m=8,
+        prev_max=10**9, batch_max=max_id,
+    )
+    want_guided = nsw_insert_edges_guided(
+        batch, prev_vecs, state_fwd, m=8, max_known_id=max_id
+    )
+    assert sorted(map(tuple, high.collect())) == sorted(
+        map(tuple, want_guided.collect())
+    )
+
+
 def test_out_of_order_batch_changes_graph_is_real_nsw_semantics(
     spark, sf_dir, tmp_path_factory
 ):
