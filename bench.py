@@ -133,13 +133,20 @@ R1_BASELINE_COLLECT_SEC = 24.9
 # under the 25% flag while its value_rel was 21% over reference —
 # nominally "clean" yet band-ineligible; bands_eligible in the JSON
 # closes that gap so a reader cannot quote band violations from an
-# ineligible run. Reference re-measured whenever HEADLINE changes:
-# r13 = 36.5, set between the round's two quiet-host readings (35.53
-# at anchors 0.82-1.07, 38.52 at anchors 0.82-0.87 — the cleanest
-# run) after adding the media_warc_host_report canary. Both
-# legitimate quiet runs sit within the 10% window; an r12-driver-
-# style +21% reading (≈40.7 on this headline set) does not.
-VALUE_REL_REF = 36.5
+# ineligible run. Reference re-measured whenever HEADLINE changes OR
+# the engine itself changes speed class:
+# - r13 = 36.5 (two quiet-host readings 35.53 / 38.52 after adding the
+#   media_warc_host_report canary).
+# - r15 = 33.0 — RE-BASELINED after the optimization round: the round
+#   removed ~4-6 s from the suite (construction/CSE/watermark fixes,
+#   OPTIMIZATION_r15.md), so a quiet-host run of the optimized engine
+#   (measured 30.58 at anchors 1.15-1.43 and 35.38 at anchors
+#   1.06-1.16 — the spread is anchor-phase, both protocol-clean) sits
+#   outside the OLD ±10% window by construction. 33.0 is the midpoint
+#   of the two observed quiet readings; both fall inside its ±10%
+#   window (29.7-36.3). The old reference and both readings are kept
+#   here and in OPTIMIZATION_r15.md per the keep-old-numbers rule.
+VALUE_REL_REF = 33.0
 
 
 def main() -> None:

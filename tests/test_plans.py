@@ -542,3 +542,54 @@ def test_domain_blocklist_broadcast_nested_loop(spark, sf_dir):
     # below the join: only the blocklist's BroadcastExchange, never a
     # hashpartitioning exchange of the corpus
     assert "hashpartitioning" not in below
+
+
+def test_beam_walk_expansion_is_bounded_equi_join(spark, sf_dir):
+    """VERDICT r14 #6: the serve walk's per-round expansion
+    (``operators.graph_ann.beam_search``) must stay a hash EQUI-join
+    of the O(B)-row beam against the adjacency — never a nested-loop
+    or cartesian shape, and never an exchange of the scores relation
+    below a non-equi join. Regression-locks the serve path's scale
+    shape like the other hot paths."""
+    from pyspark.sql import functions as F
+
+    from rag_lakehouse_spark.functions import vector as VEC
+    from rag_lakehouse_spark.operators.graph_ann import (
+        beam_search,
+        nsw_fwd_edges,
+    )
+    from rag_lakehouse_spark.sources.tables import load_table
+
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") != 0)
+        .select("vec_id", "embedding")
+        .withColumn("nrm", VEC.l2_norm("embedding"))
+    )
+    fwd = nsw_fwd_edges(e, e, m=4).localCheckpoint(eager=True)
+    graph = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    q = e.orderBy("vec_id").limit(1).select(
+        F.col("embedding").alias("qv"), F.col("nrm").alias("qn")
+    )
+    scores = e.crossJoin(F.broadcast(q)).select(
+        "vec_id",
+        (
+            VEC.dot("embedding", "qv")
+            / (F.col("nrm") * F.col("qn") + F.lit(1e-24))
+        ).alias("score"),
+    )
+    entries = e.agg(F.min("vec_id").alias("vec_id"))
+    walked = beam_search(graph, scores, entries, beam_width=8, rounds=2)
+    plan = walked._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # the deliberate broadcast of the single query vector is the ONLY
+    # nested-loop join allowed in the walk plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    # expansion + scoring joins are equi-joins on vec_id/src
+    assert (
+        "BroadcastHashJoin [vec_id" in plan
+        or "SortMergeJoin [vec_id" in plan
+        or "ShuffledHashJoin [vec_id" in plan
+    )
