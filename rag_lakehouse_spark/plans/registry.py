@@ -80,60 +80,70 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # text_tfidf_keywords) are expected to miss the 50-slot budget and
 # lead the r15 queue. COVERAGE.md records the per-round log.
 _PRIORITY: tuple[str, ...] = (
-    # -- r14 part (a): new or changed this round --
-    "media_jpeg_restart_pixels",
+    # -- r15 part (a): q1 (changed in r14 AFTER that round's rotation —
+    # the changed-row rule owes it a fresh driver row; VERDICT r14 #2) --
+    "q1_pricing_summary",
+    # -- r15 part (b): every row whose INTERNALS this optimization
+    # round touched (outputs verified bit-identical locally at
+    # sf0.001/0.01; the changed-row rule still re-enters them):
+    # SQL-string construction + band-key rewrite (dedup families),
+    # one-aggregate canonical/owner rewrites (corpus rows),
+    # generator-CSE hash fix (CMS/Bloom rows), pointer watermark
+    # (fold-state rows), seed_bits derivation + size-adaptive insert
+    # (graph rows) --
+    "dedup_minhash_portable",
+    "dedup_simhash_portable",
+    "dedup_simhash_pairs_portable",
+    "dedup_canonicals_portable",
+    "dedup_minhash_incremental",
+    "dedup_edit_verified",
+    "dedup_incremental_stream",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "dedup_cluster_canonicals",
+    "corpus_countmin_portable",
+    "corpus_cms_incremental",
+    "corpus_heavy_tokens",
+    "corpus_heavy_tokens_incremental",
+    "corpus_export_manifest",
+    "corpus_clean_pipeline",
+    "corpus_dup_span_stats",
+    "corpus_strip_dup_spans",
+    "join_bloom_prefilter",
+    "join_bloom_incremental",
+    "join_bloom_union",
     "ann_graph_portable",
     "ann_graph_nsw_portable",
     "ann_graph_nsw_incremental",
-    "media_jpeg_pixels",
-    # -- r14 part (b): the 14 wait-listed r8-vintage rows --
-    "q5_nation_revenue",
-    "quality_gate_per_source",
-    "sample_stratified_docs",
-    "setop_intersect_except",
-    "string_scalar_funcs",
-    "text_bpe_token_count",
-    "text_fingerprint",
-    "text_lang_id",
-    "text_rolling_hash",
-    "text_token_stats",
-    "topk_orders",
-    "window_lag_lead_orders",
-    "window_ntile_share",
-    "window_rank_top_orders",
-    # -- r14 part (c): oldest-vintage fill — the first 31 r9 rows in
-    # registry order; the 19 past slot 50 lead the r15 queue --
-    "window_running_spend",
-    "events_active_users_rolling",
-    "events_active_users_incremental",
-    "text_bigram_surprisal",
-    "corpus_source_divergence",
-    "corpus_quality_correlation",
-    "embedding_cluster_profile",
-    "embedding_outlier_flags",
-    "embedding_label_centroid_drift",
-    "embedding_label_confusion",
-    "rag_mmr_diversify_exact",
-    "dedup_cluster_canonicals",
-    "rag_batch_retrieve",
-    "unpivot_part_metrics",
-    "subquery_above_avg_orders",
-    "array_funcs_tokens",
-    "approx_distinct_stats",
-    "knn_vectorized_topk",
-    "ann_pq_topk",
-    "orders_rfm_segments",
-    "orders_revenue_concentration",
-    "passage_assembly",
-    "string_extended_funcs",
-    "regexp_extract_all_tokens",
-    "date_interval_arithmetic",
-    "null_handling_funcs",
-    "minby_maxby_agg",
-    "bitwise_funcs",
-    "window_distribution_funcs",
-    "union_by_name_drift",
-    "q4_late_order_priority",
+    # -- r15 part (c): one representative per remaining fold-state
+    # family (all inherit the r15 pointer-watermark fold) --
+    "events_hll_incremental",
+    "corpus_sample_incremental",
+    "text_encoding_incremental",
+    "media_warc_incremental",
+    "rag_bm25_incremental",
+    # -- r15 part (d): the 19 wait-listed r9-vintage rows from the r14
+    # entry in COVERAGE.md (led this round's queue by name) --
+    "q10_returned_revenue",
+    "q18_large_orders",
+    "orders_monthly_trend",
+    "nation_customer_share",
+    "q7_volume_shipping",
+    "q12_ship_latency_priority",
+    "q14_promo_revenue_share",
+    "skew_key_report",
+    "q21_waiting_suppliers",
+    "events_cusum_changepoints",
+    "events_ewma_incremental",
+    "events_holt_forecast",
+    "corpus_quality_ensemble",
+    "corpus_bpe_encode_portable",
+    "dq_orders_report",
+    "dq_documents_report",
+    "dq_source_drift_ks",
+    "dq_source_psi",
+    "text_tfidf_keywords",
 )
 
 
