@@ -42,6 +42,8 @@ row-identical in tests/test_streaming_graph.py.
 
 from __future__ import annotations
 
+import os as _os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -71,10 +73,21 @@ NSW_M = 8  # out-degree, matching the frozen rung's _GN_M
 # 0/3956 (sf0.001), 4/16k (sf0.01), 18/16k (sf0.1) edges — hence
 # exact-below-threshold, guided above, referee-tested either way
 # (tests/test_streaming_graph.py).
-import os as _os
+#
+# FLOOR (r16, VERDICT r15 #3/#5): the env dial exists to TUNE the
+# crossover upward on real clusters, never to flip oracle-scale states
+# onto the approximate guided rule — a mis-set env var below the test
+# corpus sizes would silently change a declared query's output (the
+# guided adjacency deviates from the exact twin above the threshold:
+# measured symdiff up to 18/16k edges). 10_000 is > 2× the largest
+# test-SF maintained state (sf0.1: 2 000 vectors), so no driver- or
+# oracle-visible fold can ever dispatch guided regardless of
+# environment; values below the floor are clamped, not honored.
+NSW_GUIDED_MIN_STATE_FLOOR = 10_000
 
-NSW_GUIDED_MIN_STATE = int(
-    _os.environ.get("RLS_NSW_GUIDED_MIN_STATE", "50000")
+NSW_GUIDED_MIN_STATE = max(
+    int(_os.environ.get("RLS_NSW_GUIDED_MIN_STATE", "50000")),
+    NSW_GUIDED_MIN_STATE_FLOOR,
 )
 
 

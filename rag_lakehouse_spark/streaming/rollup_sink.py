@@ -242,10 +242,24 @@ def fold_batch(
             # to decide skip/fold (the old path ran a first() and a
             # max() over the WHOLE state parquet per micro-batch)
             stored, applied = ptr_ckpt, ptr_batch
+            if stored is None and ckpt_id is not None and "ckpt_id" in prev.columns:
+                # ADVICE r15 #3: a prior fold that ran with
+                # ckpt_id=None wrote a null ckpt into the pointer; do
+                # not let that null disarm the reset-checkpoint guard
+                # for callers that DO pass an identity — fall back to
+                # the data-column ckpt_id for the mismatch check (one
+                # constant-column first(), only on this rare path; the
+                # next successful fold re-arms the pointer).
+                row = prev.select("ckpt_id").first()
+                stored = row[0] if row is not None else None
         else:
             # legacy state (plain pointer / flat layout): constants
-            # still live in the data columns
-            if ckpt_id is not None and "ckpt_id" in prev.columns:
+            # still live in the data columns. Read the identity even
+            # when this caller passes none — the fold below carries it
+            # forward into the new version (ADVICE r15 #3), and this
+            # legacy read happens at most once per state (the pointer
+            # carries it from then on).
+            if "ckpt_id" in prev.columns:
                 # a zero-row state (all-empty batches so far) has no
                 # ckpt_id row to check — first() is None, not a Row
                 row = prev.select("ckpt_id").first()
@@ -265,6 +279,15 @@ def fold_batch(
         if applied is not None and applied >= batch_id:
             return False
         prev = prev.drop("last_batch_id", "ckpt_id")
+    else:
+        stored = None
+    # ADVICE r15 #3 (write side): a fold invoked WITHOUT an identity
+    # (ckpt_id=None — maintenance/manual folds) must not ERASE the
+    # stored identity: writing null into the pointer and data column
+    # would disarm the reset-checkpoint guard for every later fold
+    # that does pass one. Carry the stored identity forward instead;
+    # the guard above already proved there is no conflict.
+    keep_ckpt = ckpt_id if ckpt_id is not None else stored
     partial = partial_fn(batch_df)
     merged = (
         merge_fn(prev, partial)
@@ -273,7 +296,7 @@ def fold_batch(
     )
     merged = merged.withColumn(
         "last_batch_id", F.lit(int(batch_id)).cast("bigint")
-    ).withColumn("ckpt_id", F.lit(ckpt_id).cast("string"))
+    ).withColumn("ckpt_id", F.lit(keep_ckpt).cast("string"))
 
     # two-phase commit: write the new version beside the old one (the
     # read plan above still streams from the old dir — no self-
@@ -281,7 +304,7 @@ def fold_batch(
     root = _local(state_path)
     new_version = f"v{int(batch_id)}"
     merged.write.mode("overwrite").parquet(os.path.join(state_path, new_version))
-    _write_pointer(root, new_version, int(batch_id), ckpt_id, str(int(batch_id)))
+    _write_pointer(root, new_version, int(batch_id), keep_ckpt, str(int(batch_id)))
 
     # Best-effort GC of superseded versions (crash here is harmless),
     # deferred by ONE version: the immediately superseded dir is kept

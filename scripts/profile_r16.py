@@ -1,26 +1,26 @@
 #!/usr/bin/env python3
-"""Round-15 optimization profiler: per-query timing + formatted-plan dump.
+"""Round-16 optimization profiler: per-query timing + formatted-plan dump.
 
 Bench-frame methodology (same as bench.py): a FRESH DataFrame per run,
 timer starts BEFORE construction, action = collect(). Additionally
-dumps ``.explain("formatted")`` to plans/r15/<query>_<tag>.txt so plan
-claims in OPTIMIZATION_r15.md are checkable without running Spark.
+dumps ``.explain("formatted")`` to plans/r16/<query>_<tag>.txt so plan
+claims in OPTIMIZATION_r16.md are checkable without running Spark.
 
-NOTE (ADVICE r15 #4): this script reaches into private PySpark
-internals (``PythonSQLUtils.explainString`` via ``df._jdf``) that are
-only known to work on Spark 4.1.x — kept as-is for the frozen r15
-artifact trail; new work should use scripts/profile_r16.py, which
-captures the PUBLIC ``df.explain(mode="formatted")`` instead.
+Unlike the r15 profiler this uses the PUBLIC ``df.explain(mode=...)``
+API captured via stdout redirect (ADVICE r15 #4 — the private
+``PythonSQLUtils.explainString`` breaks across Spark versions).
 
 Usage:
-  python3 scripts/profile_r15.py --tag before q1_pricing_summary dedup_ngram_jaccard
-  python3 scripts/profile_r15.py --tag before --headline       # bench headline set
-  python3 scripts/profile_r15.py --no-plan --runs 5 <query>    # timing only
+  python3 scripts/profile_r16.py --tag before q1_pricing_summary
+  python3 scripts/profile_r16.py --tag before --headline       # bench set
+  python3 scripts/profile_r16.py --no-plan --runs 5 <query>    # timing only
 """
 
 from __future__ import annotations
 
 import argparse
+import contextlib
+import io
 import os
 import sys
 import time
@@ -48,9 +48,9 @@ def main() -> None:
 
         names = [n for n in bench.HEADLINE if n not in names] + names
 
-    spark = get_spark("profile_r15")
+    spark = get_spark("profile_r16")
     qs = registry.queries()
-    outdir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r15")
+    outdir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r16")
     os.makedirs(outdir, exist_ok=True)
 
     # one warmup at sf0.001 mirrors bench.py's codegen warmup
@@ -60,14 +60,14 @@ def main() -> None:
         if name not in qs:
             print(f"!! unknown query {name}")
             continue
-        spark.sparkContext.setJobDescription(f"r15:{args.tag}:{name}")
+        spark.sparkContext.setJobDescription(f"r16:{args.tag}:{name}")
         if not args.no_plan:
             df = qs[name](spark, args.sf_dir)
-            plan = df._sc._jvm.PythonSQLUtils.explainString(
-                df._jdf.queryExecution(), "formatted"
-            )
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                df.explain(mode="formatted")
             with open(os.path.join(outdir, f"{name}_{args.tag}.txt"), "w") as f:
-                f.write(plan)
+                f.write(buf.getvalue())
         if args.no_time:
             print(f"{name}: plan dumped")
             continue

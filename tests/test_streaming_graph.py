@@ -346,3 +346,30 @@ def test_append_layout_equals_fold_rewrite_layout(
     # offline compaction preserves every row
     assert compact_state(spark, app_state) > 0
     assert snapshot(read_nsw_index_append(spark, app_state)) == app_snap
+
+
+def test_guided_threshold_floor_cannot_be_detuned(monkeypatch):
+    """VERDICT r15 #5: the env dial `RLS_NSW_GUIDED_MIN_STATE` may only
+    RAISE the guided-insert crossover, never lower it below the
+    compile-time floor — a value below the test-SF state sizes would
+    silently flip a declared query's folds onto the approximate guided
+    rule and change its output. Values below the floor are clamped."""
+    import importlib
+
+    import rag_lakehouse_spark.streaming.graph_sink as gs
+
+    floor = gs.NSW_GUIDED_MIN_STATE_FLOOR
+    assert floor >= 10_000  # > 2x the largest test-SF maintained state
+
+    monkeypatch.setenv("RLS_NSW_GUIDED_MIN_STATE", "1")
+    importlib.reload(gs)
+    try:
+        assert gs.NSW_GUIDED_MIN_STATE == floor
+        # raising it above the floor is still honored (the dial's job)
+        monkeypatch.setenv("RLS_NSW_GUIDED_MIN_STATE", str(floor * 20))
+        importlib.reload(gs)
+        assert gs.NSW_GUIDED_MIN_STATE == floor * 20
+    finally:
+        monkeypatch.delenv("RLS_NSW_GUIDED_MIN_STATE", raising=False)
+        importlib.reload(gs)
+    assert gs.NSW_GUIDED_MIN_STATE == 50_000  # default restored

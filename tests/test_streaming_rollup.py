@@ -113,6 +113,31 @@ def test_fold_batch_rejects_reset_checkpoint(spark, events_dir, tmp_path_factory
         fold_batch(spark, state, b0, 0, ckpt_id="query-B")
 
 
+def test_identity_survives_identity_less_fold(
+    spark, events_dir, tmp_path_factory
+):
+    """ADVICE r15 #3: a maintenance fold invoked with ckpt_id=None must
+    CARRY the stored checkpoint identity forward, not erase it — a
+    null written into the pointer would disarm the reset-checkpoint
+    guard for every later fold that does pass an identity."""
+    import pytest as _pytest
+
+    from rag_lakehouse_spark.streaming.rollup_sink import fold_batch
+
+    state = str(tmp_path_factory.mktemp("rollup_keepid")) + "/hourly"
+    raw = spark.read.parquet(events_dir)
+    b0 = raw.limit(300)
+
+    assert fold_batch(spark, state, b0, 0, ckpt_id="query-A") is True
+    # identity-less fold (manual/maintenance path)
+    assert fold_batch(spark, state, b0, 1, ckpt_id=None) is True
+    # the guard must still hold query-A's identity afterwards
+    with _pytest.raises(ValueError, match="identity mismatch"):
+        fold_batch(spark, state, b0, 0, ckpt_id="query-B")
+    # ... and the original checkpoint still folds normally
+    assert fold_batch(spark, state, b0, 2, ckpt_id="query-A") is True
+
+
 def test_crash_mid_write_preserves_state(spark, events_dir, tmp_path_factory):
     """An interrupted state write must never corrupt readable state:
     the new version dir lands beside the old one and only the atomic
