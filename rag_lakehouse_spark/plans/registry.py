@@ -80,70 +80,73 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # text_tfidf_keywords) are expected to miss the 50-slot budget and
 # lead the r15 queue. COVERAGE.md records the per-round log.
 _PRIORITY: tuple[str, ...] = (
-    # -- r15 part (a): q1 (changed in r14 AFTER that round's rotation —
-    # the changed-row rule owes it a fresh driver row; VERDICT r14 #2) --
-    "q1_pricing_summary",
-    # -- r15 part (b): every row whose INTERNALS this optimization
-    # round touched (outputs verified bit-identical locally at
-    # sf0.001/0.01; the changed-row rule still re-enters them):
-    # SQL-string construction + band-key rewrite (dedup families),
-    # one-aggregate canonical/owner rewrites (corpus rows),
-    # generator-CSE hash fix (CMS/Bloom rows), pointer watermark
-    # (fold-state rows), seed_bits derivation + size-adaptive insert
-    # (graph rows) --
-    "dedup_minhash_portable",
-    "dedup_simhash_portable",
-    "dedup_simhash_pairs_portable",
-    "dedup_canonicals_portable",
-    "dedup_minhash_incremental",
-    "dedup_edit_verified",
-    "dedup_incremental_stream",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "dedup_cluster_canonicals",
-    "corpus_countmin_portable",
-    "corpus_cms_incremental",
-    "corpus_heavy_tokens",
-    "corpus_heavy_tokens_incremental",
-    "corpus_export_manifest",
-    "corpus_clean_pipeline",
-    "corpus_dup_span_stats",
-    "corpus_strip_dup_spans",
-    "join_bloom_prefilter",
-    "join_bloom_incremental",
-    "join_bloom_union",
+    # -- r16 part (a): every row whose INTERNALS this optimization
+    # round touched (outputs verified bit-identical locally; the
+    # changed-row rule re-enters them): the grouped-pairs ngram
+    # rewrite and its two dependents, the three beam-walk rows
+    # (checkpoint cadence; nsw_incremental also carries the guided
+    # dispatch floor), and one representative of the fold-rewrite
+    # machinery (ckpt-identity carry-forward in fold_batch — every
+    # other fold family re-entered in r15's front and is
+    # behavior-identical under a passed ckpt_id) --
+    "dedup_ngram_jaccard",
+    "dup_components_exact",
+    "graph_triangle_counts",
     "ann_graph_portable",
     "ann_graph_nsw_portable",
     "ann_graph_nsw_incremental",
-    # -- r15 part (c): one representative per remaining fold-state
-    # family (all inherit the r15 pointer-watermark fold) --
-    "events_hll_incremental",
-    "corpus_sample_incremental",
-    "text_encoding_incremental",
-    "media_warc_incremental",
-    "rag_bm25_incremental",
-    # -- r15 part (d): the 19 wait-listed r9-vintage rows from the r14
-    # entry in COVERAGE.md (led this round's queue by name) --
-    "q10_returned_revenue",
-    "q18_large_orders",
-    "orders_monthly_trend",
-    "nation_customer_share",
-    "q7_volume_shipping",
-    "q12_ship_latency_priority",
-    "q14_promo_revenue_share",
-    "skew_key_report",
-    "q21_waiting_suppliers",
-    "events_cusum_changepoints",
-    "events_ewma_incremental",
-    "events_holt_forecast",
-    "corpus_quality_ensemble",
-    "corpus_bpe_encode_portable",
-    "dq_orders_report",
-    "dq_documents_report",
-    "dq_source_drift_ks",
-    "dq_source_psi",
-    "text_tfidf_keywords",
+    "events_rollup_hour_only",
+    # -- r16 part (b): the freshness fill — the r15 rotation cleared
+    # the named wait-list, so the remaining slots go to the stalest
+    # driver coverage: the ENTIRE r10-vintage cohort (last driver row
+    # at round 10 per the CORRECTNESS_r01..r15 union; 40 rows after
+    # the part-(a) overlap) in registry order, plus the first 3
+    # r11-vintage rows. 50 slots exactly; the r11 cohort remainder
+    # (38 rows, 'dedup_simhash_pairs' onward in registry order) leads
+    # the next rotation's queue --
+    "q3_shipping_priority",
+    "join_nonequi_price_band",
+    "customer_scd2_merge",
+    "orders_basket_affinity",
+    "orders_ship_latency_profile",
+    "events_retention_cohorts",
+    "events_inter_arrival_stats",
+    "text_repetition_stats",
+    "corpus_pack_sequences",
+    "dedup_exact_docs",
+    "text_unigram_surprisal",
+    "text_readability_scores",
+    "rag_mmr_diversify",
+    "ann_pq_portable",
+    "knn_ivf_portable",
+    "ann_ivf_pq_portable",
+    "chunk_sliding_docs",
+    "grouping_sets_revenue",
+    "exact_percentiles_by_type",
+    "embed_and_search_portable",
+    "q15_top_supplier",
+    "q19_disjunctive_revenue",
+    "events_gapfill_interpolate",
+    "events_interval_overlap_join",
+    "events_ewma_daily",
+    "events_daily_trend",
+    "events_holt_incremental",
+    "corpus_decontaminate_containment",
+    "corpus_boilerplate_strip",
+    "corpus_split_leakage",
+    "corpus_bpe_encode",
+    "corpus_source_overlap",
+    "corpus_vocab_coverage",
+    "rag_retrieve_rerank",
+    "rag_rm3_expansion",
+    "rag_eval_retrieval",
+    "media_metadata_report",
+    "media_metadata_incremental",
+    "media_audio_features",
+    "media_features_portable",
+    "events_sessionize",
+    "events_error_rate_daily",
+    "events_cohort_churn",
 )
 
 

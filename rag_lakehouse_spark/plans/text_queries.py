@@ -1731,7 +1731,14 @@ def corpus_cms_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(TX.tokens(F.coalesce(F.col("text"), F.lit("")))).alias("t")
         ).filter(F.col("t") != "")
         # same total-from-sketch trick as the batch twin (one fewer
-        # corpus pass; row j=0 sums to COUNT(tokens) exactly)
+        # corpus pass; row j=0 sums to COUNT(tokens) exactly).
+        # INVARIANT (ADVICE r15 #1): sound because the availableNow
+        # replay above folded EVERY batch before this read — and a
+        # partial/stale sketch cannot masquerade as synced: it would
+        # surface as a negative `overcount` in the output, which a
+        # synced sketch structurally cannot produce (pinned in
+        # tests/test_cms.py::test_partial_sketch_state_is_caught_by_
+        # negative_overcount).
         total = sketch.filter(F.col("j") == 0).agg(
             F.sum("c").cast("bigint").alias("n")
         )

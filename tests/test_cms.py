@@ -113,3 +113,62 @@ def test_cms_estimate_is_zero_for_unseen_items(spark):
     rows = cms_estimate(sketch, items, "item").collect()
     assert len(rows) == 1
     assert rows[0].cms_est == 0  # at least one of its 4 counters is empty
+
+
+def test_partial_sketch_state_is_caught_by_negative_overcount(
+    spark, sf_dir, tmp_path_factory
+):
+    """ADVICE r15 #1: corpus_cms_incremental derives the heavy-hitter
+    threshold n from the MAINTAINED sketch (row j=0 sum) while the
+    candidates are recounted from the full corpus — sound only because
+    the availableNow replay folds every batch before the read. This
+    pins the invariant's DETECTABILITY: a partial/stale sketch cannot
+    silently masquerade as a synced one, because some reported
+    ``overcount`` (cms_est - exact_cnt) turns NEGATIVE — a structural
+    impossibility for a synced sketch, whose counters only ever sum
+    tokens IN (cms_est >= exact_cnt for every item)."""
+    from rag_lakehouse_spark.functions import text as TX
+    from rag_lakehouse_spark.operators.heavy_hitters import heavy_hitters_exact
+    from rag_lakehouse_spark.sources.tables import load_table
+    from rag_lakehouse_spark.streaming.rollup_sink import (
+        _cms_merge,
+        _cms_partials,
+        fold_batch,
+        read_cms_counters,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = d.select(
+        F.explode(TX.tokens(F.coalesce(F.col("text"), F.lit("")))).alias("t")
+    ).filter(F.col("t") != "")
+
+    def report(sketch):
+        total = sketch.filter(F.col("j") == 0).agg(
+            F.sum("c").cast("bigint").alias("n")
+        )
+        heavy = heavy_hitters_exact(
+            toks, "t", k=400, ratio_den=200, total=total
+        ).withColumnRenamed("cnt", "exact_cnt")
+        return {
+            r["item"]: r["cms_est"] - r["exact_cnt"]
+            for r in cms_estimate(sketch, heavy, "item").collect()
+        }
+
+    # full replay: overcount >= 0 for EVERY item (the synced invariant)
+    full_state = str(tmp_path_factory.mktemp("cms_full")) + "/counters"
+    b0 = d.filter(F.col("doc_id") % 2 == 0)
+    b1 = d.filter(F.col("doc_id") % 2 == 1)
+    for bid, b in ((0, b0), (1, b1)):
+        fold_batch(spark, full_state, b, bid, "ckpt-full",
+                   partial_fn=_cms_partials, merge_fn=_cms_merge)
+    full = report(read_cms_counters(spark, full_state))
+    assert full and all(v >= 0 for v in full.values())
+
+    # partial replay (half the corpus folded): the desync surfaces as
+    # at least one negative overcount in the OUTPUT — divergence is
+    # caught, not silent
+    part_state = str(tmp_path_factory.mktemp("cms_part")) + "/counters"
+    fold_batch(spark, part_state, b0, 0, "ckpt-part",
+               partial_fn=_cms_partials, merge_fn=_cms_merge)
+    part = report(read_cms_counters(spark, part_state))
+    assert part and any(v < 0 for v in part.values())
