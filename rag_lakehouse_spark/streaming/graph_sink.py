@@ -98,18 +98,28 @@ def nsw_batch_edges(
     m: int = NSW_M,
     prev_max: int | None = None,
     batch_max: int | None = None,
+    prev_count: int | None = None,
 ) -> DataFrame:
     """ONE insertion rule for both state layouts (fold-rewrite and
     append-only twins must not drift): forward edges of a batch
     against the maintained state — exact batch × state scoring below
     ``NSW_GUIDED_MIN_STATE``, graph-guided above (see the constant's
-    comment)."""
+    comment).
+
+    Dispatch prefers the ACTUAL maintained row count (``prev_count``,
+    ADVICE r15 #2 — both sinks track it for free in the job/marker
+    that already fetches the max), falling back to the ``prev_max``
+    dense-id proxy for legacy state written before the count was
+    tracked: with sparse or offset id spaces the proxy overstates the
+    state size and could dispatch a small state onto the approximate
+    guided rule where callers expect the bit-identical exact one."""
     from rag_lakehouse_spark.operators.graph_ann import (
         nsw_fwd_edges,
         nsw_insert_edges_guided,
     )
 
-    if prev_max is not None and prev_max >= NSW_GUIDED_MIN_STATE:
+    size = prev_count if prev_count is not None else prev_max
+    if size is not None and size >= NSW_GUIDED_MIN_STATE:
         return nsw_insert_edges_guided(
             new_vecs, prev_vecs, prev_fwd, m=m, max_known_id=batch_max
         )
@@ -157,25 +167,38 @@ def _nsw_merge(
     frozen twin — which is why the guard is opt-in at the streaming
     entry point rather than baked into the merge.
 
-    The maintained max vec_id rides in the state as the constant
-    column ``max_vec_id`` (the ``last_batch_id`` watermark pattern),
-    so the guard costs one limit-1 fetch of the constant plus one
-    O(batch) min/max — never a re-scan of the whole state parquet
-    per fold (r13 ADVICE)."""
-    prev_max = None
-    if "max_vec_id" in prev.columns:
-        row = prev.select("max_vec_id").first()  # constant: limit-1
+    The maintained max vec_id and vector COUNT ride in the state as
+    the constant columns ``max_vec_id`` / ``n_vecs`` (the
+    ``last_batch_id`` watermark pattern; the count added in r16 so
+    the size-adaptive dispatch reads an actual state size instead of
+    the dense-id proxy — ADVICE r15 #2), so the guard costs one
+    limit-1 fetch of the constants plus one O(batch) min/max/count —
+    never a re-scan of the whole state parquet per fold (r13
+    ADVICE). Legacy state without ``n_vecs`` falls back to the
+    proxy."""
+    prev_max = prev_n = None
+    had_meta = "max_vec_id" in prev.columns
+    if had_meta:
+        meta_cols = ["max_vec_id"] + (
+            ["n_vecs"] if "n_vecs" in prev.columns else []
+        )
+        row = prev.select(*meta_cols).first()  # constants: limit-1
         prev_max = row[0] if row is not None else None
-        prev = prev.drop("max_vec_id")
+        if row is not None and len(meta_cols) > 1:
+            prev_n = row[1]
+        prev = prev.drop("max_vec_id", "n_vecs")
     prev_vecs = prev.filter(F.col("kind") == "vec").select(
         "vec_id", "embedding", "nrm"
     )
     new_vecs = batch_vecs.select("vec_id", "embedding", "nrm")
     bounds = new_vecs.agg(
-        F.min("vec_id").alias("lo"), F.max("vec_id").alias("hi")
+        F.min("vec_id").alias("lo"),
+        F.max("vec_id").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
     ).first()
     batch_min = bounds["lo"] if bounds is not None else None
     batch_max = bounds["hi"] if bounds is not None else None
+    batch_n = bounds["n"] if bounds is not None else 0
     if enforce_order:
         if (
             prev_max is not None
@@ -190,13 +213,22 @@ def _nsw_merge(
             )
     known = [x for x in (prev_max, batch_max) if x is not None]
     new_max = max(known) if known else None
+    # cumulative count: unknown stays unknown for pre-count state (a
+    # seeded count would silently undercount the legacy rows and the
+    # dispatch would mis-size the state); the proxy fallback covers it
+    if prev_n is not None:
+        new_n = prev_n + (batch_n or 0)
+    elif not had_meta:
+        new_n = batch_n or 0  # first fold: the count starts here
+    else:
+        new_n = None
     # the SHARED size-adaptive insertion rule (``nsw_batch_edges``) —
     # both state layouts and the frozen build run the same exact rule
     # at test scale, so the builds cannot drift
     prev_fwd = prev.filter(F.col("kind") == "edge").select("src", "dst")
     fwd = nsw_batch_edges(
         new_vecs, prev_vecs, prev_fwd, m=m,
-        prev_max=prev_max, batch_max=new_max,
+        prev_max=prev_max, batch_max=new_max, prev_count=prev_n,
     )
     edges = fwd.select(
         F.lit("edge").alias("kind"),
@@ -212,6 +244,7 @@ def _nsw_merge(
         prev.unionByName(batch_vecs)
         .unionByName(edges)
         .withColumn("max_vec_id", F.lit(new_max).cast("bigint"))
+        .withColumn("n_vecs", F.lit(new_n).cast("bigint"))
     )
 
 
@@ -284,22 +317,31 @@ def read_nsw_index(
 _MAX_MARKER = "MAX_VEC_ID"
 
 
-def _read_max_marker(root: str) -> tuple[int, int | None, int | None]:
-    """(batch_id, max_before_batch, max_after_batch) from the order-
-    guard marker; (-1, None, None) when absent. The marker carries the
-    max BEFORE and AFTER its batch so a REPLAYED batch can check
-    against the pre-batch max — a single stored max would wrongly
-    reject the replay (its own rows already raised it)."""
+def _read_max_marker(
+    root: str,
+) -> tuple[int, int | None, int | None, int | None, int | None]:
+    """(batch_id, max_before, max_after, count_before, count_after)
+    from the order-guard marker; (-1, None, None, None, None) when
+    absent. The marker carries the max (and, since r16, the vector
+    COUNT — ADVICE r15 #2: the size-adaptive dispatch wants an actual
+    state size, not the dense-id proxy) BEFORE and AFTER its batch so
+    a REPLAYED batch can check against the pre-batch values — a
+    single stored max would wrongly reject the replay (its own rows
+    already raised it). Legacy 3-field markers yield None counts."""
     from rag_lakehouse_spark.streaming.append_state import _read_marker
 
     raw = _read_marker(root, _MAX_MARKER)
     if raw is None:
-        return -1, None, None
+        return -1, None, None, None, None
     parts = raw.split()
     bid = int(parts[0])
     prev = None if parts[1] == "-" else int(parts[1])
     new = None if parts[2] == "-" else int(parts[2])
-    return bid, prev, new
+    prev_n = new_n = None
+    if len(parts) >= 5:
+        prev_n = None if parts[3] == "-" else int(parts[3])
+        new_n = None if parts[4] == "-" else int(parts[4])
+    return bid, prev, new, prev_n, new_n
 
 
 def maintain_nsw_index_append(
@@ -337,14 +379,18 @@ def maintain_nsw_index_append(
         batch_rows = _nsw_vec_partials(batch_df)
         new_vecs = batch_rows.select("vec_id", "embedding", "nrm")
         bounds = new_vecs.agg(
-            F.min("vec_id").alias("lo"), F.max("vec_id").alias("hi")
+            F.min("vec_id").alias("lo"),
+            F.max("vec_id").alias("hi"),
+            F.count(F.lit(1)).alias("n"),
         ).first()
         if bounds is None or bounds["hi"] is None:
             return  # empty batch: nothing to insert, nothing to guard
-        batch_min, batch_max = bounds["lo"], bounds["hi"]
+        batch_min, batch_max, batch_n = bounds["lo"], bounds["hi"], bounds["n"]
         root = _local(state_path)
-        mk_bid, mk_prev, mk_new = _read_max_marker(root)
-        prev_max = mk_prev if mk_bid >= int(batch_id) else mk_new
+        mk_bid, mk_prev, mk_new, mk_prev_n, mk_new_n = _read_max_marker(root)
+        replay = mk_bid >= int(batch_id)
+        prev_max = mk_prev if replay else mk_new
+        prev_n = mk_prev_n if replay else mk_new_n
         if prev_max is not None and batch_min <= prev_max:
             raise ValueError(
                 f"NSW insertion-order contract violated: batch min "
@@ -367,6 +413,7 @@ def maintain_nsw_index_append(
         fwd = nsw_batch_edges(
             new_vecs, prev_vecs, prev_fwd, m=m,
             prev_max=prev_max, batch_max=new_max_probe,
+            prev_count=prev_n,
         )
         edges = fwd.select(
             F.lit("edge").alias("kind"),
@@ -386,11 +433,25 @@ def maintain_nsw_index_append(
             _ckpt_query_id(ckpt),
         )
         new_max = batch_max if prev_max is None else max(prev_max, batch_max)
+        # cumulative vector count rides with the max (ADVICE r15 #2).
+        # A legacy marker has no count: once prev state exists with an
+        # UNKNOWN count, keep it unknown ('-') rather than seeding a
+        # cumulative count that silently undercounts the legacy rows —
+        # dispatch then stays on the prev_max proxy for that state.
+        had_prev_state = mk_bid >= 0
+        if prev_n is not None:
+            new_n = prev_n + batch_n
+        elif not had_prev_state:
+            new_n = batch_n  # first fold ever: the count starts here
+        else:
+            new_n = None
         _write_marker(
             root,
             _MAX_MARKER,
             f"{int(batch_id)} "
-            f"{'-' if prev_max is None else prev_max} {new_max}",
+            f"{'-' if prev_max is None else prev_max} {new_max} "
+            f"{'-' if prev_n is None else prev_n} "
+            f"{'-' if new_n is None else new_n}",
         )
 
     return (

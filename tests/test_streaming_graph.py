@@ -286,7 +286,7 @@ def test_append_layout_equals_fold_rewrite_layout(
         bounds = new_vecs.agg(
             F.min("vec_id").alias("lo"), F.max("vec_id").alias("hi")
         ).first()
-        mk_bid, mk_prev, mk_new = _read_max_marker(_local(app_state))
+        mk_bid, mk_prev, mk_new, _, _ = _read_max_marker(_local(app_state))
         prev_max = mk_prev if mk_bid >= int(batch_id) else mk_new
         if prev_max is not None and bounds["lo"] <= prev_max:
             raise ValueError("NSW insertion-order contract violated")
@@ -373,3 +373,53 @@ def test_guided_threshold_floor_cannot_be_detuned(monkeypatch):
         monkeypatch.delenv("RLS_NSW_GUIDED_MIN_STATE", raising=False)
         importlib.reload(gs)
     assert gs.NSW_GUIDED_MIN_STATE == 50_000  # default restored
+
+
+def test_dispatch_prefers_actual_count_over_id_proxy(spark, sf_dir):
+    """ADVICE r15 #2: with sparse or offset id spaces the max-vec_id
+    proxy overstates the state size; when the sinks know the ACTUAL
+    maintained vector count, dispatch must follow it — a small state
+    stays on the bit-identical exact rule no matter how large its ids
+    are, and a genuinely large state goes guided even if its ids are
+    small. The proxy remains the fallback for legacy state (None)."""
+    from rag_lakehouse_spark.operators.graph_ann import (
+        nsw_insert_edges_guided,
+    )
+    from rag_lakehouse_spark.streaming.graph_sink import (
+        NSW_GUIDED_MIN_STATE,
+        nsw_batch_edges,
+    )
+
+    corpus = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") != 0)
+        .select("vec_id", "embedding")
+        .withColumn("nrm", VEC.l2_norm("embedding"))
+    )
+    max_id = corpus.agg(F.max("vec_id")).first()[0]
+    cut = (3 * (max_id + 1)) // 4
+    batch = corpus.filter(F.col("vec_id") >= cut)
+    prev_vecs = corpus.filter(F.col("vec_id") < cut)
+    prev_fwd = nsw_fwd_edges(prev_vecs, prev_vecs, m=8).localCheckpoint(
+        eager=True
+    )
+    want_exact = sorted(
+        map(tuple, nsw_fwd_edges(batch, prev_vecs.unionByName(batch), m=8).collect())
+    )
+    # sparse ids: proxy says huge, actual count says tiny -> exact rule
+    sparse = nsw_batch_edges(
+        batch, prev_vecs, prev_fwd, m=8,
+        prev_max=10**9, batch_max=max_id, prev_count=5,
+    )
+    assert sorted(map(tuple, sparse.collect())) == want_exact
+    # dense small ids but a big actual count -> guided rule
+    dense = nsw_batch_edges(
+        batch, prev_vecs, prev_fwd, m=8,
+        prev_max=1, batch_max=max_id, prev_count=NSW_GUIDED_MIN_STATE,
+    )
+    want_guided = nsw_insert_edges_guided(
+        batch, prev_vecs, prev_fwd, m=8, max_known_id=max_id
+    )
+    assert sorted(map(tuple, dense.collect())) == sorted(
+        map(tuple, want_guided.collect())
+    )
