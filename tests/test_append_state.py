@@ -129,3 +129,8 @@ def test_compaction_collects_orphan_compact_dirs(spark, tmp_path_factory):
     assert _rows(spark, state) == [(0, "v0"), (1, "v1")]
     assert not os.path.exists(os.path.join(state, "compact_v0"))
     assert os.path.exists(os.path.join(state, "compact_v1"))
+
+
+# r16 (VERDICT r15 #2): long referee family - excluded from the
+# default fast run; seal runs use -m "slow or not slow".
+pytestmark = pytest.mark.slow

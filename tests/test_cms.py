@@ -172,3 +172,10 @@ def test_partial_sketch_state_is_caught_by_negative_overcount(
                partial_fn=_cms_partials, merge_fn=_cms_merge)
     part = report(read_cms_counters(spark, part_state))
     assert part and any(v < 0 for v in part.values())
+
+
+import pytest
+
+# r16 (VERDICT r15 #2): long referee family - excluded from the
+# default fast run; seal runs use -m "slow or not slow".
+pytestmark = pytest.mark.slow

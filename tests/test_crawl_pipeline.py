@@ -155,3 +155,10 @@ def test_incremental_report_equals_batch_report(spark, sf_dir):
         for r in read_crawl_report(spark, state).collect()
     }
     assert got == batch
+
+
+import pytest
+
+# r16 (VERDICT r15 #2): long referee family - excluded from the
+# default fast run; seal runs use -m "slow or not slow".
+pytestmark = pytest.mark.slow

@@ -116,3 +116,8 @@ def test_observe_silver_quality_piggybacks_on_write(raw_df, tmp_path_factory):
     assert metrics["n_null_price"] == 0
     assert metrics["n_default_quantity"] == 1  # the Out-of-stock record
     assert metrics["n_null_title"] == 0
+
+
+# r16 (VERDICT r15 #2): long referee family - excluded from the
+# default fast run; seal runs use -m "slow or not slow".
+pytestmark = pytest.mark.slow

@@ -104,3 +104,8 @@ def test_incremental_embed_touches_only_changed_chunks(spark):
     assert np.allclose(out["c1"].embedding, v1_vecs["c1"])  # reused, not re-embedded
     assert out["c2"].embedding == [9.0] * 4  # changed → marker embedder ran
     assert out["c4"].embedding == [9.0] * 4  # new → marker embedder ran
+
+
+# r16 (VERDICT r15 #2): long referee family - excluded from the
+# default fast run; seal runs use -m "slow or not slow".
+pytestmark = pytest.mark.slow

@@ -149,3 +149,8 @@ def test_scd2_invariants_under_random_update_sequences(spark):
             prev_rows = len(rows)
 
     run()
+
+
+# r16 (VERDICT r15 #2): long referee family - excluded from the
+# default fast run; seal runs use -m "slow or not slow".
+pytestmark = pytest.mark.slow

@@ -122,3 +122,8 @@ def test_dedup_late_out_of_order_matches_batch(spark, tmp_path_factory):
     )
     assert len(got) == 61  # 0..59 plus the late new id 99
     assert got == want
+
+
+# r16 (VERDICT r15 #2): long referee family - excluded from the
+# default fast run; seal runs use -m "slow or not slow".
+pytestmark = pytest.mark.slow

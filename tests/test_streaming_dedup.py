@@ -138,3 +138,8 @@ def test_incremental_postings_pairs_equal_batch_pairs(spark, tmp_path_factory):
     }
     assert got == want
     assert (1, 9) in got  # the cross-batch near-dup is found
+
+
+# r16 (VERDICT r15 #2): long referee family - excluded from the
+# default fast run; seal runs use -m "slow or not slow".
+pytestmark = pytest.mark.slow

@@ -87,3 +87,10 @@ def test_media_index_serves_typed_rows(spark, tmp_path_factory):
     assert "content" not in idx.columns
     wavs = idx.filter(F.col("fmt") == "wav").collect()
     assert wavs and all(r.channels in (1, 2) and r.sample_rate >= 8000 for r in wavs)
+
+
+import pytest
+
+# r16 (VERDICT r15 #2): long referee family - excluded from the
+# default fast run; seal runs use -m "slow or not slow".
+pytestmark = pytest.mark.slow

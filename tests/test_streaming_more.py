@@ -215,3 +215,8 @@ def test_weighted_sample_fold_equals_batch_and_tolerates_overlap(
         for r in bottom_k_sample(weighted_sample_keys(d)).collect()
     )
     assert got == want
+
+
+# r16 (VERDICT r15 #2): long referee family - excluded from the
+# default fast run; seal runs use -m "slow or not slow".
+pytestmark = pytest.mark.slow

@@ -384,3 +384,8 @@ def test_compact_fold_state_no_state_is_noop(spark, tmp_path_factory):
 
     empty = str(tmp_path_factory.mktemp("compact_empty")) + "/none"
     assert compact_fold_state(spark, empty) is False
+
+
+# r16 (VERDICT r15 #2): long referee family - excluded from the
+# default fast run; seal runs use -m "slow or not slow".
+pytestmark = pytest.mark.slow

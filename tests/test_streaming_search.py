@@ -90,3 +90,8 @@ def test_heavy_terms_from_postings_match_direct_aggregate(
         for r in heavy_terms_from_postings(spark, state).collect()
     }
     assert got == want and got  # non-trivial: fixture has heavy tokens
+
+
+# r16 (VERDICT r15 #2): long referee family - excluded from the
+# default fast run; seal runs use -m "slow or not slow".
+pytestmark = pytest.mark.slow

@@ -75,3 +75,8 @@ def test_incremental_ivf_equals_batch_ivf(spark, corpus_q_centroids, tmp_path_fa
         ).collect()
     }
     assert got == want  # identical rows, score bits included
+
+
+# r16 (VERDICT r15 #2): long referee family - excluded from the
+# default fast run; seal runs use -m "slow or not slow".
+pytestmark = pytest.mark.slow

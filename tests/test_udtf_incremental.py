@@ -100,3 +100,8 @@ def test_udtf_sentence_stats_matches_expression_twin(spark, sf_dir):
         for r in twin.collect()
     }
     assert got == want and len(got) > 0
+
+
+# r16 (VERDICT r15 #2): long referee family - excluded from the
+# default fast run; seal runs use -m "slow or not slow".
+pytestmark = pytest.mark.slow
